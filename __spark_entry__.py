@@ -1,38 +1,383 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join aggregate on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus beyond-reference operators); ``oracle_sql()`` gives the
+DuckDB twin for each.
+
+Determinism notes (hash-match contract):
+- Aggregates over floating-point columns are computed in DECIMAL (exact,
+  order-independent) and cast to DOUBLE at the end, so Spark and DuckDB
+  produce bit-identical doubles regardless of partial-aggregation order.
+- Every window ranking has a total order (unique-id tiebreakers).
+- All computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.catalog import Catalog
+from dataeng_azure_spotify_spark.functions.email import is_valid_email_col
+from dataeng_azure_spotify_spark.operators.relational import (
+    bucketize,
+    constant_inject,
+    expectations_drop,
+    latest_per_key,
+    scalar_max,
+    watermark_filter,
+)
+from dataeng_azure_spotify_spark.plans.star_query import (
+    JoinSpec,
+    build_star_dataframe,
+    render_star_sql,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------------
+# Star-join configs (SURVEY.md §2.3 J1 / §2.10 Q1 re-targeted onto the
+# TPC-H-ish corpus: fact = lineitem, dims LEFT-JOINed in config order).
+# --------------------------------------------------------------------------
+
+STAR_SPECS = [
+    JoinSpec(
+        "lineitem",
+        "l",
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            "l_shipdate",
+        ],
+    ),
+    JoinSpec(
+        "orders",
+        "o",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        "l.l_orderkey = o.o_orderkey",
+    ),
+    JoinSpec(
+        "customer",
+        "c",
+        ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+        "o.o_custkey = c.c_custkey",
+        broadcast=True,
+    ),
+]
+
+STAR_SPECS_WIDE = STAR_SPECS + [
+    JoinSpec(
+        "nation", "n", ["n_nationkey", "n_name"],
+        "c.c_nationkey = n.n_nationkey", broadcast=True,
+    ),
+    JoinSpec(
+        "region", "r", ["r_regionkey", "r_name"],
+        "n.n_regionkey = r.r_regionkey", broadcast=True,
+    ),
+    JoinSpec(
+        "part", "p", ["p_partkey", "p_brand", "p_type"],
+        "l.l_partkey = p.p_partkey", broadcast=True,
+    ),
+    JoinSpec(
+        "supplier", "s", ["s_suppkey", "s_name"],
+        "l.l_suppkey = s.s_suppkey", broadcast=True,
+    ),
+]
+
+# Shared ANSI SQL (valid in both Spark SQL and DuckDB) for the
+# numeric-heavy aggregates — one string, two engines, identical results.
+
+STAR_AGG_SQL = """
+SELECT
+    c.c_mktsegment AS mktsegment,
+    o.o_orderstatus AS orderstatus,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem AS l
+LEFT JOIN orders AS o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer AS c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderstatus
+"""
+
+PRICING_SUMMARY_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ROLLUP_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+EVENTS_WATERMARK = "2024-01-15 00:00:00"
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    cat = Catalog(spark, sf_dir)
+    cat.register_all()
+    return cat
+
+
+# --------------------------------------------------------------------------
+# Query implementations (Spark side)
+# --------------------------------------------------------------------------
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/Q1: 3-table star join, DataFrame path with broadcast dims."""
+    _cat(spark, sf_dir)
+    return build_star_dataframe(spark, STAR_SPECS)
+
+
+def q_star_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 widened: 7-table star join — every dim broadcast."""
+    _cat(spark, sf_dir)
+    return build_star_dataframe(spark, STAR_SPECS_WIDE)
+
+
+def q_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: revenue per market segment × order status (shared SQL)."""
+    _cat(spark, sf_dir)
+    return spark.sql(STAR_AGG_SQL)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (beyond-reference agg suite)."""
+    _cat(spark, sf_dir)
+    return spark.sql(PRICING_SUMMARY_SQL)
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (beyond-reference agg suite)."""
+    _cat(spark, sf_dir)
+    return spark.sql(ROLLUP_SQL)
+
+
+def q_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/S1: watermark-filtered incremental extract of `events`."""
+    cat = _cat(spark, sf_dir)
+    return watermark_filter(cat["events"], "ts", EVENTS_WATERMARK)
+
+
+def q_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: CASE-WHEN bucketing (durationFlag analogue on l_quantity)."""
+    cat = _cat(spark, sf_dir)
+    buck = bucketize(
+        cat["lineitem"], "l_quantity", "quantity_flag",
+        bounds=[(15, "low"), (30, "medium")], default_label="high",
+    )
+    return buck.groupBy("quantity_flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
+def q_constant_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: constant-column injection (ADF additionalColumns analogue)."""
+    cat = _cat(spark, sf_dir)
+    return constant_inject(
+        cat["nation"].select("n_nationkey", "n_name"), "cdc", "1900-01-01"
+    )
+
+
+def q_expectations_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: expect_all_or_drop — rows failing any rule are dropped."""
+    cat = _cat(spark, sf_dir)
+    return expectations_drop(
+        cat["orders"],
+        {"custkey not null": "o_custkey IS NOT NULL",
+         "positive price": "o_totalprice > 0"},
+    )
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2: newest row per key (batch twin of streaming dropDuplicates)."""
+    cat = _cat(spark, sf_dir)
+    return latest_per_key(
+        cat["events"], keys=["user_id"], sequence_by="ts", tiebreakers=["event_id"]
+    )
+
+
+def q_scalar_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: SELECT MAX(cdc_col) AS cdc — the watermark refresh."""
+    cat = _cat(spark, sf_dir)
+    return scalar_max(cat["events"], "ts", alias="cdc")
+
+
+def q_email_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: is_valid_email as native rlike (null → False parity)."""
+    cat = _cat(spark, sf_dir)
+    df = cat["customer"].select("c_custkey").withColumn(
+        "email",
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lit("user"), F.col("c_custkey").cast("string"),
+                        F.lit("@example.com")))
+        .when(F.col("c_custkey") % 3 == 1,
+              F.concat(F.lit("bad email@"), F.col("c_custkey").cast("string")))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    return df.withColumn("is_valid", is_valid_email_col("email"))
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders by totalprice per market segment."""
+    cat = _cat(spark, sf_dir)
+    joined = cat["orders"].join(
+        F.broadcast(cat["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "inner",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (fills §2.8's gap)."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_star_join_agg(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "star_join": q_star_join,
+        "star_join_wide": q_star_join_wide,
+        "star_join_agg": q_star_join_agg,
+        "pricing_summary": q_pricing_summary,
+        "rollup_agg": q_rollup_agg,
+        "incremental_filter": q_incremental_filter,
+        "bucketize_case_when": q_bucketize,
+        "constant_injection": q_constant_injection,
+        "expectations_drop": q_expectations_drop,
+        "dedup_latest_per_key": q_dedup_latest,
+        "scalar_max_watermark": q_scalar_max_watermark,
+        "email_validation": q_email_validation,
+        "topk_per_group": q_topk_per_group,
+        "events_tumbling_window": q_events_tumbling,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "star_join": render_star_sql(STAR_SPECS),
+        "star_join_wide": render_star_sql(STAR_SPECS_WIDE),
+        "star_join_agg": STAR_AGG_SQL,
+        "pricing_summary": PRICING_SUMMARY_SQL,
+        "rollup_agg": ROLLUP_SQL,
+        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it floored to
+        # microseconds, so the oracle casts to microsecond TIMESTAMP too.
+        "incremental_filter": (
+            "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,"
+            " value, props FROM events"
+            f" WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '{EVENTS_WATERMARK}'"
+        ),
+        "bucketize_case_when": """
+            SELECT CASE WHEN l_quantity < 15 THEN 'low'
+                        WHEN l_quantity < 30 THEN 'medium'
+                        ELSE 'high' END AS quantity_flag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1
+        """,
+        "constant_injection": (
+            "SELECT n_nationkey, n_name, '1900-01-01' AS cdc FROM nation"
+        ),
+        "expectations_drop": (
+            "SELECT * FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice > 0"
+        ),
+        "dedup_latest_per_key": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM (
+                SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type, value, props,
+                       ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "scalar_max_watermark": (
+            "SELECT MAX(CAST(ts AS TIMESTAMP)) AS cdc FROM events"
+        ),
+        "email_validation": """
+            SELECT c_custkey, email,
+                   COALESCE(regexp_matches(email,
+                       '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$'),
+                       FALSE) AS is_valid
+            FROM (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 3 = 0
+                                THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+                            WHEN c_custkey % 3 = 1
+                                THEN 'bad email@' || CAST(c_custkey AS VARCHAR)
+                            ELSE NULL END AS email
+                FROM customer
+            )
+        """,
+        "topk_per_group": """
+            SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ) WHERE rank <= 3
+        """,
+        "events_tumbling_window": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,72 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed with a count()/collect-free action (write to a noop
+sink would be ideal; we use count() on the final DataFrame so results
+materialize through the whole plan but never land on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataeng_azure_spotify_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+#: Headline queries benchmarked per round. Subset of queries(): the heavy
+#: relational ones plus the LLM-pipeline ops as they land.
+HEADLINE = [
+    "star_join",
+    "star_join_wide",
+    "star_join_agg",
+    "pricing_summary",
+    "rollup_agg",
+    "dedup_latest_per_key",
+    "topk_per_group",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE
+    ]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        # warm the input cache path once (file listing, schema), then time
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of the reference medallion ETL platform
+(Ch3rry-Pi3-Data-Engineering/DataEng-Azure-Spotify, surveyed in SURVEY.md).
+
+Built Spark-first: DataFrame/SQL logical plans optimized by Catalyst,
+Structured Streaming for the incremental layers, Pandas UDFs only where
+built-in operators cannot express the semantics. Designed for a large
+multi-executor cluster (partition-aware, broadcast-aware, AQE on) even
+though tests run on local[N].
+"""
+
+from dataeng_azure_spotify_spark.session import get_spark
+from dataeng_azure_spotify_spark.catalog import Catalog, TABLES
+
+__all__ = ["get_spark", "Catalog", "TABLES"]
+__version__ = "0.1.0"
