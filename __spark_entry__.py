@@ -30,6 +30,11 @@ from dataeng_azure_spotify_spark.operators.relational import (
     scalar_max,
     watermark_filter,
 )
+from dataeng_azure_spotify_spark.operators.scd import (
+    apply_scd1,
+    apply_scd2,
+    scd2_from_history,
+)
 from dataeng_azure_spotify_spark.plans.star_query import (
     JoinSpec,
     build_star_dataframe,
@@ -135,6 +140,20 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 EVENTS_WATERMARK = "2024-01-15 00:00:00"
+
+# SCD2 oracle: each change row opens a version at its ts; the next change
+# for the same key (by ts, then event_id) closes it via LEAD().
+_SCD2_ORACLE_SQL = """
+SELECT user_id, event_type, value, ts, event_id,
+       ts AS "__START_AT",
+       LEAD(ts) OVER w AS "__END_AT",
+       (LEAD(ts) OVER w IS NULL) AS "__IS_CURRENT"
+FROM (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
 
 
 def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
@@ -280,6 +299,59 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_changes(cat: Catalog) -> DataFrame:
+    """events as a CDC change stream keyed by user_id, sequenced by ts."""
+    return cat["events"].select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def q_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: SCD Type 1 merge — target (pre-cutoff latest) + update batch
+    (post-cutoff rows) collapse to latest-truth per key."""
+    cat = _cat(spark, sf_dir)
+    ev = cat["events"]
+    target = latest_per_key(
+        ev.filter(F.col("ts") <= F.lit(EVENTS_WATERMARK)),
+        keys=["user_id"], sequence_by="ts", tiebreakers=["event_id"],
+    )
+    updates = ev.filter(F.col("ts") > F.lit(EVENTS_WATERMARK))
+    return apply_scd1(target, updates, ["user_id"], "ts", ["event_id"])
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-C5: SCD Type 2 — full validity-interval history per key."""
+    cat = _cat(spark, sf_dir)
+    return scd2_from_history(
+        _events_changes(cat), keys=["user_id"], sequence_by="ts",
+        tiebreakers=["event_id"],
+    )
+
+
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 merge path: SCD2 target + late batch == full-history rebuild."""
+    cat = _cat(spark, sf_dir)
+    changes = _events_changes(cat)
+    first = changes.filter(F.col("ts") <= F.lit(EVENTS_WATERMARK))
+    second = changes.filter(F.col("ts") > F.lit(EVENTS_WATERMARK))
+    target = scd2_from_history(first, ["user_id"], "ts", ["event_id"])
+    return apply_scd2(target, second, ["user_id"], "ts", ["event_id"])
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — beyond-reference §2.8 gap."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -306,6 +378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_validation": q_email_validation,
         "topk_per_group": q_topk_per_group,
         "events_tumbling_window": q_events_tumbling,
+        "scd1_upsert": q_scd1_upsert,
+        "scd2_history": q_scd2_history,
+        "scd2_incremental": q_scd2_incremental,
+        "events_session_window": q_events_session_window,
     }
 
 
@@ -379,5 +455,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # SCD1 merge of (pre-cutoff latest) target + post-cutoff updates
+        # reduces to latest-per-key over the whole change stream.
+        "scd1_upsert": """
+            SELECT event_id, ts, user_id, event_type, value, props FROM (
+                SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                       event_type, value, props,
+                       ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "scd2_history": _SCD2_ORACLE_SQL,
+        # incremental merge must equal the full-history rebuild
+        "scd2_incremental": _SCD2_ORACLE_SQL,
+        "events_session_window": """
+            WITH e AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+            ), marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM marked
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sess_id
         """,
     }

@@ -1,0 +1,104 @@
+"""Streaming silver layer: exactly-once bounded drains, rescue-mode
+schema evolution, stateful dedup (SURVEY.md §2.1 S6-S8, §2.5, §2.8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from dataeng_azure_spotify_spark.streaming.rescue import RESCUE_COL, read_bronze_stream
+from dataeng_azure_spotify_spark.streaming.silver import (
+    SilverTable,
+    dedup_stream,
+    write_silver_stream,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows).write.mode("append").parquet(path)
+
+
+def test_bounded_stream_drains_then_stops(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    _write_batch(spark, bronze, [Row(id=1, v="a"), Row(id=2, v="b")])
+    t = SilverTable(
+        "t", bronze, str(tmp_path / "silver"), str(tmp_path / "chk")
+    )
+    t.run(spark)
+    out = spark.read.parquet(str(tmp_path / "silver"))
+    assert out.count() == 2
+    assert RESCUE_COL not in out.columns  # dropped before landing
+
+
+def test_exactly_once_across_runs(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    _write_batch(spark, bronze, [Row(id=1, v="a")])
+    t = SilverTable("t", bronze, str(tmp_path / "silver"), str(tmp_path / "chk"))
+    t.run(spark)
+    t.run(spark)  # no new files → no duplicates
+    assert spark.read.parquet(str(tmp_path / "silver")).count() == 1
+    _write_batch(spark, bronze, [Row(id=2, v="b")])
+    t.run(spark)  # only the new file is processed
+    assert spark.read.parquet(str(tmp_path / "silver")).count() == 2
+
+
+def test_rescue_packs_unexpected_columns(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    chk = str(tmp_path / "chk")
+    # run 1 establishes the declared schema (id, v)
+    _write_batch(spark, bronze, [Row(id=1, v="a")])
+    t = SilverTable(
+        "t", bronze, str(tmp_path / "silver"), chk,
+        clean=lambda df: df,  # keep the rescue column visible
+    )
+    t.run(spark)
+    # run 2 ships a drifted schema with an extra column
+    _write_batch(spark, bronze, [Row(id=2, v="b", surprise="x")])
+    t.run(spark)
+    out = spark.read.parquet(str(tmp_path / "silver"))
+    assert set(out.columns) == {"id", "v", RESCUE_COL}
+    rescued = {r.id: r[RESCUE_COL] for r in out.collect()}
+    assert rescued[1] is None
+    assert rescued[2] is not None and "surprise" in rescued[2]
+
+
+def test_streaming_dedup_by_key(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    _write_batch(
+        spark,
+        bronze,
+        [Row(k=1, v="a", ts=dt.datetime(2024, 1, 1)),
+         Row(k=1, v="a-dup", ts=dt.datetime(2024, 1, 1, 1)),
+         Row(k=2, v="b", ts=dt.datetime(2024, 1, 1))],
+    )
+    stream = read_bronze_stream(spark, bronze, str(tmp_path / "chk" / "schema"))
+    deduped = dedup_stream(stream.drop(RESCUE_COL), ["k"])
+    write_silver_stream(
+        deduped, str(tmp_path / "silver"), str(tmp_path / "chk" / "sink")
+    )
+    out = spark.read.parquet(str(tmp_path / "silver"))
+    assert out.count() == 2
+    assert sorted(r.k for r in out.collect()) == [1, 2]
+
+
+def test_streaming_dedup_state_spans_runs(spark, tmp_path):
+    """dropDuplicates state persists in the checkpoint across bounded runs
+    (the reference's cross-micro-batch statefulness note,
+    Silver_Dimensions.py:487-494)."""
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    chk = str(tmp_path / "chk")
+
+    def run():
+        stream = read_bronze_stream(spark, bronze, chk + "/schema")
+        write_silver_stream(
+            dedup_stream(stream.drop(RESCUE_COL), ["k"]), silver, chk + "/sink"
+        )
+
+    _write_batch(spark, bronze, [Row(k=1, v="a")])
+    run()
+    _write_batch(spark, bronze, [Row(k=1, v="a-again"), Row(k=2, v="b")])
+    run()
+    out = spark.read.parquet(silver)
+    assert out.count() == 2  # k=1 re-delivery suppressed by state
