@@ -30,11 +30,20 @@ from dataeng_azure_spotify_spark.operators.relational import (
     scalar_max,
     watermark_filter,
 )
+from dataeng_azure_spotify_spark.functions.text import text_stats
+from dataeng_azure_spotify_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
 from dataeng_azure_spotify_spark.operators.scd import (
     apply_scd1,
     apply_scd2,
     scd2_from_history,
 )
+from dataeng_azure_spotify_spark.operators.similarity import cosine_topk, ivf_topk
 from dataeng_azure_spotify_spark.plans.star_query import (
     JoinSpec,
     build_star_dataframe,
@@ -352,6 +361,261 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LLM training-data pipeline operators (documents / embeddings) --------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: counts, ratios, quality score, lang ID, md5 fp."""
+    cat = _cat(spark, sf_dir)
+    return text_stats(cat["documents"])
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on normalized text."""
+    cat = _cat(spark, sf_dir)
+    return exact_dedup_groups(cat["documents"])
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join (pairs with J ≥ 0.5)."""
+    cat = _cat(spark, sf_dir)
+    return ngram_jaccard_pairs(cat["documents"], threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup join (16 hashes, 8 bands), Jaccard-verified."""
+    cat = _cat(spark, sf_dir)
+    return minhash_lsh_pairs(cat["documents"], threshold=0.5)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document."""
+    cat = _cat(spark, sf_dir)
+    return simhash_fingerprints(cat["documents"])
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 8) via pigeonhole banding."""
+    cat = _cat(spark, sf_dir)
+    return simhash_neardup_pairs(cat["documents"], max_hamming=8)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10)."""
+    cat = _cat(spark, sf_dir)
+    emb = cat["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries_df, emb, k=5)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-5 (every-50th centroid, nprobe=2) — the scale
+    path; recall measured against brute force in tests (rows-only check)."""
+    cat = _cat(spark, sf_dir)
+    emb = cat["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries_df, emb, k=5)
+
+
+# --- DuckDB oracle SQL builders for the LLM-pipeline ops -------------------
+# These mirror the Spark implementations primitive-for-primitive:
+# tokens = whitespace split of trimmed text; hash60(x) = first 15 hex chars
+# of md5 cast to BIGINT; dot products accumulate in DECIMAL(38,20).
+
+_TOKS = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _duck_hash60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _text_stats_oracle() -> str:
+    from dataeng_azure_spotify_spark.functions.text import (
+        LANG_PRIORITY,
+        LANG_STOPWORDS,
+        STOPWORDS_EN,
+    )
+
+    def in_list(words):
+        return ", ".join(f"'{w}'" for w in words)
+
+    hit_cols = ",\n".join(
+        f"        len(list_filter(toks, t -> t IN ({in_list(sw)}))) AS h_{lang}"
+        for lang, sw in LANG_STOPWORDS.items()
+    )
+    best_lang = f"'{LANG_PRIORITY[0]}'"
+    best_hits = f"h_{LANG_PRIORITY[0]}"
+    for lang in LANG_PRIORITY[1:]:
+        best_lang = (
+            f"CASE WHEN h_{lang} > ({best_hits}) THEN '{lang}' ELSE ({best_lang}) END"
+        )
+        best_hits = (
+            f"CASE WHEN h_{lang} > ({best_hits}) THEN h_{lang} ELSE ({best_hits}) END"
+        )
+    return f"""
+WITH base AS (
+    SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), stats AS (
+    SELECT doc_id, text, toks,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks, t -> t IN ({in_list(STOPWORDS_EN)}))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+{hit_cols}
+    FROM base
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+       0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+         + 0.25 * (1.0 - punct_ratio)
+         + 0.25 * least(1.0, 4.0 * stopword_ratio) AS quality_score,
+       {best_lang} AS lang_pred,
+       md5({_NORM_TEXT}) AS fp
+FROM stats
+"""
+
+
+_SHINGLES_CTE = f"""
+toks AS (
+    SELECT doc_id AS doc, {_TOKS} AS t FROM documents
+), sh AS (
+    SELECT doc,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE []::VARCHAR[] END AS shingles
+    FROM toks
+), shn AS (
+    SELECT doc, shingles, len(shingles) AS n_sh FROM sh
+), ex AS (
+    SELECT doc, n_sh, unnest(shingles) AS s FROM shn
+)"""
+
+_JACCARD_PAIRS = """
+pairs AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           count(*) AS inter,
+           any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+    GROUP BY 1, 2
+), jac AS (
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+    FROM pairs
+)"""
+
+
+def _ngram_jaccard_oracle(threshold: float) -> str:
+    return f"""
+WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    rows_per_band = num_hashes // bands
+    return f"""
+WITH {_SHINGLES_CTE}, hi AS (
+    SELECT doc, s, unnest(generate_series(0, {num_hashes - 1})) AS i
+    FROM (SELECT DISTINCT doc, s FROM ex)
+), hashed AS (
+    SELECT doc, i, {_duck_hash60("CAST(i AS VARCHAR) || '|' || s")} AS h FROM hi
+), sigs AS (
+    SELECT doc, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+), bandsig AS (
+    SELECT doc, CAST(i // {rows_per_band} AS INT) AS band,
+           string_agg(printf('%02d:%d', i, minhash), ','
+                      ORDER BY printf('%02d:%d', i, minhash)) AS band_sig
+    FROM sigs GROUP BY 1, 2
+), cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bandsig a JOIN bandsig b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+), {_JACCARD_PAIRS.lstrip()}
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def _simhash_fp_cte(bits: int = 60) -> str:
+    bit_sums = ",\n".join(
+        f"        SUM((h >> {j}) & 1) AS b{j}" for j in range(bits)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2*b{j} > n THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+toks AS (
+    SELECT doc_id AS doc, unnest({_TOKS}) AS t FROM documents
+), hashed AS (
+    SELECT doc, {_duck_hash60('t')} AS h FROM toks
+), sums AS (
+    SELECT doc, COUNT(*) AS n,
+{bit_sums}
+    FROM hashed GROUP BY doc
+), fp AS (
+    SELECT doc, CAST({fp_terms} AS BIGINT) AS simhash FROM sums
+)"""
+
+
+def _simhash_fp_oracle() -> str:
+    return f"WITH {_simhash_fp_cte()} SELECT doc, simhash FROM fp"
+
+
+def _simhash_neardup_oracle(max_hamming: int) -> str:
+    return f"""
+WITH {_simhash_fp_cte()}
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _ann_topk_oracle(k: int, max_query_id: int) -> str:
+    return f"""
+WITH pos AS (
+    SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS pos
+    FROM embeddings
+), flat AS (
+    SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM pos
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+    FROM flat GROUP BY 1
+), dots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,20))) AS DOUBLE) AS dot
+    FROM flat q JOIN flat c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {max_query_id}
+    GROUP BY 1, 2
+), scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           round(d.dot / (qn.nrm * cn.nrm), 12) AS cosine
+    FROM dots d
+    JOIN norms qn ON qn.vec_id = d.query_id
+    JOIN norms cn ON cn.vec_id = d.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -382,6 +646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
         "events_session_window": q_events_session_window,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -493,4 +765,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM sess GROUP BY user_id, sess_id
         """,
+        "text_stats": _text_stats_oracle(),
+        "dedup_exact": f"""
+            SELECT md5({_NORM_TEXT}) AS text_hash,
+                   MIN(doc_id) AS rep_id,
+                   CAST(COUNT(*) AS BIGINT) AS group_size
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.5),
+        "dedup_minhash_lsh": _minhash_lsh_oracle(16, 8, 0.5),
+        "simhash_fingerprints": _simhash_fp_oracle(),
+        "simhash_neardup": _simhash_neardup_oracle(8),
+        "ann_cosine_topk": _ann_topk_oracle(k=5, max_query_id=10),
+        # ann_ivf_topk: deliberately no oracle — approximate by design;
+        # recall vs brute force is asserted in tests/test_similarity.py.
     }

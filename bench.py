@@ -32,6 +32,13 @@ HEADLINE = [
     "dedup_latest_per_key",
     "topk_per_group",
     "events_tumbling_window",
+    "scd1_upsert",
+    "scd2_history",
+    "scd2_incremental",
+    "dedup_minhash_lsh",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "text_stats",
 ]
 
 

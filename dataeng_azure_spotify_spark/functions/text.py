@@ -1,0 +1,145 @@
+"""Text-analysis functions for LLM training-data pipelines
+(beyond-reference surface; SURVEY.md §7 M5 / BASELINE.json north star).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Every function has an exact DuckDB
+SQL twin (see ``__spark_entry__.oracle_sql``), built on the shared
+primitives:
+
+- tokens: whitespace split of trimmed text (empty text → 0 tokens)
+- deterministic 60-bit hash: first 15 hex chars of md5 → BIGINT, which
+  Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x'||substr(md5(x),1,15))::BIGINT``) compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny multilingual stopword lists for ratio scoring and language ID.
+#: Deliberately small + explicit so the DuckDB oracle can mirror them.
+STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "it")
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS_EN,
+    "es": ("el", "la", "de", "y", "que", "en", "los", "se"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "和", "有"),
+}
+#: Deterministic tie order for language ID (first match wins on ties).
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text; empty/blank text → empty array."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c).cast("double")
+    )
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
+    """Stopword tokens / total tokens (0 for empty text)."""
+    toks = tokens_col(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic document-quality score in [0, 1].
+
+    0.5·min(1, tokens/64) + 0.25·(1 − punct_ratio) + 0.25·min(1, 4·stop_ratio)
+    — length says substance, low punctuation density says prose (not
+    markup), presence of stopwords says natural language. The exact
+    weights are a policy choice; determinism across engines is what the
+    oracle checks.
+    """
+    toks = token_count(text).cast("double")
+    len_term = F.least(F.lit(1.0), toks / F.lit(64.0))
+    punct_term = F.lit(1.0) - punct_ratio(text)
+    stop_term = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text))
+    return (
+        F.lit(0.5) * len_term + F.lit(0.25) * punct_term + F.lit(0.25) * stop_term
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram-free language ID: argmax of per-language stopword hits.
+
+    Ties (including the all-zero case) resolve by ``LANG_PRIORITY`` order
+    — a strict-greater scan keeps the choice deterministic in both
+    engines. Returns the language code as a string.
+    """
+    toks = tokens_col(text)
+
+    def hit_counter(sw: tuple[str, ...]):
+        # NB: a plain `lambda t, sw=sw:` would be seen by Spark as a
+        # two-argument lambda (element, index) — close over sw instead.
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    hits = {lang: hit_counter(sw) for lang, sw in LANG_STOPWORDS.items()}
+    best_lang = F.lit(LANG_PRIORITY[0])
+    best_hits = hits[LANG_PRIORITY[0]]
+    for lang in LANG_PRIORITY[1:]:
+        cond = hits[lang] > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return best_lang
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprints."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def hash60(col: Column, salt: Column | str | None = None) -> Column:
+    """60-bit positive BIGINT hash from md5 — identical in DuckDB via
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    x = F.concat(F.lit(str(salt)), F.lit("|"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats projection used by the quality/filter stage."""
+    return df.select(
+        F.col(id_col),
+        char_count(text_col).alias("n_chars"),
+        token_count(text_col).alias("n_tokens"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality_score"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,276 @@
+"""Document deduplication family for LLM training-data pipelines
+(beyond-reference surface; BASELINE.json north star).
+
+Four tiers, each a pure DataFrame pipeline (no Python in the hot path):
+
+- :func:`exact_dedup_groups` — hash-groupBy on normalized text. One
+  shuffle on a 128-bit hash; the canonical first pass at any scale.
+- :func:`ngram_jaccard_pairs` — exact set-similarity self-join on
+  word 3-gram shingles. Quadratic in the worst case; the ground truth
+  the approximate tiers are measured against.
+- :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH. The
+  100 TB path: cost is O(docs × bands), candidates are only
+  band-bucket collisions. Hashes are md5-derived, so the whole pipeline
+  is deterministic and reproducible in any engine (no RNG seeds).
+- :func:`simhash_fingerprints` / :func:`simhash_neardup_pairs` —
+  60-bit SimHash with pigeonhole banding: for Hamming distance ≤ t,
+  splitting the fingerprint into t+1 bands guarantees candidate recall
+  1.0, so banded + verify ≡ exact quadratic (at a fraction of the cost).
+
+Shared primitives come from ``functions.text`` (tokens, hash60,
+normalize) so the DuckDB oracles mirror them symbol-for-symbol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.functions.text import (
+    hash60,
+    normalize_text,
+    tokens_col,
+)
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles of a text column (empty if < n tokens)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: md5(normalized text) → representative id +
+    group size. Keep-policy: lowest id is the canonical copy."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs with J ≥ threshold.
+
+    Inverted-index formulation: explode shingles, self-join on the
+    shingle, count intersections per pair, then J = |∩| / (|A|+|B|−|∩|).
+    The join key is the shingle, so the shuffle is by shingle — skew
+    (stop-shingles) is the known hazard; at scale prefer
+    :func:`minhash_lsh_pairs` which bounds the candidate set.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for hash i, min over shingles of
+    hash60(i || '|' || shingle). Long format (doc, i, minhash) — one row
+    per signature slot. Docs with zero shingles drop out (no signature).
+    """
+    sh = _doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0)
+    ex = sh.select("doc", F.explode("shingles").alias("s"))
+    idx = ex.select(
+        "doc", "s", F.explode(F.array([F.lit(i) for i in range(num_hashes)])).alias("i")
+    )
+    hashed = idx.withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("s"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    return hashed.groupBy("doc", "i").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup join, verified with exact Jaccard.
+
+    ``num_hashes/bands`` rows per band (16/8 → r=2): a pair lands in a
+    candidate bucket iff one band's signature rows all match. Candidates
+    are then verified with the true n-gram Jaccard, so precision is
+    exact; recall is the LSH probability 1−(1−J^r)^b — and because every
+    hash is md5-derived, the candidate set (and thus the result) is fully
+    deterministic.
+
+    Scale shape: signatures are O(docs·num_hashes) rows; the join is on
+    (band, band_signature) buckets — never a quadratic blow-up.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    band_sigs = (
+        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.format_string("%02d:%d", "i", "minhash")))
+            ).alias("band_sig")
+        )
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, on=["doc_a", "doc_b"], how="inner")
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 60
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document from token hashes.
+
+    Classic construction: each token votes its hash bits (+1 for a set
+    bit, −1 for unset); fingerprint bit j is 1 iff the net vote is
+    positive (strictly more set than unset). Implemented as 60 conditional
+    sums in one aggregation pass — a single shuffle on the doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("t")
+    )
+    hashed = toks.withColumn("h", hash60(F.col("t")))
+    bit_sums = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.lit(2) * F.col(f"b{j}") > F.col("n"), F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc", fp.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: the 60-bit fingerprint splits into
+    ``max_hamming+1`` bands; any pair within distance ≤ max_hamming must
+    agree exactly on ≥ 1 band, so the banded candidate set has recall 1.0
+    and the post-verification result is *identical* to the quadratic
+    all-pairs scan — which is what the DuckDB oracle runs.
+    """
+    n_bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // n_bands + (1 if SIMHASH_BITS % n_bands else 0)
+    fps = simhash_fingerprints(df, text_col, id_col)
+
+    bands = fps.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc", "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines — beyond-reference surface (BASELINE.json north star).
+
+Design: media travel as opaque ``binary`` columns with a typed metadata
+struct; all per-item compute (decode, feature-extract, resize,
+frame-sample) runs as Arrow-batched ``mapInPandas`` stages so bytes never
+round-trip through Python row-at-a-time. Batches arrive as
+``pandas.Series`` of ``bytes`` — the natural unit for handing to a codec
+library.
+
+The actual codecs (PIL/torchaudio/av) are NOT available in this
+environment, so the decode kernel is stubbed: by default it raises
+``NotImplementedError`` naming the missing dependency; with
+``fake=True`` it computes a deterministic fake "feature" (byte-level
+stats) so the Spark-side plumbing — schema, batching, partitioning,
+output shape — is fully exercised and tested.
+
+Scale notes: media rows are large and skew-prone. ``repartition_for_media``
+re-partitions by a target partition byte budget *before* the UDF stage so
+one executor never holds a pathological batch, and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds Arrow batch
+memory inside the stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal row: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("mime_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("byte_mean", DoubleType(), True),
+        StructField("byte_entropy_proxy", DoubleType(), True),
+    ]
+)
+
+
+def _decode_batch(payloads: pd.Series, modality: str, fake: bool) -> pd.DataFrame:
+    """Decode kernel. Real codecs are not installed in this environment."""
+    if not fake:
+        raise NotImplementedError(
+            f"decoding {modality!r} requires a codec library (e.g. PIL/pyav) "
+            "that is not installed; pass fake=True for the deterministic stub"
+        )
+    import numpy as np
+
+    n_bytes, means, ent = [], [], []
+    for p in payloads:
+        if p is None:
+            n_bytes.append(None), means.append(None), ent.append(None)
+            continue
+        arr = np.frombuffer(p, dtype=np.uint8)
+        n_bytes.append(int(arr.size))
+        means.append(float(arr.mean()) if arr.size else 0.0)
+        # entropy proxy: distinct-byte fraction (deterministic, cheap)
+        ent.append(float(np.unique(arr).size) / 256.0)
+    return pd.DataFrame(
+        {"n_bytes": n_bytes, "byte_mean": means, "byte_entropy_proxy": ent}
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over a MEDIA_SCHEMA DataFrame.
+
+    ``mapInPandas`` keeps each partition as an iterator of Arrow batches;
+    per batch the payload Series goes to the decode kernel in one call.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _decode_batch(pdf["payload"], "mixed", fake)
+            out = pd.DataFrame(
+                {"media_id": pdf["media_id"], "modality": pdf["modality"]}
+            )
+            yield pd.concat([out, feats], axis=1)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def repartition_for_media(
+    df: DataFrame, avg_item_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Spread large binary rows so partitions stay within a byte budget.
+
+    At 100 TB the file-size-based split doesn't see post-decode blow-up;
+    partition count is derived from payload size instead of row count.
+    """
+    rows = df.count()
+    per_part = max(1, target_partition_bytes // max(1, avg_item_bytes))
+    n_parts = max(1, (rows + per_part - 1) // per_part)
+    return df.repartition(n_parts)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan video frame sampling: one output row per planned frame.
+
+    The decode itself is stubbed (no codec); the *plumbing* — exploding a
+    duration into frame timestamps and carrying the payload reference —
+    is the real Spark work and is exercised in tests.
+    """
+    return df.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

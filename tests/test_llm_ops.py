@@ -1,0 +1,135 @@
+"""LLM-pipeline operators: dedup family, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §7 M5 / BASELINE.json north star)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.catalog import Catalog
+from dataeng_azure_spotify_spark.functions.text import lang_id, quality_score
+from dataeng_azure_spotify_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from dataeng_azure_spotify_spark.operators.similarity import cosine_topk, ivf_topk
+from dataeng_azure_spotify_spark.sources.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    MEDIA_SCHEMA,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=3, text="the quick brown fox jumps over the lazy cat today"),
+            Row(doc_id=4, text="completely different words about spark engines here"),
+        ]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.rep_id: r.group_size for r in exact_dedup_groups(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1+2 identical
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0  # one-word-off near dup
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_candidates_match_exact_on_high_sim(spark):
+    exact = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(_docs(spark), threshold=0.9).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in minhash_lsh_pairs(_docs(spark), threshold=0.9).collect()}
+    # identical docs share every minhash → always caught by LSH
+    assert exact == lsh == {(1, 2)}
+
+
+def test_simhash_neardup_identical_docs_distance_zero(spark):
+    out = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_neardup_pairs(_docs(spark), max_hamming=8).collect()}
+    assert out[(1, 2)] == 0
+
+
+def test_lang_id_priority_and_hits(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is on the mat"),
+            Row(doc_id=2, text="el gato y la casa de madrid"),
+            Row(doc_id=3, text="der hund und die katze ist da"),
+            Row(doc_id=4, text="xyzzy plugh"),  # no hits anywhere → priority: en
+        ]
+    )
+    out = {r.doc_id: r.lang for r in
+           df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "en"}
+
+
+def test_quality_score_bounds(spark):
+    cat = Catalog(spark, SF)
+    scores = (
+        cat.load("documents")
+        .select(quality_score("text").alias("q"))
+        .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+        .first()
+    )
+    assert 0.0 <= scores["lo"] <= scores["hi"] <= 1.0
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(qs, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(qs, emb, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_multimodal_feature_extraction_fake_decode(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-bytes", 10, 10, None),
+        (2, "audio", "audio/wav", b"RIFF-fake-audio-bytes", None, None, 2000),
+        (3, "video", "video/mp4", None, None, None, 3500),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(df, fake=True).collect()}
+    assert out[1].n_bytes == len(b"\x89PNG-fake-bytes")
+    assert 0.0 < out[1].byte_entropy_proxy <= 1.0
+    assert out[3].n_bytes is None  # null payload propagates
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", b"x", None, None, None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as exc:
+        extract_features(df, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(3, "video", "video/mp4", None, None, None, 3500),
+         (4, "image", "image/png", b"x", 1, 1, None)],
+        MEDIA_SCHEMA,
+    )
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
+    assert all(r.media_id == 3 for r in frames)  # images not frame-sampled
