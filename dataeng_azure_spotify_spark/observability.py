@@ -1,0 +1,130 @@
+"""Run-log + alerting analogue of the reference's monitoring stack
+(SURVEY.md §2.11).
+
+Parity: the reference ships pipeline run status to Azure Log Analytics
+and fires scheduled KQL alert rules on ``status == "Failed" |
+"Succeeded"`` over 5-minute windows (``terraform/07_monitoring/main.tf:
+38-56`` queries, :93-135 rules; reference ``README.md:152-155``).
+
+Spark-native mapping: every engine run appends one row to a parquet
+run-log table via :class:`RunLog`; a ``StreamingQueryListener``
+(:class:`QueryRunListener`) captures streaming progress events the same
+way. The KQL alert queries become plain DataFrame queries over the log
+(:func:`failed_runs_last`), runnable on a schedule by any cron/driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import traceback
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RUN_LOG_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("component", StringType(), False),
+        StructField("status", StringType(), False),  # Succeeded | Failed
+        StructField("started_at", TimestampType(), False),
+        StructField("ended_at", TimestampType(), False),
+        StructField("rows_processed", LongType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+class RunLog:
+    """Append-only parquet run log (the Log Analytics table analogue)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def record(
+        self,
+        run_id: str,
+        component: str,
+        status: str,
+        started_at: dt.datetime,
+        ended_at: dt.datetime,
+        rows_processed: int | None = None,
+        error: str | None = None,
+    ) -> None:
+        row = [(run_id, component, status, started_at, ended_at, rows_processed, error)]
+        self.spark.createDataFrame(row, RUN_LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def timed(self, run_id: str, component: str, fn: Callable[[], Any]) -> Any:
+        """Run ``fn`` and record Succeeded/Failed with timing — the
+        engine-side equivalent of ADF activity status reporting."""
+        start = dt.datetime.utcnow()
+        try:
+            result = fn()
+        except Exception:
+            self.record(
+                run_id, component, "Failed", start, dt.datetime.utcnow(),
+                error=traceback.format_exc(limit=3),
+            )
+            raise
+        rows = result if isinstance(result, int) else None
+        self.record(run_id, component, "Succeeded", start, dt.datetime.utcnow(), rows)
+        return result
+
+    def read(self) -> DataFrame:
+        return self.spark.read.schema(RUN_LOG_SCHEMA).parquet(self.path)
+
+
+def failed_runs_last(log: RunLog, minutes: int = 5) -> DataFrame:
+    """The KQL alert query re-expressed (status == 'Failed', 5-min window,
+    reference ``terraform/07_monitoring/main.tf:38-56``)."""
+    cutoff = dt.datetime.utcnow() - dt.timedelta(minutes=minutes)
+    return (
+        log.read()
+        .filter((F.col("status") == "Failed") & (F.col("ended_at") >= F.lit(cutoff)))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("failures"))
+    )
+
+
+class QueryRunListener:
+    """StreamingQueryListener recording per-query progress into a RunLog.
+
+    Attach with ``spark.streams.addListener(QueryRunListener(log))``.
+    """
+
+    def __new__(cls, log: RunLog):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                self._starts = getattr(self, "_starts", {})
+                self._starts[event.id] = dt.datetime.utcnow()
+
+            def onQueryProgress(self, event):  # noqa: N802
+                pass
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                started = getattr(self, "_starts", {}).pop(
+                    event.id, dt.datetime.utcnow()
+                )
+                status = "Failed" if event.exception else "Succeeded"
+                log.record(
+                    str(event.id), "streaming_query", status,
+                    started, dt.datetime.utcnow(),
+                    error=event.exception,
+                )
+
+        return _Listener()

@@ -152,7 +152,10 @@ def apply_scd2(
     # Each existing SCD2 row *is* the change row that opened it.
     change_cols = [c for c in target.columns if c not in (START_COL, END_COL, CURRENT_COL)]
     prior_changes = target_affected.select(*change_cols)
-    all_changes = prior_changes.unionByName(updates.select(*change_cols))
+    # distinct() makes the merge idempotent: a re-delivered row identical to
+    # an existing version collapses instead of opening a spurious duplicate
+    # (Delta MERGE's matched-row no-op equivalent)
+    all_changes = prior_changes.unionByName(updates.select(*change_cols)).distinct()
 
     rebuilt = scd2_from_history(
         all_changes, keys, sequence_by, tiebreakers, drop_unchanged

@@ -1,0 +1,115 @@
+"""End-to-end medallion flow (SURVEY.md §3): incremental bronze extract →
+streaming silver with dedup → gold SCD2 via CDC flow — orchestrated by the
+Pipeline runner with run-logging, across TWO incremental cycles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.observability import RunLog, failed_runs_last
+from dataeng_azure_spotify_spark.operators.scd import CURRENT_COL, END_COL
+from dataeng_azure_spotify_spark.plans.pipeline import Pipeline
+from dataeng_azure_spotify_spark.sources.ingest import TableConfig, incremental_extract
+from dataeng_azure_spotify_spark.sources.watermark import WatermarkStore
+from dataeng_azure_spotify_spark.streaming.gold import CdcFlow, ParquetSnapshotTable
+from dataeng_azure_spotify_spark.streaming.rescue import RESCUE_COL, read_bronze_stream
+from dataeng_azure_spotify_spark.streaming.silver import dedup_stream, write_silver_stream
+
+
+def _users(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, name=n, updated_at=dt.datetime(2024, 1, d)) for u, n, d in rows]
+    )
+
+
+def test_full_medallion_two_cycles(spark, tmp_path):
+    base = str(tmp_path)
+    store = WatermarkStore(base + "/wm")
+    log = RunLog(spark, base + "/runlog")
+    flow = CdcFlow(
+        name="dim_user",
+        gold_base=base + "/gold/dim_user",
+        keys=["user_id"],
+        sequence_by="updated_at",
+        scd_type=2,
+        tiebreakers=["name"],
+        expectations={"key not null": "user_id IS NOT NULL"},
+    )
+
+    def run_cycle(source_df, run_id):
+        pipe = Pipeline(name=f"cycle-{run_id}")
+        pipe.add(
+            "bronze",
+            lambda s: log.timed(
+                run_id, "bronze",
+                lambda: incremental_extract(
+                    s, source_df, TableConfig("users", "updated_at"), store,
+                    base + "/bronze",
+                ).rows,
+            ),
+        )
+
+        def silver(s):
+            stream = read_bronze_stream(
+                s, base + "/bronze/users", base + "/chk/schema"
+            )
+            write_silver_stream(
+                dedup_stream(stream.drop(RESCUE_COL), ["user_id", "updated_at"]),
+                base + "/silver/users",
+                base + "/chk/silver",
+            )
+            return base + "/silver/users"
+
+        pipe.add("silver", lambda s: log.timed(run_id, "silver", lambda: silver(s)),
+                 depends_on=("bronze",))
+
+        def gold(s):
+            batch = s.read.parquet(base + "/silver/users")
+            # foreachBatch body applied to the drained silver increment;
+            # merge is idempotent so re-reading the whole silver dir is safe
+            flow.merge_batch(s, batch)
+            return "ok"
+
+        pipe.add("gold", lambda s: log.timed(run_id, "gold", lambda: gold(s)),
+                 depends_on=("silver",))
+        pipe.run(spark)
+
+    # cycle 1: initial load (3 users, one with a null key → dropped by rules)
+    src1 = spark.createDataFrame(
+        [Row(user_id=1, name="ana", updated_at=dt.datetime(2024, 1, 1)),
+         Row(user_id=2, name="bo", updated_at=dt.datetime(2024, 1, 1)),
+         Row(user_id=None, name="ghost", updated_at=dt.datetime(2024, 1, 1))]
+    )
+    run_cycle(src1, "r1")
+    gold1 = ParquetSnapshotTable(spark, base + "/gold/dim_user").read()
+    assert gold1.count() == 2  # ghost dropped by expectations
+    assert gold1.filter(F.col(CURRENT_COL)).count() == 2
+
+    # cycle 2: user 1 changes name; user 3 appears
+    src2 = spark.createDataFrame(
+        [Row(user_id=1, name="ana", updated_at=dt.datetime(2024, 1, 1)),
+         Row(user_id=2, name="bo", updated_at=dt.datetime(2024, 1, 1)),
+         Row(user_id=1, name="ana-maria", updated_at=dt.datetime(2024, 1, 5)),
+         Row(user_id=3, name="cy", updated_at=dt.datetime(2024, 1, 4))]
+    )
+    run_cycle(src2, "r2")
+    gold2 = ParquetSnapshotTable(spark, base + "/gold/dim_user").read()
+
+    u1 = {r.name: r for r in gold2.filter(F.col("user_id") == 1).collect()}
+    assert len(u1) == 2  # two versions of user 1
+    assert u1["ana"][END_COL] == dt.datetime(2024, 1, 5)  # closed by the change
+    assert u1["ana-maria"][CURRENT_COL]
+    assert gold2.filter(F.col("user_id") == 3).count() == 1
+
+    # watermark advanced: a third cycle with the same source is a no-op
+    run_cycle(src2, "r3")
+    assert ParquetSnapshotTable(spark, base + "/gold/dim_user").read().count() == \
+        gold2.count()
+
+    # run log captured every component; no failures in the alert window
+    logged = log.read()
+    assert logged.filter(F.col("status") == "Succeeded").count() == 9
+    assert failed_runs_last(log, minutes=5).count() == 0
