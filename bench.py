@@ -54,7 +54,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        # warm the input cache path once (file listing, schema), then time
+        # isolate queries: operators may persist() shared intermediates;
+        # dropping them between queries keeps timings independent of order
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.count()

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from dataeng_azure_spotify_spark.functions.text import (
     hash60,
     normalize_text,
@@ -33,13 +35,29 @@ from dataeng_azure_spotify_spark.functions.text import (
 )
 
 
-def shingles_col(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles of a text column (empty if < n tokens)."""
-    toks = tokens_col(text_col)
+def _persist(df: DataFrame) -> DataFrame:
+    """Pin a multiply-branched intermediate (shingle sets, signatures).
+
+    The similarity-join DAGs branch: the same shingle table feeds the
+    index build, the candidate self-join (twice — both join sides), and
+    the verification pass. Unpersisted, Spark recomputes the full
+    tokenize+shingle lineage per branch — the dominant cost. At 100 TB
+    the equivalent is writing the shingle/signature table once (parquet,
+    bucketed by doc) and joining against it; in-memory/disk persist is
+    the single-job form of the same materialization.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def shingles_col(toks, n: int = 3):
+    """Distinct word n-gram shingles from a token-array column (empty if
+    < n tokens). ``toks`` should be a *materialized column reference* —
+    passing the tokenizer expression directly re-evaluates the regex
+    split per gram reference (expressions inside lambda bodies are not
+    common-subexpression-eliminated), which is O(grams) tokenizations
+    per document instead of one."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
-    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
@@ -60,10 +78,61 @@ def exact_dedup_groups(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the cluster's parallelism before a
+    CPU-heavy per-row pass. Small corpora arrive as one parquet split —
+    without this the tokenize/shingle stage runs on one core. On a real
+    multi-file 100 TB table the scan already yields enough splits and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), shingles_col(text_col, n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
+    # tokenize ONCE into a concrete column; build grams off the attribute
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+        .select("doc", shingles_col(F.col("__toks"), n).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+    )
+
+
+def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs only: join each side
+    to its distinct shingle set and intersect JVM-side (``array_intersect``).
+    Cost is O(candidates), independent of corpus-wide shingle frequency."""
+    # per-doc shingle sets are O(corpus) not O(pairs) — broadcast them so
+    # the candidate stream never shuffles (at 100 TB swap for a shuffled
+    # hash join keyed on doc id; the verify stays O(candidates) either way)
+    docs = F.broadcast(sh.select("doc", "shingles", "n_sh"))
+    verified = (
+        candidates.join(
+            docs.select(
+                F.col("doc").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -75,32 +144,34 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all pairs with J ≥ threshold.
 
-    Inverted-index formulation: explode shingles, self-join on the
-    shingle, count intersections per pair, then J = |∩| / (|A|+|B|−|∩|).
-    The join key is the shingle, so the shuffle is by shingle — skew
-    (stop-shingles) is the known hazard; at scale prefer
-    :func:`minhash_lsh_pairs` which bounds the candidate set.
+    Prefix-filtered inverted index (the PPJoin bound): order each doc's
+    shingles by global frequency (rarest first, shingle text as tiebreak)
+    and index only the first ``|A| − ⌈t·|A|⌉ + 1`` — any pair with
+    J ≥ t must share a prefix shingle under a common total order, so
+    candidate recall is 1.0 and the exact verification keeps the result
+    identical to the full quadratic scan. Indexing rare shingles first
+    kills the stop-shingle freq² blow-up that makes the naive self-join
+    collapse at scale; verification is O(candidates) via
+    ``array_intersect``.
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
+    sh = _persist(_doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0))
     ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
+    ranked = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.col("s_freq").asc(), F.col("s").asc())
+        ),
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    idx = _persist(ranked.filter(F.col("rk") <= prefix_len).select("doc", "s"))
+    a, b = idx.alias("a"), idx.alias("b")
+    candidates = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )
-    jac = F.col("inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("inter")
-    ).cast("double")
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, sh, threshold)
 
 
 def minhash_signatures(
@@ -115,6 +186,10 @@ def minhash_signatures(
     per signature slot. Docs with zero shingles drop out (no signature).
     """
     sh = _doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0)
+    return _minhash_signatures_from_shingles(sh, num_hashes)
+
+
+def _minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     ex = sh.select("doc", F.explode("shingles").alias("s"))
     idx = ex.select(
         "doc", "s", F.explode(F.array([F.lit(i) for i in range(num_hashes)])).alias("i")
@@ -154,7 +229,8 @@ def minhash_lsh_pairs(
     (band, band_signature) buckets — never a quadratic blow-up.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    sh = _persist(_doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0))
+    sigs = _minhash_signatures_from_shingles(sh, num_hashes)
     band_sigs = (
         sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
         .groupBy("doc", "band")
@@ -164,6 +240,7 @@ def minhash_lsh_pairs(
             ).alias("band_sig")
         )
     )
+    band_sigs = _persist(band_sigs)
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     candidates = (
         a.join(
@@ -175,12 +252,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return (
-        candidates.join(exact, on=["doc_a", "doc_b"], how="inner")
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # verify ONLY the LSH candidates (O(candidates) via array_intersect) —
+    # never the full quadratic pair space
+    return _verify_jaccard(candidates, sh, threshold)
 
 
 SIMHASH_BITS = 60
@@ -196,7 +270,7 @@ def simhash_fingerprints(
     positive (strictly more set than unset). Implemented as 60 conditional
     sums in one aggregation pass — a single shuffle on the doc id.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("t")
     )
     hashed = toks.withColumn("h", hash60(F.col("t")))
@@ -232,7 +306,9 @@ def simhash_neardup_pairs(
     """
     n_bands = max_hamming + 1
     band_bits = SIMHASH_BITS // n_bands + (1 if SIMHASH_BITS % n_bands else 0)
-    fps = simhash_fingerprints(df, text_col, id_col)
+    # the band table feeds both sides of the self-join — pin it so the
+    # 60-bit-vote aggregation isn't computed twice
+    fps = _persist(simhash_fingerprints(df, text_col, id_col))
 
     bands = fps.select(
         "doc",

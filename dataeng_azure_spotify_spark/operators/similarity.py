@@ -2,7 +2,7 @@
 beyond-reference surface (BASELINE.json north star).
 
 - :func:`cosine_topk` — exact brute-force top-k: the correctness
-  baseline. Dot products are accumulated in DECIMAL(38,20) (each
+  baseline. Dot products are accumulated in DECIMAL (each
   float32·float32 product is exact in double, and decimal addition is
   order-independent), so Spark and DuckDB produce bit-identical cosines
   and identical rankings — no tolerance needed in the oracle.
@@ -14,35 +14,56 @@ beyond-reference surface (BASELINE.json north star).
   real corpus you'd plug k-means centroids in; the bucketing algebra is
   identical.
 
-Everything is exploded-join algebra over (id, pos, val) triples — pure
-JVM expressions, no Python UDF in the hot path. For very wide vectors a
-Pandas-UDF BLAS path can replace the explode; at 64-d the explode plan
-whole-stage-codegens and is shuffle-bound, not CPU-bound.
+Physical shape: the small side (queries / centroids) broadcasts and the
+dot product is a single JVM higher-order expression
+(``zip_with`` + ``aggregate``) evaluated per (query, vector) row of a
+broadcast nested-loop join — NO posexplode, NO shuffle for the scoring
+pass (the only shuffle is the final per-query top-k window). The
+decimal fold uses DECIMAL(30,20): addition widens to (31,20) ≤ 38 so no
+precision-loss rounding occurs and the fold is bit-equal to a
+``SUM(DECIMAL(38,20))`` group-by, which is what the DuckDB oracle runs.
+For very wide vectors a Pandas-UDF BLAS path can replace the
+expression; at 64-d it whole-stage-codegens and is compute-bound.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-DOT_DECIMAL = "decimal(38,20)"
+# scale 20 matches the oracle's DECIMAL(38,20) products; precision 30
+# leaves integer headroom so per-step additions never trigger Spark's
+# precision-loss scale reduction (30,20)+(30,20) -> (31,20) -> exact
+DOT_DECIMAL = "decimal(30,20)"
 
 
-def _flatten(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    """(id, pos, val) triples from an array column; val cast to double."""
+def _dot(a, b) -> Column:
+    """Exact decimal-accumulated dot product of two float vectors."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DOT_DECIMAL)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(DOT_DECIMAL), lambda acc, x: (acc + x).cast(DOT_DECIMAL)
+    ).cast("double")
+
+
+def _norm(vec) -> Column:
+    """L2 norm, decimal-accumulated for cross-engine determinism."""
+    sq = F.transform(
+        vec, lambda x: (x.cast("double") * x.cast("double")).cast(DOT_DECIMAL)
+    )
+    return F.sqrt(
+        F.aggregate(
+            sq, F.lit(0).cast(DOT_DECIMAL), lambda acc, x: (acc + x).cast(DOT_DECIMAL)
+        ).cast("double")
+    )
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
-        F.posexplode(vec_col).alias("pos", f"{prefix}_val"),
-    ).withColumn(f"{prefix}_val", F.col(f"{prefix}_val").cast("double"))
-
-
-def _norms(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
-    """Per-vector L2 norm, decimal-accumulated for determinism."""
-    flat = _flatten(df, id_col, vec_col, "n")
-    return flat.groupBy("n_id").agg(
-        F.sqrt(
-            F.sum((F.col("n_val") * F.col("n_val")).cast(DOT_DECIMAL)).cast("double")
-        ).alias(out)
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        _norm(F.col(vec_col)).alias(f"{prefix}_norm"),
     )
 
 
@@ -57,25 +78,18 @@ def cosine_topk(
 
     Output: (query_id, rank, neighbor_id, cosine). Self-matches excluded.
     Ties break by neighbor_id ascending (total order → deterministic).
-    The query side is expected small (it broadcasts); the corpus side
-    streams through one shuffle on the vector position join.
+    The query side broadcasts; scoring is a broadcast nested-loop join
+    with the dot product inlined as one codegen'd expression — the only
+    shuffle in the plan is the per-query rank window.
     """
-    qf = _flatten(queries, id_col, vec_col, "q")
-    cf = _flatten(corpus, id_col, vec_col, "c")
-    dots = (
+    qf = _with_norm(queries, id_col, vec_col, "q")
+    cf = _with_norm(corpus, id_col, vec_col, "c")
+    scored = (
         F.broadcast(qf)
-        .join(cf, on="pos")
+        .crossJoin(cf)
         .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum((F.col("q_val") * F.col("c_val")).cast(DOT_DECIMAL))
-            .cast("double")
-            .alias("dot")
-        )
+        .withColumn("dot", _dot(F.col("q_vec"), F.col("c_vec")))
     )
-    qn = _norms(queries, id_col, vec_col, "q_norm").withColumnRenamed("n_id", "q_id")
-    cn = _norms(corpus, id_col, vec_col, "c_norm").withColumnRenamed("n_id", "c_id")
-    scored = dots.join(F.broadcast(qn), "q_id").join(cn, "c_id")
     return _rank_topk(scored, k)
 
 
@@ -110,32 +124,22 @@ def ivf_assign(
 
     Returns (vec_id, centroid_id). This is the build step of an IVF
     index; persisted partitioned-by-centroid it gives pruned ANN scans.
+    Centroids broadcast; one scoring pass over the corpus, one window.
     """
-    cf = _flatten(corpus, id_col, vec_col, "c")
-    kf = _flatten(centroids.withColumnRenamed(centroid_id, "k_id"), "k_id", vec_col, "k")
-    dots = (
-        cf.join(F.broadcast(kf), on="pos")
-        .groupBy("c_id", "k_id")
-        .agg(
-            F.sum((F.col("c_val") * F.col("k_val")).cast(DOT_DECIMAL))
-            .cast("double")
-            .alias("dot")
-        )
+    cf = _with_norm(corpus, id_col, vec_col, "c")
+    kf = _with_norm(
+        centroids.withColumnRenamed(centroid_id, "k_id"), "k_id", vec_col, "q"
     )
-    cn = _norms(corpus, id_col, vec_col, "c_norm").withColumnRenamed("n_id", "c_id")
-    kn = _norms(
-        centroids.withColumnRenamed(centroid_id, "k_id"), "k_id", vec_col, "k_norm"
-    ).withColumnRenamed("n_id", "k_id")
     scored = (
-        dots.join(cn, "c_id")
-        .join(F.broadcast(kn), "k_id")
-        .withColumn("cosine", F.col("dot") / (F.col("c_norm") * F.col("k_norm")))
+        cf.crossJoin(F.broadcast(kf))
+        .withColumn("dot", _dot(F.col("c_vec"), F.col("q_vec")))
+        .withColumn("cosine", F.col("dot") / (F.col("c_norm") * F.col("q_norm")))
     )
-    w = Window.partitionBy("c_id").orderBy(F.col("cosine").desc(), F.col("k_id").asc())
+    w = Window.partitionBy("c_id").orderBy(F.col("cosine").desc(), F.col("q_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(F.col("c_id").alias(id_col), F.col("k_id").alias(centroid_id))
+        .select(F.col("c_id").alias(id_col), F.col("q_id").alias(centroid_id))
     )
 
 
@@ -170,29 +174,17 @@ def ivf_topk(
         k=nprobe,
     ).select(F.col("query_id"), F.col("neighbor_id").alias("centroid_id"))
 
-    # restrict the corpus to probed buckets per query, then exact top-k
-    sub = bucketed.join(probes, on="centroid_id").select(
-        F.col("query_id").alias("probe_query"), F.col(id_col), F.col(vec_col)
-    )
-    qf = _flatten(queries, id_col, vec_col, "q")
-    cf = sub.select(
-        "probe_query",
+    # restrict the corpus to probed buckets per query, then exact scoring
+    sub = bucketed.join(F.broadcast(probes), on="centroid_id").select(
+        F.col("query_id").alias("probe_query"),
         F.col(id_col).alias("c_id"),
-        F.posexplode(vec_col).alias("pos", "c_val"),
-    ).withColumn("c_val", F.col("c_val").cast("double"))
-    dots = (
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
+    qf = _with_norm(queries, id_col, vec_col, "q")
+    scored = (
         F.broadcast(qf)
-        .join(cf, (qf["pos"] == cf["pos"]) & (qf["q_id"] == cf["probe_query"]))
-        .drop(cf["pos"])
+        .join(sub, qf["q_id"] == sub["probe_query"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum((F.col("q_val") * F.col("c_val")).cast(DOT_DECIMAL))
-            .cast("double")
-            .alias("dot")
-        )
+        .withColumn("dot", _dot(F.col("q_vec"), F.col("c_vec")))
     )
-    qn = _norms(queries, id_col, vec_col, "q_norm").withColumnRenamed("n_id", "q_id")
-    cn = _norms(corpus, id_col, vec_col, "c_norm").withColumnRenamed("n_id", "c_id")
-    scored = dots.join(F.broadcast(qn), "q_id").join(cn, "c_id")
     return _rank_topk(scored, k)
