@@ -43,7 +43,16 @@ from dataeng_azure_spotify_spark.operators.scd import (
     apply_scd2,
     scd2_from_history,
 )
-from dataeng_azure_spotify_spark.operators.similarity import cosine_topk, ivf_topk
+from dataeng_azure_spotify_spark.functions.text import kgram_fingerprints
+from dataeng_azure_spotify_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from dataeng_azure_spotify_spark.sources.multimodal import (
+    documents_as_media,
+    extract_features,
+)
 from dataeng_azure_spotify_spark.plans.star_query import (
     JoinSpec,
     build_star_dataframe,
@@ -148,6 +157,43 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+CUBE_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+DISTINCT_AGG_SQL = """
+SELECT
+    l_returnflag,
+    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+SET_OPS_SQL = """
+WITH auto_cust AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+), big_spenders AS (
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+)
+SELECT 'intersect' AS op, c_custkey
+FROM (SELECT c_custkey FROM auto_cust INTERSECT SELECT c_custkey FROM big_spenders)
+UNION ALL
+SELECT 'except' AS op, c_custkey
+FROM (SELECT c_custkey FROM auto_cust EXCEPT SELECT c_custkey FROM big_spenders)
+UNION ALL
+SELECT 'union' AS op, c_custkey
+FROM (SELECT c_custkey FROM auto_cust UNION SELECT c_custkey FROM big_spenders)
+"""
+
 EVENTS_WATERMARK = "2024-01-15 00:00:00"
 
 # SCD2 oracle: each change row opens a version at its ts; the next change
@@ -204,6 +250,53 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (beyond-reference agg suite)."""
     _cat(spark, sf_dir)
     return spark.sql(ROLLUP_SQL)
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all grouping-set combinations."""
+    _cat(spark, sf_dir)
+    return spark.sql(CUBE_SQL)
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact COUNT(DISTINCT) per group (DataFrame path)."""
+    cat = _cat(spark, sf_dir)
+    return cat["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct — the 100 TB path for distinct counts
+    (one pass, fixed memory, mergeable sketches). Engine-specific sketch →
+    no cross-engine oracle; the error bound vs exact is pytest-asserted."""
+    cat = _cat(spark, sf_dir)
+    return cat["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (DataFrame set operators, tagged rows)."""
+    cat = _cat(spark, sf_dir)
+    auto = cat["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    big = (
+        cat["orders"].filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(auto.intersect(big), "intersect")
+        .unionAll(tag(auto.subtract(big), "except"))
+        .unionAll(tag(auto.union(big).distinct(), "union"))
+    )
 
 
 def q_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +438,18 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_scd2(target, second, ["user_id"], "ts", ["event_id"])
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-min slide — each event lands in exactly
+    two windows (beyond-reference §2.8 surface)."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — beyond-reference §2.8 gap."""
     cat = _cat(spark, sf_dir)
@@ -415,6 +520,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat["embeddings"]
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries_df, emb, k=5)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4) — dedup family tier 5."""
+    cat = _cat(spark, sf_dir)
+    return cosine_neardup_pairs(cat["embeddings"], threshold=0.4)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined char-8-gram fingerprints, 0-mod-8 selection."""
+    cat = _cat(spark, sf_dir)
+    return kgram_fingerprints(cat["documents"], k=8, mod_p=8)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (mapInPandas) byte-feature extraction over binary
+    media payloads — deterministic fake decode (real codecs absent), so
+    the oracle recomputes the same features from the source text."""
+    cat = _cat(spark, sf_dir)
+    media = documents_as_media(cat["documents"])
+    return extract_features(media, fake=True)
 
 
 # --- DuckDB oracle SQL builders for the LLM-pipeline ops -------------------
@@ -581,6 +707,97 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
+_SLIDING_WINDOW_ORACLE = """
+WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+), b AS (
+    SELECT event_type,
+           date_trunc('hour', ts)
+             + CASE WHEN extract(minute FROM ts) >= 30
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b0
+    FROM e
+), w AS (
+    SELECT event_type, unnest([b0, b0 - INTERVAL 30 MINUTE]) AS window_start
+    FROM b
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+
+def _embedding_neardup_oracle(threshold: float) -> str:
+    return f"""
+WITH pos AS (
+    SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS pos
+    FROM embeddings
+), flat AS (
+    SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM pos
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+    FROM flat GROUP BY 1
+), dots AS (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,20))) AS DOUBLE) AS dot
+    FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT d.vec_id_a, d.vec_id_b,
+           round(d.dot / (an.nrm * bn.nrm), 12) AS cosine
+    FROM dots d
+    JOIN norms an ON an.vec_id = d.vec_id_a
+    JOIN norms bn ON bn.vec_id = d.vec_id_b
+)
+SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+def _kgram_fp_oracle(k: int, mod_p: int) -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, {_NORM_TEXT} AS norm FROM documents
+), pos AS (
+    SELECT doc_id, norm, unnest(generate_series(1, length(norm) - {k - 1})) AS p
+    FROM base WHERE length(norm) >= {k}
+), hashed AS (
+    SELECT doc_id, {_duck_hash60(f"substr(norm, p, {k})")} AS h FROM pos
+), agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(CASE WHEN h % {mod_p} = 0 THEN 1 END) AS BIGINT) AS n_fp,
+           MIN(CASE WHEN h % {mod_p} = 0 THEN h END) AS fp_min,
+           bit_xor(CASE WHEN h % {mod_p} = 0 THEN h END) AS fp_xor
+    FROM hashed GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_fp, 0) AS n_fp,
+       a.fp_min, a.fp_xor
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_MULTIMODAL_ORACLE = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), stats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes,
+           CAST(SUM(ascii(ch)) AS DOUBLE) / COUNT(*) AS byte_mean,
+           CAST(COUNT(DISTINCT ch) AS DOUBLE) / 256.0 AS byte_entropy_proxy
+    FROM chars GROUP BY 1
+)
+SELECT d.doc_id AS media_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       COALESCE(s.n_bytes, 0) AS n_bytes,
+       COALESCE(s.byte_mean, 0.0) AS byte_mean,
+       COALESCE(s.byte_entropy_proxy, 0.0) AS byte_entropy_proxy
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
 def _ann_topk_oracle(k: int, max_query_id: int) -> str:
     return f"""
 WITH pos AS (
@@ -633,6 +850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_agg": q_star_join_agg,
         "pricing_summary": q_pricing_summary,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "distinct_agg": q_distinct_agg,
+        "approx_distinct": q_approx_distinct,
+        "set_ops": q_set_ops,
         "incremental_filter": q_incremental_filter,
         "bucketize_case_when": q_bucketize,
         "constant_injection": q_constant_injection,
@@ -645,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
+        "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
@@ -654,6 +876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -664,6 +889,11 @@ def oracle_sql() -> dict[str, str]:
         "star_join_agg": STAR_AGG_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
         "rollup_agg": ROLLUP_SQL,
+        "cube_agg": CUBE_SQL,
+        "distinct_agg": DISTINCT_AGG_SQL,
+        # approx_distinct: no oracle — HLL sketches are engine-specific;
+        # the 2% error bound vs exact counts is asserted in pytest.
+        "set_ops": SET_OPS_SQL,
         # events.ts is parquet TIMESTAMP(NANOS); Spark reads it floored to
         # microseconds, so the oracle casts to microsecond TIMESTAMP too.
         "incremental_filter": (
@@ -742,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_ORACLE_SQL,
         # incremental merge must equal the full-history rebuild
         "scd2_incremental": _SCD2_ORACLE_SQL,
+        "events_sliding_window": _SLIDING_WINDOW_ORACLE,
         "events_session_window": """
             WITH e AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -778,5 +1009,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_neardup_oracle(8),
         "ann_cosine_topk": _ann_topk_oracle(k=5, max_query_id=10),
         # ann_ivf_topk: deliberately no oracle — approximate by design;
-        # recall vs brute force is asserted in tests/test_similarity.py.
+        # recall vs brute force is asserted in tests/test_llm_ops.py.
+        "dedup_embedding_cosine": _embedding_neardup_oracle(0.4),
+        "doc_fingerprints": _kgram_fp_oracle(k=8, mod_p=8),
+        "multimodal_features": _MULTIMODAL_ORACLE,
     }

@@ -131,6 +131,61 @@ def hash60(col: Column, salt: Column | str | None = None) -> Column:
     return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 
+def kgram_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    mod_p: int = 8,
+) -> DataFrame:
+    """Content-defined document fingerprints: char k-gram hashes with
+    0-mod-p selection.
+
+    Every character k-gram of the normalized text is hashed; the
+    fingerprint set is the grams whose hash ≡ 0 (mod p) — the classic
+    content-defined selection (Rabin/Broder style): position-independent,
+    so edits perturb only nearby fingerprints, and expected density is
+    1/p regardless of document length. Output is one row per doc:
+    gram counts plus an order-independent digest (min/xor of selected
+    hashes) usable as a compact near-dup prefilter.
+
+    The per-gram hash is the engine-wide md5-based ``hash60`` rather than
+    a rolling polynomial — same selection semantics, deterministic across
+    engines (the DuckDB oracle mirrors it exactly); at scale the hash is
+    one md5 per gram either way, embarrassingly parallel.
+    """
+    norm = normalize_text(text_col)
+    base = df.select(
+        F.col(id_col), norm.alias("__norm"), F.length(norm).alias("__len")
+    )
+    idx = F.sequence(F.lit(1), F.col("__len") - k + 1)
+    pos = base.filter(F.col("__len") >= k).select(
+        id_col, F.explode(idx).alias("p"), F.col("__norm")
+    )
+    hashed = pos.select(
+        id_col,
+        hash60(F.expr(f"substr(__norm, p, {k})")).alias("h"),
+    )
+    agg = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count(F.when(F.col("h") % mod_p == 0, 1)).cast("long").alias("n_fp"),
+        F.min(F.when(F.col("h") % mod_p == 0, F.col("h"))).alias("fp_min"),
+        F.expr(f"bit_xor(CASE WHEN h % {mod_p} = 0 THEN h END)").alias("fp_xor"),
+    )
+    # docs shorter than k grams still get a row (empty fingerprint set)
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            "fp_min",
+            "fp_xor",
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats projection used by the quality/filter stage."""
     return df.select(

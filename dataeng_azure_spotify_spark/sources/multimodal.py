@@ -105,6 +105,27 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MEDIA_SCHEMA table derived from the documents corpus
+    (no real media ships with the test data): payload = UTF-8 bytes of the
+    text, modality assigned round-robin by id. Gives the multimodal
+    pipeline a reproducible input whose byte-level features an external
+    oracle can recompute from the text."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        modality.alias("modality"),
+        F.concat(F.lit("application/x-fake-"), modality).alias("mime_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length(F.col(text_col)) * 40).cast("long").alias("duration_ms"),
+    )
+
+
 def repartition_for_media(
     df: DataFrame, avg_item_bytes: int, target_partition_bytes: int = 128 << 20
 ) -> DataFrame:

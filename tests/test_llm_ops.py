@@ -133,3 +133,48 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
     assert all(r.media_id == 3 for r in frames)  # images not frame-sampled
+
+
+def test_cosine_neardup_pairs_symmetric_and_thresholded(spark):
+    from dataeng_azure_spotify_spark.operators.similarity import cosine_neardup_pairs
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),   # near-dup of 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    out = cosine_neardup_pairs(
+        spark.createDataFrame(rows), threshold=0.9
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.vec_id_a, r.vec_id_b) == (1, 2) and r.cosine > 0.99
+
+
+def test_kgram_fingerprints_edit_stability(spark):
+    """A one-word edit must leave distant fingerprints untouched
+    (the point of content-defined selection vs positional chunking)."""
+    from dataeng_azure_spotify_spark.functions.text import kgram_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    edited = base.replace("delta", "omega", 1)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=edited), Row(doc_id=3, text="xy")]
+    )
+    out = {r.doc_id: r for r in kgram_fingerprints(df).collect()}
+    # short doc: empty fingerprint set but still one row
+    assert out[3].n_grams == 0 and out[3].n_fp == 0 and out[3].fp_min is None
+    # edit changes the digest but fingerprint density stays ~1/8
+    assert out[1].n_fp > 0 and out[2].n_fp > 0
+    assert out[1].fp_xor != out[2].fp_xor or out[1].n_fp != out[2].n_fp
+
+
+def test_approx_distinct_within_error_bound(spark):
+    cat = Catalog(spark, SF)
+    cat.register_all()
+    li = cat["lineitem"]
+    exact = li.select(F.countDistinct("l_partkey")).first()[0]
+    approx = li.select(
+        F.approx_count_distinct("l_partkey", rsd=0.02)
+    ).first()[0]
+    assert abs(approx - exact) <= max(3, 0.06 * exact)  # 3x rsd slack
