@@ -1,0 +1,155 @@
+"""Custom stateful streaming operator: per-key sessionization with
+explicit state (``applyInPandasWithState``) — beyond-reference surface
+(the reference's only stateful op is streaming ``dropDuplicates``,
+``Silver_Dimensions.py:487-494``; SURVEY.md §2.8 lists stateful ops as a
+gap this engine fills).
+
+Built-in ``session_window`` covers windowed aggregation; this operator is
+the template for semantics the built-ins can't express: arbitrary
+per-key state (running session accumulator), custom emission rules
+(close a session only when a later event proves the gap), and
+Arrow-batched per-group compute. State lives in the streaming state
+store (checkpointed, exactly-once across micro-batch restarts); at
+100 TB state is partitioned by the grouping key across executors and
+each micro-batch touches only keys present in the batch.
+
+``sessionize_batch`` is the batch twin with identical semantics, used by
+tests (and usable as a backfill path) — streaming output after N
+micro-batches equals the batch run over the concatenated input, for the
+*closed* sessions; the trailing open session per key stays in state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType(), True),
+        StructField("last_ts", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+
+def _close_sessions(
+    ts_sorted: pd.Series,
+    carried: Tuple | None,
+    gap_seconds: int,
+) -> Tuple[list, Tuple | None]:
+    """Fold a sorted event-time series into closed sessions + open tail."""
+    closed: list = []
+    gap = pd.Timedelta(seconds=gap_seconds)
+    if carried is None:
+        start = last = None
+        n = 0
+    else:
+        start, last, n = carried
+    for ts in ts_sorted:
+        if last is not None and ts - last > gap:
+            closed.append((start, last + gap, n))
+            start, last, n = ts, ts, 1
+        elif last is None:
+            start, last, n = ts, ts, 1
+        else:
+            last, n = ts, n + 1
+    open_tail = None if last is None else (start, last, n)
+    return closed, open_tail
+
+
+def sessionize_stream(
+    df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming sessionization with explicit per-key state.
+
+    A session closes when a later event for the same key arrives more
+    than ``gap_seconds`` after the previous one; the close emits
+    ``(key, session_start, session_end = last_ts + gap, n_events)``.
+    The open trailing session is carried in the state store across
+    micro-batches. Emitted rows are final (a closed session never
+    reopens), so the operator declares append output mode and composes
+    with exactly-once file sinks.
+    """
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        carried = None
+        if state.exists:
+            s, l, n = state.get
+            carried = (pd.Timestamp(s), pd.Timestamp(l), n)
+        ts_all = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
+        closed, open_tail = _close_sessions(ts_all, carried, gap_seconds)
+        if open_tail is not None:
+            state.update((open_tail[0].to_pydatetime(),
+                          open_tail[1].to_pydatetime(), int(open_tail[2])))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_batch(
+    df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+    gap_seconds: int = 1800, include_open: bool = False,
+) -> DataFrame:
+    """Batch twin of :func:`sessionize_stream` (same fold, no state store).
+
+    With ``include_open=True`` the trailing open session per key is also
+    emitted (end = last_ts + gap) — that variant equals the built-in
+    ``session_window`` aggregation and the backfill semantics.
+    """
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        closed, open_tail = _close_sessions(
+            pdf[ts_col].sort_values(), None, gap_seconds
+        )
+        if include_open and open_tail is not None:
+            closed.append(
+                (open_tail[0], open_tail[1] + pd.Timedelta(seconds=gap_seconds),
+                 open_tail[2])
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [key] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return df.select(key_col, ts_col).groupBy(key_col).applyInPandas(
+        fold, schema=SESSION_OUTPUT_SCHEMA
+    )
