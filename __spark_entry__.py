@@ -211,10 +211,18 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 """
 
 
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
 def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
-    cat = Catalog(spark, sf_dir)
-    cat.register_all()
-    return cat
+    """Memoized per (session, sf_dir): registration re-reads 10 parquet
+    schemas + footers, which would otherwise dominate sub-second queries."""
+    key = (id(spark), sf_dir)
+    if key not in _CATALOGS:
+        cat = Catalog(spark, sf_dir)
+        cat.register_all()
+        _CATALOGS[key] = cat
+    return _CATALOGS[key]
 
 
 # --------------------------------------------------------------------------

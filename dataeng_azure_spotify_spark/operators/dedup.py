@@ -98,14 +98,40 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
-def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, hshingles: array<long>, n_sh) — distinct word-n-gram hashes,
+    built without materializing gram strings: ``xxhash64(tok_i..tok_{i+n-1})``
+    per window position, then ``array_distinct``. Drops docs with < n
+    tokens (no shingles → can never pair)."""
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    hgrams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+        .filter(F.size(toks) >= n)
+        .select("doc", F.array_distinct(hgrams).alias("hshingles"))
+        .withColumn("n_sh", F.size("hshingles"))
+    )
+
+
+def _verify_jaccard(
+    candidates: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    shingle_col: str = "shingles",
+) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs only: join each side
     to its distinct shingle set and intersect JVM-side (``array_intersect``).
     Cost is O(candidates), independent of corpus-wide shingle frequency."""
     # per-doc shingle sets are O(corpus) not O(pairs) — broadcast them so
     # the candidate stream never shuffles (at 100 TB swap for a shuffled
     # hash join keyed on doc id; the verify stays O(candidates) either way)
-    docs = F.broadcast(sh.select("doc", "shingles", "n_sh"))
+    docs = F.broadcast(
+        sh.select("doc", F.col(shingle_col).alias("shingles"), "n_sh")
+    )
     verified = (
         candidates.join(
             docs.select(
@@ -154,8 +180,15 @@ def ngram_jaccard_pairs(
     collapse at scale; verification is O(candidates) via
     ``array_intersect``.
     """
-    sh = _persist(_doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0))
-    ex = sh.select("doc", "n_sh", F.explode("shingles").alias("s"))
+    # work on 64-bit shingle hashes, not strings: the inverted-index join,
+    # the prefix window, and the verification intersect all become integer
+    # comparisons. The hash is internal only — the prefix-filter recall
+    # guarantee holds for ANY global total order, and verification counts
+    # exact intersections — so the final pair set matches the string-based
+    # oracle modulo 2^-64 collisions. xxhash64 is computed straight from
+    # the n token strings (native, no gram-string allocation, no md5 hex).
+    sh = _persist(_doc_shingle_hashes(df, text_col, id_col, n))
+    ex = sh.select("doc", "n_sh", F.explode("hshingles").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
     ranked = ex.join(freq, "s").withColumn(
         "rk",
@@ -171,7 +204,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(candidates, sh, threshold)
+    return _verify_jaccard(candidates, sh, threshold, shingle_col="hshingles")
 
 
 def minhash_signatures(
