@@ -128,6 +128,7 @@ def apply_scd2(
     sequence_by: str,
     tiebreakers: list[str] | None = None,
     drop_unchanged: bool = False,
+    tracked_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incremental SCD2 merge: fold a batch of updates into an existing
     SCD2 target (the ``foreachBatch`` body of the gold CDC flow).
@@ -142,7 +143,7 @@ def apply_scd2(
     """
     if target is None:
         return scd2_from_history(
-            updates, keys, sequence_by, tiebreakers, drop_unchanged
+            updates, keys, sequence_by, tiebreakers, drop_unchanged, tracked_cols
         )
 
     affected_keys = updates.select(*keys).distinct()
@@ -158,6 +159,6 @@ def apply_scd2(
     all_changes = prior_changes.unionByName(updates.select(*change_cols)).distinct()
 
     rebuilt = scd2_from_history(
-        all_changes, keys, sequence_by, tiebreakers, drop_unchanged
+        all_changes, keys, sequence_by, tiebreakers, drop_unchanged, tracked_cols
     )
     return target_rest.unionByName(rebuilt)

@@ -111,6 +111,19 @@ class CdcFlow:
     tiebreakers: list[str] = field(default_factory=list)
     expectations: Mapping[str, str] = field(default_factory=dict)
     drop_unchanged: bool = False
+    #: ``track_history_column_list`` / ``track_history_except_column_list``
+    #: parity (reference defaults both to None → all columns tracked,
+    #: ``DimArtist.py:102-103``). ``track_history_cols`` wins if both set.
+    track_history_cols: list[str] | None = None
+    track_history_except: list[str] | None = None
+
+    def _tracked_cols(self, batch: DataFrame) -> list[str] | None:
+        if self.track_history_cols is not None:
+            return self.track_history_cols
+        if self.track_history_except is not None:
+            skip = set(self.track_history_except) | set(self.keys) | {self.sequence_by}
+            return [c for c in batch.columns if c not in skip]
+        return None
 
     def merge_batch(self, spark: SparkSession, batch: DataFrame) -> None:
         """The foreachBatch body — also usable directly for batch CDC."""
@@ -130,6 +143,7 @@ class CdcFlow:
                 self.sequence_by,
                 self.tiebreakers,
                 self.drop_unchanged,
+                self._tracked_cols(batch),
             )
         table.overwrite(merged)
 

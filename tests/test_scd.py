@@ -131,3 +131,35 @@ def test_scd2_untouched_keys_pass_through(spark):
     out = apply_scd2(target, upd, ["k"], "seq", ["id"])
     k2 = [r for r in out.collect() if r.k == 2]
     assert len(k2) == 1 and k2[0].v == "z" and k2[0][CURRENT_COL]
+
+
+def test_scd2_tracked_cols_ignores_untracked_churn(spark):
+    """track_history_column_list parity: changes in untracked columns do
+    not open new versions when drop_unchanged is on."""
+    changes = _rows(
+        spark,
+        [
+            Row(k=1, v="a", noise="x", seq=_t(1)),
+            Row(k=1, v="a", noise="y", seq=_t(2)),  # only untracked col moved
+            Row(k=1, v="b", noise="y", seq=_t(3)),  # tracked col moved
+        ],
+    )
+    out = scd2_from_history(
+        changes, ["k"], "seq", drop_unchanged=True, tracked_cols=["v"]
+    ).orderBy("seq").collect()
+    assert [r.v for r in out] == ["a", "b"]
+    assert out[0][END_COL] == _t(3)  # closed by the *tracked* change
+
+
+def test_cdc_flow_track_history_except(spark, tmp_path):
+    from dataeng_azure_spotify_spark.streaming.gold import CdcFlow, ParquetSnapshotTable
+
+    flow = CdcFlow(
+        name="d", gold_base=str(tmp_path / "g"), keys=["k"], sequence_by="seq",
+        scd_type=2, drop_unchanged=True, track_history_except=["noise"],
+    )
+    flow.merge_batch(spark, _rows(spark, [Row(k=1, v="a", noise="x", seq=_t(1))]))
+    flow.merge_batch(spark, _rows(spark, [Row(k=1, v="a", noise="z", seq=_t(2))]))
+    flow.merge_batch(spark, _rows(spark, [Row(k=1, v="b", noise="z", seq=_t(3))]))
+    out = ParquetSnapshotTable(spark, str(tmp_path / "g")).read().orderBy("seq").collect()
+    assert [r.v for r in out] == ["a", "b"]  # noise-only change suppressed
