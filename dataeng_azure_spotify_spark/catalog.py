@@ -103,6 +103,33 @@ class Catalog:
     def __getitem__(self, name: str) -> DataFrame:
         return self.load(name)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Persist a table bucketed (and optionally sorted) by join key.
+
+        Two tables bucketed on the same key with the same bucket count
+        join with NO shuffle on either side (and no sort when sorted) —
+        the co-located join strategy for repeated large-fact⋈large-fact
+        joins at 100 TB, where re-shuffling the fact every query is the
+        dominant cost. Bucket files are plain parquet + metastore bucket
+        spec, so predicate pushdown/column pruning are unchanged.
+        """
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        return self.spark.table(name)
+
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (driver-side footer peek)."""
