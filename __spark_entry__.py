@@ -654,15 +654,25 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
 
 
 def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    from dataeng_azure_spotify_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_family,
+    )
+
     rows_per_band = num_hashes // bands
+    fam_vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_family(num_hashes))
+    )
     return f"""
-WITH {_SHINGLES_CTE}, hi AS (
-    SELECT doc, s, unnest(generate_series(0, {num_hashes - 1})) AS i
+WITH {_SHINGLES_CTE}, hb AS (
+    SELECT doc, {_duck_hash60('s')} AS x
     FROM (SELECT DISTINCT doc, s FROM ex)
-), hashed AS (
-    SELECT doc, i, {_duck_hash60("CAST(i AS VARCHAR) || '|' || s")} AS h FROM hi
+), hi AS (
+    SELECT doc, fam.i AS i,
+           CAST((CAST(fam.a AS HUGEINT) * hb.x + fam.b) % {MINHASH_P} AS BIGINT) AS h
+    FROM hb CROSS JOIN (VALUES {fam_vals}) AS fam(i, a, b)
 ), sigs AS (
-    SELECT doc, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    SELECT doc, i, MIN(h) AS minhash FROM hi GROUP BY 1, 2
 ), bandsig AS (
     SELECT doc, CAST(i // {rows_per_band} AS INT) AS band,
            string_agg(printf('%02d:%d', i, minhash), ','

@@ -207,6 +207,27 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(candidates, sh, threshold, shingle_col="hshingles")
 
 
+#: Mersenne modulus for the affine MinHash family h_i(x) = (a_i·x + b_i) mod p.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_family(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients — Knuth-multiplier derived,
+    a_i odd and < 2^30 so a_i·x fits DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB). Both engines inline the same literals."""
+    return [
+        (((2654435761 * (i + 1)) % (1 << 30)) | 1, 1000003 * (i + 1) + 12345)
+        for i in range(num_hashes)
+    ]
+
+
+def _affine_hash(x, a: int, b: int):
+    """(a·x + b) mod p in DECIMAL(38,0) — exact 90-bit product."""
+    d = "decimal(38,0)"
+    expr = F.lit(a).cast(d) * x.cast(d) + F.lit(b).cast(d)
+    return F.pmod(expr, F.lit(MINHASH_P).cast(d)).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -214,30 +235,35 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for hash i, min over shingles of
-    hash60(i || '|' || shingle). Long format (doc, i, minhash) — one row
-    per signature slot. Docs with zero shingles drop out (no signature).
+    """Per-doc MinHash signature: minhash_i = min over shingles of
+    ``(a_i·hash60(shingle) + b_i) mod p`` — ONE md5 per shingle, the
+    family derived arithmetically (16× fewer digests than salted
+    hashing). Long format (doc, i, minhash); zero-shingle docs drop out.
     """
     sh = _doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0)
-    return _minhash_signatures_from_shingles(sh, num_hashes)
+    wide = _minhash_wide(sh, num_hashes)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc", f"stack({num_hashes}, {stack}) AS (i, minhash)"
+    )
 
 
-def _minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    ex = sh.select("doc", F.explode("shingles").alias("s"))
-    idx = ex.select(
-        "doc", "s", F.explode(F.array([F.lit(i) for i in range(num_hashes)])).alias("i")
+def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, mh0..mh{k-1}) — no explode, no shuffle: base-hash the shingle
+    array once, then k ``array_min(transform(...))`` expressions."""
+    based = sh.select(
+        "doc", F.transform("shingles", lambda s: hash60(s)).alias("__bh")
     )
-    hashed = idx.withColumn(
-        "h",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("s"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long"),
-    )
-    return hashed.groupBy("doc", "i").agg(F.min("h").alias("minhash"))
+    def mk(a: int, b: int):
+        # close over (a, b): defaulted lambda params would change the
+        # arity Spark infers for the higher-order function
+        return lambda x: _affine_hash(x, a, b)
+
+    mins = [
+        F.array_min(F.transform("__bh", mk(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_family(num_hashes))
+    ]
+    return based.select("doc", *mins)
 
 
 def minhash_lsh_pairs(
@@ -255,25 +281,34 @@ def minhash_lsh_pairs(
     candidate bucket iff one band's signature rows all match. Candidates
     are then verified with the true n-gram Jaccard, so precision is
     exact; recall is the LSH probability 1−(1−J^r)^b — and because every
-    hash is md5-derived, the candidate set (and thus the result) is fully
-    deterministic.
+    hash is md5-derived (one digest per shingle, family by affine
+    arithmetic), the candidate set and result are fully deterministic.
 
-    Scale shape: signatures are O(docs·num_hashes) rows; the join is on
-    (band, band_signature) buckets — never a quadratic blow-up.
+    Physical shape: signatures and band keys are per-row expressions over
+    the shingle-hash array — no explode, no shuffle until the tiny
+    (band, band_signature) bucket self-join; never a quadratic blow-up.
     """
     rows_per_band = num_hashes // bands
     sh = _persist(_doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0))
-    sigs = _minhash_signatures_from_shingles(sh, num_hashes)
-    band_sigs = (
-        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
+    wide = _minhash_wide(sh, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
             F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.format_string("%02d:%d", "i", "minhash")))
-            ).alias("band_sig")
+                ",",
+                *[
+                    F.format_string("%02d:%d", F.lit(i), F.col(f"mh{i}"))
+                    for i in range(j * rows_per_band, (j + 1) * rows_per_band)
+                ],
+            ).alias("band_sig"),
         )
+        for j in range(bands)
+    ]
+    band_sigs = _persist(
+        wide.select(
+            "doc", F.explode(F.array(*band_cols)).alias("bv")
+        ).select("doc", F.col("bv.band").alias("band"), F.col("bv.band_sig").alias("band_sig"))
     )
-    band_sigs = _persist(band_sigs)
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     candidates = (
         a.join(
