@@ -113,3 +113,35 @@ def test_full_medallion_two_cycles(spark, tmp_path):
     logged = log.read()
     assert logged.filter(F.col("status") == "Succeeded").count() == 9
     assert failed_runs_last(log, minutes=5).count() == 0
+
+
+def test_cdc_flow_run_stream_checkpointed(spark, tmp_path):
+    """CdcFlow.run_stream: the silver dir as a file stream, foreachBatch
+    SCD2 merge, checkpoint ensures each drain only merges NEW files."""
+    silver = str(tmp_path / "silver")
+    flow = CdcFlow(
+        name="dim_user", gold_base=str(tmp_path / "gold"), keys=["user_id"],
+        sequence_by="updated_at", scd_type=2, tiebreakers=["name"],
+    )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id bigint, name string, updated_at timestamp"
+        ).parquet(silver)
+        flow.run_stream(spark, stream, str(tmp_path / "chk"))
+
+    _users(spark, [(1, "ana", 1), (2, "bo", 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(silver)
+    drain()
+    g1 = ParquetSnapshotTable(spark, flow.gold_base).read()
+    assert g1.count() == 2 and g1.filter(F.col(CURRENT_COL)).count() == 2
+
+    _users(spark, [(1, "ana-maria", 5)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(silver)
+    drain()
+    g2 = ParquetSnapshotTable(spark, flow.gold_base).read()
+    assert g2.count() == 3  # v2 of user 1 appended, v1 closed
+    cur = {r.name for r in g2.filter(F.col(CURRENT_COL)).collect()}
+    assert cur == {"ana-maria", "bo"}
