@@ -74,6 +74,13 @@ class Catalog:
         raw nanosecond longs (``spark.sql.legacy.parquet.nanosAsLong``) and
         floor-convert to microseconds — the same truncation DuckDB applies
         when casting TIMESTAMP_NS to TIMESTAMP, so both engines agree.
+
+        Note: the conversion expression sits between predicates and the
+        scan, so timestamp filters on converted columns evaluate inside
+        the vectorized scan stage but cannot prune row groups. This only
+        affects FOREIGN nanos files — the engine's own writers emit
+        microsecond timestamps, where the same predicates reach
+        ``PushedFilters`` (asserted in tests/test_plans.py).
         """
         ns_cols = _nanos_timestamp_cols(path)
         if not ns_cols:
