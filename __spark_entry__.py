@@ -38,6 +38,7 @@ from dataeng_azure_spotify_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
+from dataeng_azure_spotify_spark.operators.asof import asof_join
 from dataeng_azure_spotify_spark.operators.scd import (
     apply_scd1,
     apply_scd2,
@@ -444,6 +445,54 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     second = changes.filter(F.col("ts") > F.lit(EVENTS_WATERMARK))
     target = scd2_from_history(first, ["user_id"], "ts", ["event_id"])
     return apply_scd2(target, second, ["user_id"], "ts", ["event_id"])
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each non-purchase event picks up the user's latest
+    purchase value at-or-before its timestamp (point-in-time lookup —
+    the SCD2-consumer pattern; beyond-reference operator)."""
+    cat = _cat(spark, sf_dir)
+    ev = cat["events"]
+    # right side deduped per (user, instant): latest event_id wins, so the
+    # as-of tie among same-timestamp purchases is deterministic in both
+    # engines (DuckDB's ASOF picks an arbitrary same-ts row otherwise)
+    purchases = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase"),
+        keys=["user_id", "ts"], sequence_by="event_id",
+    ).select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return asof_join(
+        left,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["last_purchase_value"],
+    )
+
+
+_ASOF_ORACLE = """
+WITH p AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+           value AS last_purchase_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+), pd AS (
+    SELECT user_id, p_ts, last_purchase_value FROM p WHERE rn = 1
+), l AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events WHERE event_type <> 'purchase'
+)
+SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value,
+       pd.last_purchase_value
+FROM l ASOF LEFT JOIN pd
+  ON l.user_id = pd.user_id AND l.ts >= pd.p_ts
+"""
 
 
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
+        "asof_join": q_asof_join,
         "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
         "text_stats": q_text_stats,
@@ -990,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_ORACLE_SQL,
         # incremental merge must equal the full-history rebuild
         "scd2_incremental": _SCD2_ORACLE_SQL,
+        "asof_join": _ASOF_ORACLE,
         "events_sliding_window": _SLIDING_WINDOW_ORACLE,
         "events_session_window": """
             WITH e AS (

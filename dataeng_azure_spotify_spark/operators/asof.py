@@ -1,0 +1,79 @@
+"""As-of (point-in-time) join — the canonical consumer of SCD2 history:
+"which version/value was in effect when this event happened?".
+
+Spark has no ASOF JOIN operator (DuckDB/Pandas do); the naive
+formulation — range join + latest-per-pair — explodes quadratically per
+key. This implementation is the sort-merge formulation as pure DataFrame
+algebra:
+
+    union(left, right) tagged by side
+      → one shuffle on the key, one per-key sort by (time, side, seq)
+      → ``last(right_payload, ignoreNulls)`` over the running window
+      → keep left rows, unpack the carried payload
+
+Cost is one shuffle + sort of |L|+|R| — the same shape Spark plans for a
+sort-merge join — and it never materializes candidate pairs. Inclusive
+semantics: a right row at exactly ``left_time`` matches (right sorts
+before left on the tie). With multiple right rows at one instant the
+latest by ``right_seq`` tiebreaker wins — a total order keeps the result
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE, _T, _PAYLOAD = "__side", "__t", "__rv"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str] | None = None,
+    right_seq_tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """LEFT as-of join: every left row + the payload of the latest right
+    row with ``right_time <= left_time`` for the same key (NULLs when no
+    prior right row exists). Payload columns keep their names; clashes
+    with left columns are rejected (alias them on the right first).
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in set(on) | {right_time}
+    ]
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"payload columns clash with left side: {sorted(clash)}")
+
+    tb = right_seq_tiebreakers or []
+    r = right.select(
+        *on,
+        F.col(right_time).alias(_T),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
+        *[F.col(c).alias(f"__tb_{c}") for c in tb],
+    )
+    l = left.select(
+        "*",
+        F.col(left_time).alias(_T),
+        F.lit(1).alias(_SIDE),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col(_T).asc(), F.col(_SIDE).asc()] + [
+        F.col(f"__tb_{c}").asc_nulls_first() for c in tb
+    ]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__last", F.last(_PAYLOAD, ignorenulls=True).over(w))
+    out = carried.filter(F.col(_SIDE) == 1)
+    for c in payload_cols:
+        out = out.withColumn(c, F.col(f"__last.{c}"))
+    drop = [_T, _SIDE, _PAYLOAD, "__last"] + [f"__tb_{c}" for c in tb]
+    return out.drop(*drop)

@@ -1,0 +1,61 @@
+"""As-of join semantics: inclusive bound, no-prior-row NULLs, same-ts
+tiebreak, and independence across keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from dataeng_azure_spotify_spark.operators.asof import asof_join
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k=1, ts=_t(9)),    # before any right row -> NULL
+            Row(id=2, k=1, ts=_t(10)),   # exactly at right ts -> inclusive
+            Row(id=3, k=1, ts=_t(11)),   # between -> latest prior
+            Row(id=4, k=2, ts=_t(12)),   # other key, no right rows -> NULL
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(10), px=100.0),
+            Row(k=1, ts=_t(10, 30), px=200.0),
+        ]
+    )
+    out = {
+        r.id: r.px
+        for r in asof_join(
+            left, right, on=["k"], left_time="ts", right_time="ts",
+            payload_cols=["px"],
+        ).collect()
+    }
+    assert out == {1: None, 2: 100.0, 3: 200.0, 4: None}
+
+
+def test_asof_join_same_instant_tiebreak(spark):
+    left = spark.createDataFrame([Row(id=1, k=1, ts=_t(10))])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_t(10), seq=1, px=1.0), Row(k=1, ts=_t(10), seq=2, px=2.0)]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="ts", right_time="ts",
+        payload_cols=["px"], right_seq_tiebreakers=["seq"],
+    ).collect()
+    assert out[0].px == 2.0  # highest-seq right row at the instant wins
+
+
+def test_asof_join_rejects_column_clash(spark):
+    import pytest
+
+    left = spark.createDataFrame([Row(id=1, k=1, ts=_t(10), px=0.0)])
+    right = spark.createDataFrame([Row(k=1, ts=_t(9), px=1.0)])
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(left, right, on=["k"], left_time="ts", right_time="ts",
+                  payload_cols=["px"])
