@@ -38,8 +38,10 @@ from dataeng_azure_spotify_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
-from dataeng_azure_spotify_spark.operators.asof import asof_join
+from dataeng_azure_spotify_spark.operators.asof import asof_join, range_join
 from dataeng_azure_spotify_spark.operators.scd import (
+    END_COL,
+    START_COL,
     apply_scd1,
     apply_scd2,
     scd2_from_history,
@@ -495,6 +497,57 @@ FROM l ASOF LEFT JOIN pd
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval-containment join: each event lands in the purchase
+    "epoch" ([purchase_ts, next_purchase_ts)) active at its timestamp —
+    the range-join consumer of SCD2-style validity intervals."""
+    cat = _cat(spark, sf_dir)
+    ev = cat["events"]
+    purchases = latest_per_key(
+        ev.filter(F.col("event_type") == "purchase"),
+        keys=["user_id", "ts"], sequence_by="event_id",
+    )
+    versions = scd2_from_history(
+        purchases.select("user_id", "ts", "value"), keys=["user_id"],
+        sequence_by="ts",
+    ).select(
+        "user_id",
+        F.col(START_COL).alias("epoch_start"),
+        F.col(END_COL).alias("epoch_end"),
+        F.col("value").alias("epoch_value"),
+    )
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return range_join(
+        left, versions, on=["user_id"], left_time="ts",
+        right_start="epoch_start", right_end="epoch_end",
+        bin_seconds=3600,
+    ).select("event_id", "ts", "user_id", "event_type", "epoch_start", "epoch_value")
+
+
+_RANGE_JOIN_ORACLE = """
+WITH p AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+), v AS (
+    SELECT user_id, ts AS epoch_start, value AS epoch_value,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS epoch_end
+    FROM p WHERE rn = 1
+), l AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+    FROM events WHERE event_type <> 'purchase'
+)
+SELECT l.event_id, l.ts, l.user_id, l.event_type, v.epoch_start, v.epoch_value
+FROM l JOIN v
+  ON l.user_id = v.user_id
+ AND v.epoch_start <= l.ts
+ AND (v.epoch_end IS NULL OR l.ts < v.epoch_end)
+"""
+
+
 def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour window, 30-min slide — each event lands in exactly
     two windows (beyond-reference §2.8 surface)."""
@@ -934,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
         "text_stats": q_text_stats,
@@ -1041,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         # incremental merge must equal the full-history rebuild
         "scd2_incremental": _SCD2_ORACLE_SQL,
         "asof_join": _ASOF_ORACLE,
+        "range_join": _RANGE_JOIN_ORACLE,
         "events_sliding_window": _SLIDING_WINDOW_ORACLE,
         "events_session_window": """
             WITH e AS (

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE, _T, _PAYLOAD = "__side", "__t", "__rv"
+_BIN = "__bin"
 
 
 def asof_join(
@@ -77,3 +78,62 @@ def asof_join(
         out = out.withColumn(c, F.col(f"__last.{c}"))
     drop = [_T, _SIDE, _PAYLOAD, "__last"] + [f"__tb_{c}" for c in tb]
     return out.drop(*drop)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join: left rows × right intervals with
+    ``right_start <= left_time < right_end`` (NULL ``right_end`` = open).
+
+    A raw range predicate gives Catalyst nothing to hash on — the plan
+    degrades to a per-key cross product. The classic fix is binning:
+    quantize time into ``bin_seconds`` buckets, explode each right
+    interval into the bins it overlaps, equi-join on (key, bin), then
+    re-check the exact predicate. Shuffle is by (key, bin) — skew-free
+    as long as intervals are not grossly longer than ``bin_seconds``
+    (each interval lands in ~len/bin bins; pick the bin near the median
+    interval length).
+
+    Open-ended intervals can't explode into bins; they're joined by key
+    in a separate branch and unioned — at scale the open set is the
+    "current versions" slice, far smaller than history.
+    """
+    lt, rs, re_ = F.col(left_time), F.col(right_start), F.col(right_end)
+    l_binned = left.withColumn(
+        _BIN, F.floor(F.unix_timestamp(lt) / bin_seconds).cast("long")
+    )
+
+    closed = right.filter(re_.isNotNull())
+    bins = F.sequence(
+        F.floor(F.unix_timestamp(rs) / bin_seconds).cast("long"),
+        F.floor((F.unix_timestamp(re_) - 1) / bin_seconds).cast("long"),
+    )
+    r_binned = closed.withColumn(_BIN, F.explode(bins))
+    matched_closed = l_binned.join(r_binned, on + [_BIN], "inner").filter(
+        (rs <= lt) & (lt < re_)
+    ).drop(_BIN)
+
+    open_ended = right.filter(re_.isNull())
+    matched_open = (
+        l_binned.drop(_BIN).join(open_ended, on, "inner").filter(rs <= lt)
+    )
+    matched = matched_closed.unionByName(matched_open)
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"unsupported join type {how!r}")
+    right_only = [c for c in matched.columns if c not in left.columns]
+    unmatched = left.join(
+        matched.select(*left.columns).distinct(), left.columns, "left_anti"
+    )
+    for c in right_only:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(unmatched)

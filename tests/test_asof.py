@@ -59,3 +59,40 @@ def test_asof_join_rejects_column_clash(spark):
     with pytest.raises(ValueError, match="clash"):
         asof_join(left, right, on=["k"], left_time="ts", right_time="ts",
                   payload_cols=["px"])
+
+
+def test_range_join_containment_and_open_intervals(spark):
+    from dataeng_azure_spotify_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k=1, ts=_t(9, 30)),    # inside [9, 10)
+            Row(id=2, k=1, ts=_t(10)),       # boundary: starts [10, ∞)
+            Row(id=3, k=1, ts=_t(8)),        # before all intervals
+            Row(id=4, k=2, ts=_t(9, 30)),    # other key
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, s=_t(9), e=_t(10), tag="early"),
+            Row(k=1, s=_t(10), e=None, tag="open"),
+            Row(k=2, s=_t(9), e=_t(11), tag="other"),
+        ]
+    )
+    inner = {
+        (r.id, r.tag)
+        for r in range_join(
+            left, right, on=["k"], left_time="ts",
+            right_start="s", right_end="e", bin_seconds=1800,
+        ).collect()
+    }
+    assert inner == {(1, "early"), (2, "open"), (4, "other")}
+
+    left_join = {
+        (r.id, r.tag)
+        for r in range_join(
+            left, right, on=["k"], left_time="ts",
+            right_start="s", right_end="e", bin_seconds=1800, how="left",
+        ).collect()
+    }
+    assert left_join == inner | {(3, None)}
