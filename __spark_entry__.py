@@ -585,6 +585,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(cat["documents"])
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation pass: score every document, keep
+    canonical copies only (exact-dup groups collapse to their lowest id),
+    then filter on quality and length — the end-to-end shape of an LLM
+    pretraining data filter."""
+    cat = _cat(spark, sf_dir)
+    docs = cat["documents"]
+    stats = text_stats(docs)
+    reps = exact_dedup_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    return (
+        stats.join(reps, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-groupBy on normalized text."""
     cat = _cat(spark, sf_dir)
@@ -991,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
         "text_stats": q_text_stats,
+        "corpus_curation": q_corpus_curation,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1121,6 +1138,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sess_id
         """,
         "text_stats": _text_stats_oracle(),
+        "corpus_curation": f"""
+            SELECT s.doc_id, s.n_tokens, s.quality_score, s.lang_pred
+            FROM ({_text_stats_oracle()}) s
+            JOIN (
+                SELECT MIN(doc_id) AS doc_id
+                FROM documents GROUP BY md5({_NORM_TEXT})
+            ) r USING (doc_id)
+            WHERE s.quality_score >= 0.5 AND s.n_tokens >= 20
+        """,
         "dedup_exact": f"""
             SELECT md5({_NORM_TEXT}) AS text_hash,
                    MIN(doc_id) AS rep_id,
