@@ -181,6 +181,25 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+GROUPING_SETS_SQL = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+VALUE_HISTOGRAM_SQL = """
+SELECT
+    event_type,
+    CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, CAST(FLOOR(value / 10.0) AS BIGINT)
+"""
+
 SET_OPS_SQL = """
 WITH auto_cust AS (
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
@@ -277,6 +296,37 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-flag, per-status, and grand total."""
+    _cat(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bucket = value div 10)."""
+    cat = _cat(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    return (
+        cat["events"]
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of l_quantity per return flag, rounded
+    to 6 dp (Spark `percentile` and DuckDB `quantile_cont` share the
+    (n−1)·q linear-interpolation definition; rounding absorbs last-ulp
+    divergence in the interpolation arithmetic)."""
+    cat = _cat(spark, sf_dir)
+    return cat["lineitem"].groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {q})"), 6).alias(name)
+            for q, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]
+        ]
     )
 
 
@@ -987,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
+        "value_histogram": q_value_histogram,
+        "percentile_summary": q_percentile_summary,
         "distinct_agg": q_distinct_agg,
         "approx_distinct": q_approx_distinct,
         "set_ops": q_set_ops,
@@ -1029,6 +1082,15 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": PRICING_SUMMARY_SQL,
         "rollup_agg": ROLLUP_SQL,
         "cube_agg": CUBE_SQL,
+        "grouping_sets": GROUPING_SETS_SQL,
+        "value_histogram": VALUE_HISTOGRAM_SQL,
+        "percentile_summary": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "distinct_agg": DISTINCT_AGG_SQL,
         # approx_distinct: no oracle — HLL sketches are engine-specific;
         # the 2% error bound vs exact counts is asserted in pytest.
