@@ -824,6 +824,7 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
 def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     from dataeng_azure_spotify_spark.operators.dedup import (
         MINHASH_P,
+        SHINGLE_C,
         minhash_family,
     )
 
@@ -831,9 +832,33 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, threshold: float) -> str:
     fam_vals = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_family(num_hashes))
     )
+    # Horner-composed shingle hashes from per-token hash60 — mirrors
+    # dedup._doc_shingle_hashes60 exactly (HUGEINT keeps the 82-bit
+    # products exact, as DECIMAL(38,0) does on the Spark side)
+    hshingle_cte = f"""
+toks AS (
+    SELECT doc_id AS doc, {_TOKS} AS t FROM documents
+), tokh AS (
+    SELECT doc,
+           list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS ht
+    FROM toks
+), grams AS (
+    SELECT doc,
+           list_distinct(list_transform(
+               generate_series(1, len(ht) - 2),
+               i -> CAST((((ht[i]::HUGEINT * {SHINGLE_C} + ht[i+1])
+                           % {MINHASH_P}) * {SHINGLE_C} + ht[i+2])
+                         % {MINHASH_P} AS BIGINT)
+           )) AS hs
+    FROM tokh WHERE len(ht) >= 3
+), shn AS (
+    SELECT doc, hs AS shingles, len(hs) AS n_sh FROM grams WHERE len(hs) > 0
+), ex AS (
+    SELECT doc, n_sh, unnest(shingles) AS s FROM shn
+)"""
     return f"""
-WITH {_SHINGLES_CTE}, hb AS (
-    SELECT doc, {_duck_hash60('s')} AS x
+WITH {hshingle_cte}, hb AS (
+    SELECT doc, s AS x
     FROM (SELECT DISTINCT doc, s FROM ex)
 ), hi AS (
     SELECT doc, fam.i AS i,

@@ -209,6 +209,39 @@ def ngram_jaccard_pairs(
 
 #: Mersenne modulus for the affine MinHash family h_i(x) = (a_i·x + b_i) mod p.
 MINHASH_P = (1 << 61) - 1
+#: Horner multiplier composing a shingle hash from its token hashes.
+SHINGLE_C = 1048573
+
+
+def _doc_shingle_hashes60(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, hshingles: array<long>, n_sh) — md5-DERIVED shingle hashes
+    the DuckDB oracle can mirror: hash60 each token ONCE, then compose a
+    gram hash by Horner's rule mod p (``((h1·C + h2) mod p · C + h3) mod
+    p``). No gram strings are ever built, and the heavy md5 count is one
+    per token instead of one per (gram × hash-family) as in salted
+    MinHash. Products stay < 2^82 — exact in DECIMAL(38,0) (Spark) and
+    HUGEINT (DuckDB)."""
+    d = "decimal(38,0)"
+    p = F.lit(MINHASH_P).cast(d)
+    c = F.lit(SHINGLE_C).cast(d)
+    ht = F.col("__ht")
+
+    def compose(i):
+        acc = F.element_at(ht, i).cast(d)
+        for j in range(1, n):
+            acc = F.pmod(acc * c + F.element_at(ht, i + j).cast(d), p)
+        return acc.cast("long")
+
+    idx = F.sequence(F.lit(1), F.size(ht) - n + 1)
+    grams = F.transform(idx, compose)
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+        .select("doc", F.transform("__toks", lambda t: hash60(t)).alias("__ht"))
+        .filter(F.size(ht) >= n)
+        .select("doc", F.array_distinct(grams).alias("hshingles"))
+        .withColumn("n_sh", F.size("hshingles"))
+    )
 
 
 def minhash_family(num_hashes: int) -> list[tuple[int, int]]:
@@ -235,12 +268,12 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: minhash_i = min over shingles of
-    ``(a_i·hash60(shingle) + b_i) mod p`` — ONE md5 per shingle, the
-    family derived arithmetically (16× fewer digests than salted
-    hashing). Long format (doc, i, minhash); zero-shingle docs drop out.
+    """Per-doc MinHash signature: minhash_i = min over shingle hashes of
+    ``(a_i·x + b_i) mod p`` — ONE md5 per token (Horner-composed
+    shingle hashes), the family derived arithmetically. Long format
+    (doc, i, minhash); zero-shingle docs drop out.
     """
-    sh = _doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0)
+    sh = _doc_shingle_hashes60(df, text_col, id_col, n)
     wide = _minhash_wide(sh, num_hashes)
     stack = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
     return wide.selectExpr(
@@ -249,21 +282,18 @@ def minhash_signatures(
 
 
 def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """(doc, mh0..mh{k-1}) — no explode, no shuffle: base-hash the shingle
-    array once, then k ``array_min(transform(...))`` expressions."""
-    based = sh.select(
-        "doc", F.transform("shingles", lambda s: hash60(s)).alias("__bh")
-    )
+    """(doc, mh0..mh{k-1}) — no explode, no shuffle: k
+    ``array_min(transform(...))`` expressions over the shingle-hash array."""
     def mk(a: int, b: int):
         # close over (a, b): defaulted lambda params would change the
         # arity Spark infers for the higher-order function
         return lambda x: _affine_hash(x, a, b)
 
     mins = [
-        F.array_min(F.transform("__bh", mk(a, b))).alias(f"mh{i}")
+        F.array_min(F.transform("hshingles", mk(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_family(num_hashes))
     ]
-    return based.select("doc", *mins)
+    return sh.select("doc", *mins)
 
 
 def minhash_lsh_pairs(
@@ -289,7 +319,7 @@ def minhash_lsh_pairs(
     (band, band_signature) bucket self-join; never a quadratic blow-up.
     """
     rows_per_band = num_hashes // bands
-    sh = _persist(_doc_shingles(df, text_col, id_col, n).filter(F.col("n_sh") > 0))
+    sh = _persist(_doc_shingle_hashes60(df, text_col, id_col, n))
     wide = _minhash_wide(sh, num_hashes)
     band_cols = [
         F.struct(
@@ -322,7 +352,7 @@ def minhash_lsh_pairs(
     )
     # verify ONLY the LSH candidates (O(candidates) via array_intersect) —
     # never the full quadratic pair space
-    return _verify_jaccard(candidates, sh, threshold)
+    return _verify_jaccard(candidates, sh, threshold, shingle_col="hshingles")
 
 
 SIMHASH_BITS = 60
