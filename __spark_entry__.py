@@ -127,8 +127,12 @@ SELECT
     c.c_mktsegment AS mktsegment,
     o.o_orderstatus AS orderstatus,
     CAST(COUNT(*) AS BIGINT) AS n_items,
-    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    -- ROUND(…, 4) before the DOUBLE cast: it brings the scaled integer
+    -- under 2^53, where decimal→double conversion is exactly one double
+    -- in every engine (raw scale-8 sums at sf≥0.1 exceed 2^53 and Spark
+    -- and DuckDB round the cast differently in the last ulp)
+    CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem AS l
 LEFT JOIN orders AS o ON l.l_orderkey = o.o_orderkey
 LEFT JOIN customer AS c ON o.o_custkey = c.c_custkey
@@ -141,8 +145,8 @@ SELECT
     l_linestatus,
     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
     CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
