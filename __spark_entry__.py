@@ -639,6 +639,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(cat["documents"])
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (LLM budget estimation): whitespace tokens
+    and BPE-pre-tokenizer-class tokens (word/digit/punct runs)."""
+    from dataeng_azure_spotify_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return cat["documents"].select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation pass: score every document, keep
     canonical copies only (exact-dup groups collapse to their lowest id),
@@ -1089,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "corpus_curation": q_corpus_curation,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1229,6 +1246,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sess_id
         """,
         "text_stats": _text_stats_oracle(),
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)
+                       AS bpe_ish_tokens
+            FROM documents
+        """,
         "corpus_curation": f"""
             SELECT s.doc_id, s.n_tokens, s.quality_score, s.lang_pred
             FROM ({_text_stats_oracle()}) s

@@ -46,6 +46,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+#: BPE-style pre-tokenizer classes: word runs, digit runs, punctuation
+#: runs (the GPT-2 pattern's shape, minus lookaheads so every regex
+#: engine agrees). A token-budget estimator, not a real BPE vocabulary.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Subword-ish token count from the BPE pre-tokenizer classes —
+    the cheap cross-engine estimator of LLM token budgets (whitespace
+    tokens undercount ~1.3-1.5× vs BPE on prose)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
 def char_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c).cast("long")

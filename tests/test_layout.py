@@ -99,3 +99,59 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         for r in spark.read.schema("ws timestamp, n long").parquet(out).collect()
     }
     assert (dt.datetime(2024, 1, 1, 9, 0), 2) in finalized
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (clicks x purchases within 1 hour),
+    watermarked on both sides so join state is bounded — the remaining
+    §2.8 streaming primitive."""
+    c_src, p_src, out, chk = (
+        str(tmp_path / d) for d in ("clicks", "purchases", "out", "chk")
+    )
+    schema = "user_id long, ts timestamp"
+
+    def write(path, rows):
+        spark.createDataFrame(
+            [Row(user_id=u, ts=dt.datetime(2024, 1, 1, h, mi)) for u, h, mi in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    write(c_src, [(1, 9, 0), (1, 12, 0), (2, 9, 5)])
+    write(p_src, [(1, 9, 30), (2, 11, 0)])
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(c_src)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(p_src)
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("user_id"), F.col("ts").alias("purchase_ts"))
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks["user_id"] == purchases["user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(clicks["user_id"], "click_ts", "purchase_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.click_ts, r.purchase_ts)
+        for r in spark.read.schema(
+            "user_id long, click_ts timestamp, purchase_ts timestamp"
+        ).parquet(out).collect()
+    }
+    # only user 1's 9:00 click has a purchase within the following hour
+    assert got == {
+        (1, dt.datetime(2024, 1, 1, 9, 0), dt.datetime(2024, 1, 1, 9, 30))
+    }
