@@ -96,3 +96,43 @@ def test_range_join_containment_and_open_intervals(spark):
         ).collect()
     }
     assert left_join == inner | {(3, None)}
+
+
+def test_asof_join_matches_naive_definition_randomized(spark):
+    """Property: asof_join == per-row argmax over right rows with
+    right_ts <= left_ts (computed in plain Python)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5):
+        lrows = [
+            (i, rng.randint(1, 3), _t(rng.randint(1, 23)))
+            for i in range(rng.randint(1, 8))
+        ]
+        rrows = [
+            (rng.randint(1, 3), _t(rng.randint(1, 23)), float(j))
+            for j in range(rng.randint(0, 8))
+        ]
+        left = spark.createDataFrame(lrows, "id int, k int, ts timestamp")
+        right = spark.createDataFrame(rrows, "k int, ts timestamp, px double")
+
+        def naive(i, k, ts):
+            cands = [(rts, px) for rk, rts, px in rrows if rk == k and rts <= ts]
+            if not cands:
+                return None
+            best_ts = max(c[0] for c in cands)
+            # same-instant tiebreak: max px stands in for max seq here
+            return max(px for rts, px in cands if rts == best_ts)
+
+        expected = {(i, naive(i, k, ts)) for i, k, ts in lrows}
+        # use px itself as the seq tiebreaker to make ties deterministic
+        got = {
+            (r.id, r.px)
+            for r in asof_join(
+                left, right.withColumn("seq", right["px"]),
+                on=["k"], left_time="ts", right_time="ts",
+                payload_cols=["px"], right_seq_tiebreakers=["seq"],
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
