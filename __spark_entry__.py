@@ -503,6 +503,37 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_scd2(target, second, ["user_id"], "ts", ["event_id"])
 
 
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the JSON props column, extract a typed
+    field, aggregate — JSON stays JVM-side (get_json_object, no UDF)."""
+    cat = _cat(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        cat["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).cast("long").alias("n_high"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_null"),
+        )
+    )
+
+
+_JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high,
+       CAST(COUNT(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS n_null
+FROM (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each non-purchase event picks up the user's latest
     purchase value at-or-before its timestamp (point-in-time lookup —
@@ -1100,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
+        "json_extract_agg": q_json_extract_agg,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_sliding_window": q_events_sliding_window,
@@ -1219,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_ORACLE_SQL,
         # incremental merge must equal the full-history rebuild
         "scd2_incremental": _SCD2_ORACLE_SQL,
+        "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "asof_join": _ASOF_ORACLE,
         "range_join": _RANGE_JOIN_ORACLE,
         "events_sliding_window": _SLIDING_WINDOW_ORACLE,
