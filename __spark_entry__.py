@@ -222,6 +222,24 @@ FROM (SELECT c_custkey FROM auto_cust UNION SELECT c_custkey FROM big_spenders)
 
 EVENTS_WATERMARK = "2024-01-15 00:00:00"
 
+# Shared ANSI window-function suite (running totals / lag deltas / ntile).
+# DECIMAL accumulation keeps the cumulative sums exact; the per-user
+# ORDER BY (ts, event_id) is total so every engine walks the same frame.
+RUNNING_TOTALS_SQL = """
+SELECT event_id,
+       user_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wf AS DOUBLE) AS running_value,
+       CAST(ROW_NUMBER() OVER wo AS BIGINT) AS event_seq,
+       CAST(CAST(value AS DECIMAL(18,4))
+            - LAG(CAST(value AS DECIMAL(18,4)), 1, 0) OVER wo AS DOUBLE) AS delta_value,
+       CAST(NTILE(4) OVER wo AS BIGINT) AS quartile
+FROM events
+WINDOW wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS UNBOUNDED PRECEDING),
+       wo AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
 # SCD2 oracle: each change row opens a version at its ts; the next change
 # for the same key (by ts, then event_id) closes it via LEAD().
 _SCD2_ORACLE_SQL = """
@@ -501,6 +519,12 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     second = changes.filter(F.col("ts") > F.lit(EVENTS_WATERMARK))
     target = scd2_from_history(first, ["user_id"], "ts", ["event_id"])
     return apply_scd2(target, second, ["user_id"], "ts", ["event_id"])
+
+
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative/lag/ntile window suite per user over event time."""
+    _cat(spark, sf_dir)
+    return spark.sql(RUNNING_TOTALS_SQL)
 
 
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
+        "running_totals": q_running_totals,
         "json_extract_agg": q_json_extract_agg,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1251,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_ORACLE_SQL,
         # incremental merge must equal the full-history rebuild
         "scd2_incremental": _SCD2_ORACLE_SQL,
+        "running_totals": RUNNING_TOTALS_SQL,
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "asof_join": _ASOF_ORACLE,
         "range_join": _RANGE_JOIN_ORACLE,
