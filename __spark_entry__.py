@@ -521,6 +521,35 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_scd2(target, second, ["user_id"], "ts", ["event_id"])
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts reshaped to one column per event type
+    (explicit value list keeps the output schema static — the scalable
+    form; an unlisted pivot needs a distinct-scan first)."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat["events"]
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)).cast("long"))
+        .select(
+            "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                     for t in EVENT_TYPES]
+        )
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+{",".join(f"       CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative/lag/ntile window suite per user over event time."""
     _cat(spark, sf_dir)
@@ -1155,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
+        "pivot_event_counts": q_pivot_event_counts,
         "running_totals": q_running_totals,
         "json_extract_agg": q_json_extract_agg,
         "asof_join": q_asof_join,
@@ -1276,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_ORACLE_SQL,
         # incremental merge must equal the full-history rebuild
         "scd2_incremental": _SCD2_ORACLE_SQL,
+        "pivot_event_counts": _PIVOT_ORACLE,
         "running_totals": RUNNING_TOTALS_SQL,
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "asof_join": _ASOF_ORACLE,
