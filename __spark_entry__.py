@@ -550,6 +550,29 @@ GROUP BY 1
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per-order wide numeric columns to (metric, value)
+    long form — the inverse reshaping of pivot."""
+    cat = _cat(spark, sf_dir)
+    return cat["orders"].select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+FROM orders
+"""
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative/lag/ntile window suite per user over event time."""
     _cat(spark, sf_dir)
@@ -1185,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
         "pivot_event_counts": q_pivot_event_counts,
+        "unpivot_metrics": q_unpivot_metrics,
         "running_totals": q_running_totals,
         "json_extract_agg": q_json_extract_agg,
         "asof_join": q_asof_join,
@@ -1307,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         # incremental merge must equal the full-history rebuild
         "scd2_incremental": _SCD2_ORACLE_SQL,
         "pivot_event_counts": _PIVOT_ORACLE,
+        "unpivot_metrics": _UNPIVOT_ORACLE,
         "running_totals": RUNNING_TOTALS_SQL,
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "asof_join": _ASOF_ORACLE,

@@ -65,6 +65,20 @@ class ParquetSnapshotTable:
             snap = f.read().strip()
         return self.spark.read.parquet(os.path.join(self.base, snap))
 
+    def history(self) -> list[str]:
+        """Snapshot names, oldest → newest (mtime order) — the retained
+        versions, Delta-history style. The live one is last unless vacuum
+        already dropped intermediates."""
+        snaps = [d for d in os.listdir(self.base) if d.startswith("snap-")]
+        return sorted(snaps, key=lambda d: os.path.getmtime(os.path.join(self.base, d)))
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read the version-th retained snapshot (negative
+        indices from the end, -1 = newest). Raises IndexError if vacuumed."""
+        return self.spark.read.parquet(
+            os.path.join(self.base, self.history()[version])
+        )
+
     def overwrite(self, df: DataFrame) -> None:
         """Write a new snapshot and atomically repoint.
 

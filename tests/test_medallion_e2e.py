@@ -145,3 +145,16 @@ def test_cdc_flow_run_stream_checkpointed(spark, tmp_path):
     assert g2.count() == 3  # v2 of user 1 appended, v1 closed
     cur = {r.name for r in g2.filter(F.col(CURRENT_COL)).collect()}
     assert cur == {"ana-maria", "bo"}
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Retained snapshots are readable as versions (Delta-history
+    analogue) until vacuum reclaims them."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_users(spark, [(1, "ana", 1)]))
+    t.overwrite(_users(spark, [(1, "ana", 1), (2, "bo", 2)]))
+    assert len(t.history()) == 2
+    assert t.read_version(0).count() == 1   # the pre-merge state
+    assert t.read_version(-1).count() == 2  # == read()
+    t.vacuum(keep_last=1)
+    assert len(t.history()) == 1
