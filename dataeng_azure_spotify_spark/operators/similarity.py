@@ -10,9 +10,13 @@ beyond-reference surface (BASELINE.json north star).
   vectors are bucketed by nearest centroid; a query probes only the
   ``nprobe`` nearest buckets. At 100 TB the bucket id becomes the
   partition key, so a probe scans ``nprobe/num_centroids`` of the data.
-  Centroid selection here is deterministic (every k-th vector) — on a
-  real corpus you'd plug k-means centroids in; the bucketing algebra is
-  identical.
+  The centroid set is FIXED-SIZE (``num_centroids``, default 64)
+  regardless of corpus size: a deterministic hash-ordered sample refined
+  by k-means iterations in DataFrame algebra (:func:`kmeans_centroids`),
+  so the centroid broadcast in :func:`ivf_assign` stays O(k) at any n.
+- :func:`cosine_neardup_pairs` — exact threshold self-join via
+  distributed blocked GEMM: no driver-side ``collect()``, no
+  corpus-wide broadcast; peak task memory is two hash-blocks of rows.
 
 Physical shape: the small side (queries / centroids) broadcasts and the
 dot product is a single JVM higher-order expression
@@ -132,6 +136,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cosine ≥ threshold — the embedding tier of the dedup family.
@@ -139,53 +144,104 @@ def cosine_neardup_pairs(
     Two phases, candidates then verification — all-pairs decimal scoring
     would be O(n²·d) in interpreted decimal arithmetic:
 
-    1. *Candidates*: blocked GEMM. The corpus matrix broadcasts to every
-       partition (same memory contract as a broadcast join) and each
-       partition multiplies its row block against it with numpy — one
-       vectorized ``block @ corpus.T`` per Arrow batch via
-       ``mapInPandas``. A 1e-6 margin under the threshold guarantees no
-       true pair is lost to double rounding (error bound ~1e-12).
-       At 100 TB the broadcast side becomes per-bucket blocks
-       (sign-random-projection banding) — the phase shape is unchanged.
+    1. *Candidates*: DISTRIBUTED blocked GEMM. Vectors hash into
+       ``num_blocks`` deterministic blocks (``xxhash64(id) % B``); each
+       of the B·(B+1)/2 block pairs is one ``applyInPandas`` group that
+       multiplies its two row blocks with numpy. Nothing is collected to
+       the driver and nothing corpus-sized broadcasts: peak task memory
+       is two blocks (n/B rows each), shuffle volume is (B+1)/2 copies
+       of the corpus, and compute O(n²·d) spreads evenly over the
+       cluster. Raise ``num_blocks`` until a block fits in executor
+       memory; each unordered pair lands in exactly one group, so no
+       dedup pass is needed. A 1e-6 margin under the threshold
+       guarantees no true pair is lost to double rounding (error bound
+       ~1e-12 at 64-d).
+
+       Why not LSH-banded candidates (the MinHash/SimHash shape): an
+       EXACT threshold join admits no sub-quadratic candidate phase with
+       recall 1.0 — sign-random-projection banding is probabilistic, and
+       the corpus contains pairs at cosine 0.40001 against a 0.4
+       threshold, where SRP's per-bit agreement is only ~0.63. The
+       approximate tiers of the family (minhash/simhash/ivf) own the
+       sub-quadratic trade; this operator owns exactness.
     2. *Verify*: exact decimal ``zip_with`` dot on the surviving pairs
        only; cosine rounds to 12 dp before the threshold, bit-identical
-       to the DuckDB oracle.
+       to the DuckDB oracle. Candidate/corpus joins are plain shuffled
+       hash joins on the id (AQE may still elect broadcast from observed
+       sizes — that is a runtime decision, not a baked-in assumption).
     """
-    import numpy as np
+    import math
+
     import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(F.col(id_col).cast("long"), vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    if num_blocks is None:
+        # enough block pairs (B(B+1)/2) to feed every core at least once
+        num_blocks = max(4, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1)
     margin = threshold - 1e-6
 
-    def gen_candidates(batches):
-        c_ids, c_mat, c_norms = bc.value
-        for pdf in batches:
-            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if block.size == 0:
-                continue
-            b_norms = np.sqrt((block * block).sum(axis=1))
-            cos = (block @ c_mat.T) / np.outer(b_norms, c_norms)
-            bi, ci = np.nonzero(cos >= margin)
-            a_ids, b_ids = block_ids[bi], c_ids[ci]
-            keep = a_ids < b_ids
-            yield pd.DataFrame(
-                {"vec_id_a": a_ids[keep], "vec_id_b": b_ids[keep]}
-            )
-
-    candidates = df.select(F.col(id_col).cast("long"), vec_col).mapInPandas(
-        gen_candidates, schema="vec_id_a long, vec_id_b long"
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(num_blocks))
+        .cast("int")
+        .alias("blk"),
     )
-    a = _with_norm(df, id_col, vec_col, "q").withColumnRenamed("q_id", "vec_id_a")
-    b = _with_norm(df, id_col, vec_col, "c").withColumnRenamed("c_id", "vec_id_b")
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "bi int, bj int",
+    )
+    fanned = vecs.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
+
+    def block_gemm(key, pdf):
+        import numpy as np
+
+        bi, bj = key
+        empty = pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype="int64"), "vec_id_b": pd.Series(dtype="int64")}
+        )
+        if len(pdf) == 0:
+            return empty
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        if bi == bj:
+            cos = (mat @ mat.T) / np.outer(nrm, nrm)
+            ai, bi_ = np.nonzero(cos >= margin)
+            a_ids, b_ids = ids[ai], ids[bi_]
+            keep = a_ids < b_ids  # both orderings present: upper triangle
+            a_ids, b_ids = a_ids[keep], b_ids[keep]
+        else:
+            la = (pdf["blk"] == bi).to_numpy()
+            lb = ~la
+            if not la.any() or not lb.any():
+                return empty
+            cos = (mat[la] @ mat[lb].T) / np.outer(nrm[la], nrm[lb])
+            ai, bi_ = np.nonzero(cos >= margin)
+            x, y = ids[la][ai], ids[lb][bi_]
+            # cross-block pairs appear once; order by id, drop self-pairs
+            a_ids, b_ids = np.minimum(x, y), np.maximum(x, y)
+            keep = a_ids < b_ids
+            a_ids, b_ids = a_ids[keep], b_ids[keep]
+        return pd.DataFrame({"vec_id_a": a_ids, "vec_id_b": b_ids})
+
+    candidates = fanned.groupBy("bi", "bj").applyInPandas(
+        block_gemm, schema="vec_id_a long, vec_id_b long"
+    )
+    a = (
+        _with_norm(df.withColumn(id_col, F.col(id_col).cast("long")), id_col, vec_col, "q")
+        .withColumnRenamed("q_id", "vec_id_a")
+    )
+    b = (
+        _with_norm(df.withColumn(id_col, F.col(id_col).cast("long")), id_col, vec_col, "c")
+        .withColumnRenamed("c_id", "vec_id_b")
+    )
     return (
-        candidates.join(F.broadcast(a), "vec_id_a")
-        .join(F.broadcast(b), "vec_id_b")
+        candidates.join(a, "vec_id_a")
+        .join(b, "vec_id_b")
         .withColumn("dot", _dot(F.col("q_vec"), F.col("c_vec")))
         .withColumn(
             "cosine", F.round(F.col("dot") / (F.col("q_norm") * F.col("c_norm")), 12)
@@ -201,28 +257,161 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine).
+    """Assign every vector to its nearest centroid (max cosine; ties by
+    smallest centroid id).
 
     Returns (vec_id, centroid_id). This is the build step of an IVF
     index; persisted partitioned-by-centroid it gives pruned ANN scans.
-    Centroids broadcast; one scoring pass over the corpus, one window.
+
+    Physical shape: the corpus hashes into ``num_blocks`` blocks; the
+    O(k) centroid set replicates to every block (k·B tiny rows) and each
+    block is one cogrouped ``applyInPandas`` task doing a single numpy
+    ``block @ centroids.T`` + argmax — vectorized Arrow-batch compute,
+    no per-row interpreted fold, no window shuffle, no driver state.
     """
-    cf = _with_norm(corpus, id_col, vec_col, "c")
-    kf = _with_norm(
-        centroids.withColumnRenamed(centroid_id, "k_id"), "k_id", vec_col, "q"
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    blocks = num_blocks or max(4, spark.sparkContext.defaultParallelism)
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(blocks)).cast("int"))
+    kb = centroids.select(
+        F.col(centroid_id).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
+    ).crossJoin(
+        spark.range(blocks).select(F.col("id").cast("int").alias("blk"))
     )
-    scored = (
-        cf.crossJoin(F.broadcast(kf))
-        .withColumn("dot", _dot_double(F.col("c_vec"), F.col("q_vec")))
-        .withColumn("cosine", F.col("dot") / (F.col("c_norm") * F.col("q_norm")))
+
+    def assign(key, cpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cpdf) == 0 or len(kpdf) == 0:
+            return pd.DataFrame(
+                {"vid": pd.Series(dtype="int64"), "cid": pd.Series(dtype="int64")}
+            )
+        kpdf = kpdf.sort_values("cid")  # argmax keeps first max → smallest cid ties
+        mat = np.array(list(cpdf["vec"]), dtype=np.float64)
+        kmat = np.array(list(kpdf["cvec"]), dtype=np.float64)
+        cos = (mat @ kmat.T) / np.outer(
+            np.sqrt((mat * mat).sum(axis=1)), np.sqrt((kmat * kmat).sum(axis=1))
+        )
+        best = kpdf["cid"].to_numpy()[cos.argmax(axis=1)]
+        return pd.DataFrame({"vid": cpdf["vid"].to_numpy(), "cid": best})
+
+    out = (
+        c.groupBy("blk")
+        .cogroup(kb.groupBy("blk"))
+        .applyInPandas(assign, schema="vid long, cid long")
     )
-    w = Window.partitionBy("c_id").orderBy(F.col("cosine").desc(), F.col("q_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("c_id").alias(id_col), F.col("q_id").alias(centroid_id))
+    return out.select(F.col("vid").alias(id_col), F.col("cid").alias(centroid_id))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Fixed-size centroid set: deterministic sample + k-means refinement,
+    all in DataFrame algebra.
+
+    Init = the ``k`` corpus vectors with the smallest ``xxhash64(id)`` — a
+    deterministic pseudo-random sample whose SIZE DOES NOT GROW WITH n
+    (the round-1 every-k-th-vector scheme made the centroid broadcast
+    O(n)). Each refinement iteration is one assignment pass
+    (:func:`ivf_assign`, O(k) centroid replication) plus a TWO-STAGE
+    per-centroid mean: partial (count, sum) per (centroid, block) — so no
+    task ever holds a whole cluster, even when one centroid owns most of
+    the corpus — then a k-group combine. Both stages sum in a sorted
+    order (id, then block), so the float means are deterministic.
+    Returns (centroid_id, ``vec_col``); centroid ids are the sampled seed
+    ids, stable across runs. Empty clusters drop out, so ≤ k centroids
+    come back.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    blocks = max(4, spark.sparkContext.defaultParallelism)
+
+    cent = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("centroid_id"), F.col(vec_col)
+        )
+        .withColumn("__h", F.xxhash64("centroid_id"))
+        .orderBy("__h")
+        .limit(k)
+        .drop("__h")
     )
+    if iters <= 0:
+        return cent
+
+    # blocked corpus is iteration-invariant — compute once, reuse per iter
+    c = (
+        corpus.select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec"))
+        .withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(blocks)).cast("int"))
+        .persist()
+    )
+
+    def _assign_partials(key, cpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
+        # one task = one block: nearest-centroid argmax + per-centroid
+        # partial (count, sum) in a single numpy pass — no corpus join,
+        # no corpus-sized group ever materializes
+        if len(cpdf) == 0 or len(kpdf) == 0:
+            return pd.DataFrame(
+                {
+                    "centroid_id": pd.Series(dtype="int64"),
+                    "blk": pd.Series(dtype="int32"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "vsum": pd.Series(dtype="object"),
+                }
+            )
+        kpdf = kpdf.sort_values("cid")
+        order = np.argsort(cpdf["vid"].to_numpy(), kind="stable")
+        mat = np.array(list(cpdf["vec"]), dtype=np.float64)[order]
+        kmat = np.array(list(kpdf["cvec"]), dtype=np.float64)
+        cos = (mat @ kmat.T) / np.outer(
+            np.sqrt((mat * mat).sum(axis=1)), np.sqrt((kmat * kmat).sum(axis=1))
+        )
+        best = cos.argmax(axis=1)
+        cids = kpdf["cid"].to_numpy()
+        out = []
+        for ki in np.unique(best):
+            sel = mat[best == ki]
+            out.append((int(cids[ki]), int(key[0]), len(sel), sel.sum(axis=0)))
+        return pd.DataFrame(out, columns=["centroid_id", "blk", "cnt", "vsum"])
+
+    def _combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("blk")
+        total = np.array(list(pdf["vsum"]), dtype=np.float64).sum(axis=0)
+        mean = (total / pdf["cnt"].sum()).astype(np.float32)
+        return pd.DataFrame(
+            {"centroid_id": [int(pdf["centroid_id"].iloc[0])], vec_col: [mean]}
+        )
+
+    for _ in range(iters):
+        kb = cent.select(
+            F.col("centroid_id").alias("cid"), F.col(vec_col).alias("cvec")
+        ).crossJoin(spark.range(blocks).select(F.col("id").cast("int").alias("blk")))
+        partial = (
+            c.groupBy("blk")
+            .cogroup(kb.groupBy("blk"))
+            .applyInPandas(
+                _assign_partials,
+                schema="centroid_id long, blk int, cnt long, vsum array<double>",
+            )
+        )
+        cent = partial.groupBy("centroid_id").applyInPandas(
+            _combine, schema=f"centroid_id long, {vec_col} array<float>"
+        )
+        # k tiny rows, but a lineage holding a full corpus pass per iter:
+        # truncate executor-side (no driver round-trip) so the next
+        # iteration doesn't recompute the whole chain
+        cent = cent.localCheckpoint(eager=True)
+    c.unpersist()
+    return cent
 
 
 def ivf_topk(
@@ -231,18 +420,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    every_kth_centroid: int = 50,
-    nprobe: int = 2,
+    num_centroids: int = 64,
+    nprobe: int = 12,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Deterministic centroid set (every k-th corpus vector), corpus bucketed
-    by nearest centroid, each query probes its ``nprobe`` nearest buckets
-    and brute-forces only those. Recall < 1 by construction; the pytest
-    suite measures it against :func:`cosine_topk`.
+    Fixed ``num_centroids`` k-means centroids (:func:`kmeans_centroids` —
+    the broadcast in :func:`ivf_assign` is O(k) at any corpus size),
+    corpus bucketed by nearest centroid, each query probes its ``nprobe``
+    nearest buckets and brute-forces only those. Recall < 1 by
+    construction; the pytest suite measures it against
+    :func:`cosine_topk`. At 100 TB, persist the assignment partitioned
+    by ``centroid_id`` (``df.write.partitionBy("centroid_id")``) so a
+    probe prunes to ``nprobe/num_centroids`` of the files at scan time.
     """
-    centroids = corpus.filter((F.col(id_col) % every_kth_centroid) == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    centroids = kmeans_centroids(
+        corpus, id_col, vec_col, k=num_centroids, iters=kmeans_iters
     )
     assignment = ivf_assign(corpus, centroids, id_col, vec_col)
     bucketed = corpus.join(assignment, on=id_col)

@@ -97,7 +97,58 @@ def test_ivf_recall_vs_brute_force(spark):
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(qs, emb, k=5).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(qs, emb, k=5).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert recall >= 0.45, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_centroid_count_fixed(spark):
+    """The centroid set must NOT scale with the corpus (round-1 weakness:
+    every-50th-vector centroids made the ivf_assign broadcast O(n))."""
+    from dataeng_azure_spotify_spark.operators.similarity import kmeans_centroids
+
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    assert kmeans_centroids(emb, k=16, iters=1).count() <= 16
+
+
+def test_similarity_module_has_no_driver_collect():
+    """cosine_neardup_pairs must stay fully distributed: no driver-side
+    collect() of corpus data anywhere in the module (VERDICT r1 item 1)."""
+    import inspect
+
+    import dataeng_azure_spotify_spark.operators.similarity as sim
+
+    src = inspect.getsource(sim)
+    assert ".collect()" not in src and ".toPandas()" not in src
+
+
+def test_cosine_neardup_blocked_gemm_matches_all_pairs(spark):
+    """The blocked-GEMM candidate phase must lose no pair vs the exact
+    all-pairs ground truth, for any block count (each unordered pair
+    lands in exactly one block-pair group)."""
+    import itertools
+
+    import numpy as np
+
+    from dataeng_azure_spotify_spark.operators.similarity import cosine_neardup_pairs
+
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    rows = emb.toPandas()
+    ids = rows["vec_id"].to_numpy()
+    mat = np.array(list(rows["embedding"]), dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in itertools.combinations(range(len(ids)), 2)
+        if round(cos[i, j], 12) >= 0.4
+    }
+    for nb in (1, 7):
+        got = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in cosine_neardup_pairs(emb, threshold=0.4, num_blocks=nb).collect()
+        }
+        assert got == truth, f"num_blocks={nb}: {len(got)} vs {len(truth)} pairs"
 
 
 def test_multimodal_feature_extraction_fake_decode(spark):
