@@ -59,6 +59,33 @@ def test_minhash_candidates_match_exact_on_high_sim(spark):
     assert exact == lsh == {(1, 2)}
 
 
+def test_verify_jaccard_broadcast_and_shuffled_paths_agree(spark):
+    """Both verify paths (scale-safe shuffled hash join vs opt-in
+    broadcast) must produce identical pairs — and the default path must
+    not bake a broadcast hint of the O(corpus) shingle table into the
+    plan (VERDICT r1 item 2; AQE may still broadcast at runtime from
+    observed sizes, which is fine and not asserted against)."""
+    cat = Catalog(spark, SF)
+    docs = cat.load("documents")
+    shuffled = ngram_jaccard_pairs(docs, threshold=0.5)
+    broadcasted = ngram_jaccard_pairs(docs, threshold=0.5, broadcast_shingles=True)
+    got_s = {(r.doc_a, r.doc_b, r.jaccard) for r in shuffled.collect()}
+    got_b = {(r.doc_a, r.doc_b, r.jaccard) for r in broadcasted.collect()}
+    assert got_s == got_b and got_s
+
+    plan_s = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    plan_b = broadcasted._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in plan_s
+    assert "strategy=broadcast" in plan_b
+
+    lsh_s = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    lsh_b = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, broadcast_shingles=True).collect()
+    }
+    assert lsh_s == lsh_b
+
+
 def test_simhash_neardup_identical_docs_distance_zero(spark):
     out = {(r.doc_a, r.doc_b): r.hamming
            for r in simhash_neardup_pairs(_docs(spark), max_hamming=8).collect()}
