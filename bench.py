@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,6 +61,7 @@ def main() -> None:
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("g")).count().count()
     entrymod._cat(spark, sf_dir)
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
@@ -67,14 +69,19 @@ def main() -> None:
         # unique generated code on first execution — a 4-6x one-off that
         # would otherwise dominate sub-second queries. Steady-state is the
         # comparable number. clearCache between runs drops operator-level
-        # persist()s so timings stay order-independent.
+        # persist()s so timings stay order-independent. The reported
+        # per-query number is the MEDIAN of `runs` warm executions —
+        # single warm runs showed ±2x JIT/GC variance round-to-round,
+        # which would swamp real plan regressions.
         spark.catalog.clearCache()
         fn(spark, sf_dir).count()
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     print(
@@ -85,6 +92,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
+                "agg": "median",
             }
         )
     )

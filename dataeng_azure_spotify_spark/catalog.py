@@ -52,6 +52,12 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir or DEFAULT_SF_DIR
         self._cache: dict[str, DataFrame] = {}
+        # Pin the session timezone here as well as in session.get_spark:
+        # externally-built sessions (the driver's oracle harness) otherwise
+        # inherit the host TZ, shifting day/window boundaries in
+        # date_format/window queries away from the timezone-naive DuckDB
+        # oracle on any non-UTC machine.
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def path(self, name: str) -> str:
         flat = os.path.join(self.sf_dir, f"{name}.parquet")

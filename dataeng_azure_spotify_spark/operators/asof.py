@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 _SIDE, _T, _PAYLOAD = "__side", "__t", "__rv"
 _BIN = "__bin"
+_RID = "__rid"
 
 
 def asof_join(
@@ -106,7 +107,17 @@ def range_join(
     in a separate branch and unioned — at scale the open set is the
     "current versions" slice, far smaller than history.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
     lt, rs, re_ = F.col(left_time), F.col(right_start), F.col(right_end)
+    # The left branch recovers unmatched rows by anti-joining on a
+    # generated row id rather than on all left columns: column-equality
+    # anti joins are null-UNSAFE (a matched left row with any NULL column
+    # would fail its own equality and re-emit as unmatched) and collapse
+    # duplicate left rows. The id is assigned before matching so both
+    # branches share one lineage.
+    if how == "left":
+        left = left.withColumn(_RID, F.monotonically_increasing_id())
     l_binned = left.withColumn(
         _BIN, F.floor(F.unix_timestamp(lt) / bin_seconds).cast("long")
     )
@@ -128,12 +139,10 @@ def range_join(
     matched = matched_closed.unionByName(matched_open)
     if how == "inner":
         return matched
-    if how != "left":
-        raise ValueError(f"unsupported join type {how!r}")
     right_only = [c for c in matched.columns if c not in left.columns]
     unmatched = left.join(
-        matched.select(*left.columns).distinct(), left.columns, "left_anti"
+        matched.select(_RID).distinct(), [_RID], "left_anti"
     )
     for c in right_only:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop(_RID)

@@ -44,7 +44,17 @@ def salted_join(
 
     Use when the "small" side is too big to broadcast but far smaller
     than the skewed side (replication factor = ``salt_buckets``).
+
+    Only ``inner``/``left``/``left_semi`` preserve plain-join semantics:
+    the replicated right side would emit each unmatched right row once
+    per salt bucket under ``right``/``full``/``left_anti``-from-the-right
+    shapes, so those are rejected outright.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi only, got {how!r} "
+            "(the salted right side replicates rows, breaking right/full/anti)"
+        )
     non_key = [c for c in skewed.columns if c not in keys]
     salt_src = non_key or keys
     left = skewed.withColumn(SALT_COL, _salt_of(salt_src, salt_buckets))

@@ -98,6 +98,36 @@ def test_range_join_containment_and_open_intervals(spark):
     assert left_join == inner | {(3, None)}
 
 
+def test_range_join_left_null_columns_and_duplicates(spark):
+    """Matched left rows containing NULLs must NOT re-emit as unmatched
+    (the anti branch joins on a generated row id, not null-unsafe column
+    equality), and duplicate left rows each keep their own match row."""
+    from dataeng_azure_spotify_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [
+            Row(id=None, k=1, ts=_t(9, 30)),   # NULL col, matched
+            Row(id=7, k=1, ts=_t(9, 30)),      # dup pair: both matched
+            Row(id=7, k=1, ts=_t(9, 30)),
+            Row(id=None, k=1, ts=_t(8)),       # NULL col, unmatched
+        ]
+    )
+    right = spark.createDataFrame([Row(k=1, s=_t(9), e=_t(10), tag="w")])
+    rows = range_join(
+        left, right, on=["k"], left_time="ts",
+        right_start="s", right_end="e", bin_seconds=1800, how="left",
+    ).collect()
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r.tag == "w") == 3
+    assert sum(1 for r in rows if r.tag is None and r.id is None) == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        range_join(left, right, on=["k"], left_time="ts",
+                   right_start="s", right_end="e", how="full")
+
+
 def test_asof_join_matches_naive_definition_randomized(spark):
     """Property: asof_join == per-row argmax over right rows with
     right_ts <= left_ts (computed in plain Python)."""

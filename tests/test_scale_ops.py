@@ -40,6 +40,16 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     assert out == {(1, 1, "hit"), (9, 2, None)}
 
 
+def test_salted_join_rejects_replication_breaking_join_types(spark):
+    import pytest
+
+    left = spark.createDataFrame([Row(k=1, v=1)])
+    right = spark.createDataFrame([Row(k=1, name="hit")])
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, ["k"], salt_buckets=4, how=how)
+
+
 def test_salted_aggregate_matches_direct(spark):
     df = spark.createDataFrame(
         [Row(k=1 if i % 20 else 2, v=float(i)) for i in range(2000)]
