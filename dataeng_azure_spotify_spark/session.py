@@ -23,6 +23,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from dataeng_azure_spotify_spark.delta_support import delta_session_confs
+
 #: Default shuffle partitions per core on local mode. On a real cluster this
 #: is overridden to ~2-3× total executor cores (or left to AQE's
 #: coalescePartitions with a high initial value).
@@ -63,6 +65,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
+    # Delta SQL extension + catalog when delta-spark is importable (no-op
+    # dict otherwise) — keeps fmt='delta' sinks and MERGE INTO working on
+    # clusters that ship it without burdening ones that don't.
+    for k, v in delta_session_confs().items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

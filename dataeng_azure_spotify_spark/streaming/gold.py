@@ -30,8 +30,10 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from dataeng_azure_spotify_spark.delta_support import delta_available
 from dataeng_azure_spotify_spark.operators.relational import expectations_drop
 from dataeng_azure_spotify_spark.operators.scd import apply_scd1, apply_scd2
 
@@ -111,6 +113,73 @@ class ParquetSnapshotTable:
                 shutil.rmtree(os.path.join(self.base, d), ignore_errors=True)
 
 
+class DeltaSnapshotTable:
+    """Delta-backed twin of :class:`ParquetSnapshotTable` (same surface:
+    read/exists/overwrite/history/read_version/vacuum) for clusters where
+    ``delta-spark`` is installed. Versioning, time travel and vacuum are
+    the real Delta transaction log instead of snapshot directories."""
+
+    def __init__(self, spark: SparkSession, base: str) -> None:
+        if not delta_available():  # pragma: no cover - env lacks delta
+            raise RuntimeError("delta-spark is not installed")
+        self.spark = spark
+        self.base = base
+
+    def exists(self) -> bool:  # pragma: no cover - exercised on delta envs
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(self.spark, self.base)
+
+    def read(self) -> DataFrame | None:  # pragma: no cover
+        if not self.exists():
+            return None
+        return self.spark.read.format("delta").load(self.base)
+
+    def history(self) -> list[int]:  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        rows = (
+            DeltaTable.forPath(self.spark, self.base)
+            .history()
+            .select("version")
+            .collect()
+        )
+        return sorted(r.version for r in rows)
+
+    def read_version(self, version: int) -> DataFrame:  # pragma: no cover
+        v = self.history()[version]
+        return (
+            self.spark.read.format("delta")
+            .option("versionAsOf", v)
+            .load(self.base)
+        )
+
+    def overwrite(self, df: DataFrame) -> None:  # pragma: no cover
+        (
+            df.write.format("delta")
+            .mode("overwrite")
+            .option("overwriteSchema", "true")
+            .save(self.base)
+        )
+
+    def vacuum(self, keep_last: int = 2) -> None:  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(self.spark, self.base).vacuum()
+
+
+def _lexicographic_newer(seq: str, tiebreakers: list[str]) -> str:
+    """SQL condition: source (seq, tiebreakers...) >= target's, matching
+    ``apply_scd1``'s ordering (update wins ties). For Delta MERGE."""
+    cols = [seq] + list(tiebreakers)
+    clauses = []
+    for i, c in enumerate(cols):
+        eqs = " AND ".join(f"s.{p} <=> t.{p}" for p in cols[:i])
+        cmp_ = f"s.{c} >= t.{c}" if i == len(cols) - 1 else f"s.{c} > t.{c}"
+        clauses.append(f"({eqs + ' AND ' if eqs else ''}{cmp_})")
+    return " OR ".join(clauses)
+
+
 @dataclass
 class CdcFlow:
     """Declarative CDC flow — mirrors ``create_auto_cdc_flow``'s signature
@@ -130,6 +199,24 @@ class CdcFlow:
     #: ``DimArtist.py:102-103``). ``track_history_cols`` wins if both set.
     track_history_cols: list[str] | None = None
     track_history_except: list[str] | None = None
+    #: ``auto`` → Delta when delta-spark is importable, else parquet
+    #: snapshots. Pin ``parquet``/``delta`` to force a backend.
+    backend: str = "auto"
+
+    def _resolved_backend(self) -> str:
+        if self.backend == "auto":
+            return "delta" if delta_available() else "parquet"
+        if self.backend not in ("parquet", "delta"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.backend == "delta" and not delta_available():
+            raise RuntimeError("backend='delta' but delta-spark is not installed")
+        return self.backend
+
+    def table(self, spark: SparkSession):
+        """The gold table handle for the resolved backend."""
+        if self._resolved_backend() == "delta":
+            return DeltaSnapshotTable(spark, self.gold_base)
+        return ParquetSnapshotTable(spark, self.gold_base)
 
     def _tracked_cols(self, batch: DataFrame) -> list[str] | None:
         if self.track_history_cols is not None:
@@ -140,10 +227,22 @@ class CdcFlow:
         return None
 
     def merge_batch(self, spark: SparkSession, batch: DataFrame) -> None:
-        """The foreachBatch body — also usable directly for batch CDC."""
-        table = ParquetSnapshotTable(spark, self.gold_base)
+        """The foreachBatch body — also usable directly for batch CDC.
+
+        On the delta backend SCD1 is a true transactional ``DeltaTable
+        .merge`` (``whenMatchedUpdateAll`` guarded by the sequence order,
+        ``whenNotMatchedInsertAll`` — the exact shape of the reference's
+        ``create_auto_cdc_flow`` scd_type=1, ``FactStream.py:93-103``);
+        SCD2 computes the affected-keys rebuild with :func:`apply_scd2`
+        and lands it as a versioned Delta overwrite (compute is still
+        O(touched keys); Delta's log supplies atomicity + time travel).
+        """
         if self.expectations:
             batch = expectations_drop(batch, self.expectations)
+        if self._resolved_backend() == "delta" and self.scd_type == 1:
+            self._merge_delta_scd1(spark, batch)
+            return
+        table = self.table(spark)
         target = table.read()
         if self.scd_type == 1:
             merged = apply_scd1(
@@ -160,6 +259,37 @@ class CdcFlow:
                 self._tracked_cols(batch),
             )
         table.overwrite(merged)
+
+    def _merge_delta_scd1(
+        self, spark: SparkSession, batch: DataFrame
+    ) -> None:  # pragma: no cover - env lacks delta; parity via apply_scd1
+        from delta.tables import DeltaTable
+
+        # collapse the micro-batch to its latest row per key first (same
+        # ordering apply_scd1 uses), so MERGE sees one source row per key
+        order = [F.col(self.sequence_by).desc()] + [
+            F.col(t).desc() for t in self.tiebreakers
+        ]
+        w = Window.partitionBy(*self.keys).orderBy(*order)
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not DeltaTable.isDeltaTable(spark, self.gold_base):
+            latest.write.format("delta").save(self.gold_base)
+            return
+        tgt = DeltaTable.forPath(spark, self.gold_base)
+        on = " AND ".join(f"t.{k} <=> s.{k}" for k in self.keys)
+        (
+            tgt.alias("t")
+            .merge(latest.alias("s"), on)
+            .whenMatchedUpdateAll(
+                condition=_lexicographic_newer(self.sequence_by, self.tiebreakers)
+            )
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
     def run_stream(
         self, spark: SparkSession, silver_stream: DataFrame, checkpoint: str

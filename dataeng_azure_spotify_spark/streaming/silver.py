@@ -29,6 +29,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataeng_azure_spotify_spark.delta_support import default_table_format
 from dataeng_azure_spotify_spark.streaming.rescue import RESCUE_COL, read_bronze_stream
 
 
@@ -55,7 +56,8 @@ def write_silver_stream(
     df: DataFrame,
     output_path: str,
     checkpoint: str,
-    fmt: str = "parquet",
+    fmt: str | None = None,
+    table_name: str | None = None,
     await_termination: bool = True,
 ):
     """Checkpointed append sink, bounded run (``availableNow`` trigger).
@@ -63,15 +65,25 @@ def write_silver_stream(
     One stable checkpoint per sink — deleting it resets the stream,
     exactly the reference's operational model
     (``Silver_Dimensions.py:345-356``, :416-437).
+
+    ``fmt`` defaults to delta when ``delta-spark`` is importable, else the
+    parquet file sink (same exactly-once contract via the per-directory
+    ``_spark_metadata`` commit log).
+
+    ``table_name`` additionally lands the sink as a metastore table
+    (``.toTable``): with ``output_path`` set the table is EXTERNAL at that
+    path, so the data lands once but resolves both by path and by name —
+    the reference's dual path+catalog landing of every silver table
+    (``Silver_Dimensions.py:591-601``, SURVEY.md §2.1 S8).
     """
-    q = (
-        df.writeStream.format(fmt)
+    writer = (
+        df.writeStream.format(fmt or default_table_format())
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .option("path", output_path)
         .trigger(availableNow=True)
-        .start()
     )
+    q = writer.toTable(table_name) if table_name else writer.start()
     if await_termination:
         q.awaitTermination()
     return q
@@ -86,6 +98,9 @@ class SilverTable:
     silver_dir: str
     checkpoint_dir: str
     clean: Callable[[DataFrame], DataFrame] | None = None
+    #: Optional metastore table name for the dual path+catalog landing
+    #: (reference lands every silver table both ways).
+    table_name: str | None = None
 
     def run(self, spark: SparkSession) -> str:
         """Drain new bronze files into silver; returns the output path."""
@@ -105,5 +120,6 @@ class SilverTable:
             stream,
             self.silver_dir,
             os.path.join(self.checkpoint_dir, "sink"),
+            table_name=self.table_name,
         )
         return self.silver_dir

@@ -6,9 +6,11 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from dataeng_azure_spotify_spark.delta_support import delta_available
 from dataeng_azure_spotify_spark.observability import RunLog, failed_runs_last
 from dataeng_azure_spotify_spark.operators.scd import CURRENT_COL, END_COL
 from dataeng_azure_spotify_spark.plans.pipeline import Pipeline
@@ -25,7 +27,20 @@ def _users(spark, rows):
     )
 
 
-def test_full_medallion_two_cycles(spark, tmp_path):
+#: Both gold backends; the delta leg runs only where delta-spark ships.
+BACKENDS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(
+            not delta_available(), reason="delta-spark not installed"
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_full_medallion_two_cycles(spark, tmp_path, backend):
     base = str(tmp_path)
     store = WatermarkStore(base + "/wm")
     log = RunLog(spark, base + "/runlog")
@@ -37,6 +52,7 @@ def test_full_medallion_two_cycles(spark, tmp_path):
         scd_type=2,
         tiebreakers=["name"],
         expectations={"key not null": "user_id IS NOT NULL"},
+        backend=backend,
     )
 
     def run_cycle(source_df, run_id):
@@ -84,7 +100,7 @@ def test_full_medallion_two_cycles(spark, tmp_path):
          Row(user_id=None, name="ghost", updated_at=dt.datetime(2024, 1, 1))]
     )
     run_cycle(src1, "r1")
-    gold1 = ParquetSnapshotTable(spark, base + "/gold/dim_user").read()
+    gold1 = flow.table(spark).read()
     assert gold1.count() == 2  # ghost dropped by expectations
     assert gold1.filter(F.col(CURRENT_COL)).count() == 2
 
@@ -96,7 +112,7 @@ def test_full_medallion_two_cycles(spark, tmp_path):
          Row(user_id=3, name="cy", updated_at=dt.datetime(2024, 1, 4))]
     )
     run_cycle(src2, "r2")
-    gold2 = ParquetSnapshotTable(spark, base + "/gold/dim_user").read()
+    gold2 = flow.table(spark).read()
 
     u1 = {r.name: r for r in gold2.filter(F.col("user_id") == 1).collect()}
     assert len(u1) == 2  # two versions of user 1
@@ -106,8 +122,7 @@ def test_full_medallion_two_cycles(spark, tmp_path):
 
     # watermark advanced: a third cycle with the same source is a no-op
     run_cycle(src2, "r3")
-    assert ParquetSnapshotTable(spark, base + "/gold/dim_user").read().count() == \
-        gold2.count()
+    assert flow.table(spark).read().count() == gold2.count()
 
     # run log captured every component; no failures in the alert window
     logged = log.read()

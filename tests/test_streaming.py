@@ -102,3 +102,58 @@ def test_streaming_dedup_state_spans_runs(spark, tmp_path):
     run()
     out = spark.read.parquet(silver)
     assert out.count() == 2  # k=1 re-delivery suppressed by state
+
+
+def test_silver_catalog_table_sink(spark, tmp_path):
+    """table_name lands the silver sink as a metastore table AND at the
+    path (external table) — the reference's dual landing of every silver
+    table (Silver_Dimensions.py:591-601, SURVEY.md S8)."""
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    _write_batch(spark, bronze, [Row(id=1, v="a"), Row(id=2, v="b")])
+    t = SilverTable(
+        "t", bronze, silver, str(tmp_path / "chk"),
+        table_name="silver_events_test",
+    )
+    try:
+        t.run(spark)
+        by_name = spark.table("silver_events_test")
+        assert by_name.count() == 2
+        assert spark.read.parquet(silver).count() == 2  # same landing
+        # incremental drain appends to BOTH resolutions
+        _write_batch(spark, bronze, [Row(id=3, v="c")])
+        t.run(spark)
+        assert spark.table("silver_events_test").count() == 3
+        assert spark.read.parquet(silver).count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS silver_events_test")
+
+
+def test_cdc_flow_backend_resolution_and_merge_condition():
+    """Backend gating: auto→parquet here (delta absent), pinned delta
+    raises, and the Delta MERGE sequence guard matches apply_scd1's
+    lexicographic (sequence, tiebreakers) ordering."""
+    import pytest
+
+    from dataeng_azure_spotify_spark.delta_support import delta_available
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        CdcFlow,
+        _lexicographic_newer,
+    )
+
+    flow = CdcFlow(name="f", gold_base="/tmp/x", keys=["k"], sequence_by="seq")
+    expected = "delta" if delta_available() else "parquet"
+    assert flow._resolved_backend() == expected
+
+    with pytest.raises(ValueError, match="unknown backend"):
+        CdcFlow(name="f", gold_base="/tmp/x", keys=["k"], sequence_by="seq",
+                backend="iceberg")._resolved_backend()
+    if not delta_available():
+        with pytest.raises(RuntimeError, match="delta-spark"):
+            CdcFlow(name="f", gold_base="/tmp/x", keys=["k"],
+                    sequence_by="seq", backend="delta")._resolved_backend()
+
+    assert _lexicographic_newer("seq", []) == "(s.seq >= t.seq)"
+    assert _lexicographic_newer("seq", ["tb"]) == (
+        "(s.seq > t.seq) OR (s.seq <=> t.seq AND s.tb >= t.tb)"
+    )
