@@ -39,6 +39,14 @@ from dataeng_azure_spotify_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from dataeng_azure_spotify_spark.operators.asof import asof_join, range_join
+from dataeng_azure_spotify_spark.operators.curation import (
+    contamination_check,
+    length_quantile_filter,
+    pack_sequences,
+    repetition_stats,
+    source_mix,
+    stratified_sample,
+)
 from dataeng_azure_spotify_spark.operators.scd import (
     END_COL,
     START_COL,
@@ -846,6 +854,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy token-budget bins within hash shards."""
+    cat = _cat(spark, sf_dir)
+    return pack_sequences(cat["documents"], budget_tokens=512, shards=32)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test 5-gram contamination vs the id%97 held-out slice."""
+    cat = _cat(spark, sf_dir)
+    return contamination_check(cat["documents"], n=5, test_mod=97)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc 3-gram repetition metrics (boilerplate/spam signal)."""
+    cat = _cat(spark, sf_dir)
+    return repetition_stats(cat["documents"], n=3)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsample: keep 40% of 'en', all else."""
+    cat = _cat(spark, sf_dir)
+    sampled = stratified_sample(cat["documents"], rates_pct={"en": 40})
+    return sampled.select("doc_id", "lang", "source")
+
+
+def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language P5-P95 token-length band filter."""
+    cat = _cat(spark, sf_dir)
+    return length_quantile_filter(cat["documents"], lo=0.05, hi=0.95)
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per (source, lang) with doc-share weights."""
+    cat = _cat(spark, sf_dir)
+    return source_mix(cat["documents"])
+
+
 # --- DuckDB oracle SQL builders for the LLM-pipeline ops -------------------
 # These mirror the Spark implementations primitive-for-primitive:
 # tokens = whitespace split of trimmed text; hash60(x) = first 15 hex chars
@@ -1176,6 +1221,112 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 # --------------------------------------------------------------------------
 
 
+# --- curation-operator oracles --------------------------------------------
+# Shared primitives mirrored symbol-for-symbol: BPE-ish token count =
+# len(regexp_extract_all(text, pattern)); gram hash = hash60 of the gram
+# string; sampling hash = hash60('samp|' || id).
+
+_BPE_TOKS = (
+    r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))"
+)
+
+
+def _pack_sequences_oracle(budget: int, shards: int) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, doc_id % {shards} AS shard, {_BPE_TOKS} AS n_tok
+    FROM documents
+), c AS (
+    SELECT doc_id, shard, n_tok,
+           COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM t
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(cb // {budget} AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM c GROUP BY 1, 2
+"""
+
+
+def _word_grams_cte(n: int) -> str:
+    """(doc, gram) rows of word n-grams (non-distinct) for docs with ≥ n
+    tokens — mirror of the Spark transform+slice gram builder."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+toks AS (
+    SELECT doc_id AS doc, {_TOKS} AS t FROM documents
+), gramrows AS (
+    SELECT doc, unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+        i -> {concat})) AS gram
+    FROM toks WHERE len(t) >= {n}
+)"""
+
+
+def _contamination_oracle(n: int, test_mod: int) -> str:
+    return f"""
+WITH {_word_grams_cte(n)}, g AS (
+    SELECT DISTINCT doc, {_duck_hash60('gram')} AS g FROM gramrows
+), test AS (SELECT doc AS tdoc, g FROM g WHERE doc % {test_mod} = 0),
+train AS (SELECT doc, g FROM g WHERE doc % {test_mod} <> 0)
+SELECT train.doc AS doc_id,
+       CAST(COUNT(DISTINCT train.g) AS BIGINT) AS n_shared_grams,
+       CAST(COUNT(DISTINCT test.tdoc) AS BIGINT) AS n_test_docs
+FROM train JOIN test ON train.g = test.g
+GROUP BY 1
+"""
+
+
+def _repetition_oracle(n: int) -> str:
+    return f"""
+WITH {_word_grams_cte(n)}, per AS (
+    SELECT doc, {_duck_hash60('gram')} AS g, COUNT(*) AS c
+    FROM gramrows GROUP BY 1, 2
+)
+SELECT doc AS doc_id,
+       CAST(SUM(c) AS BIGINT) AS total_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       CAST(MAX(c) AS BIGINT) AS top_gram_count,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_gram_ratio,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_ratio
+FROM per GROUP BY 1
+"""
+
+
+def _stratified_sample_oracle(en_pct: int) -> str:
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_duck_hash60("'samp|' || CAST(doc_id AS VARCHAR)")} % 100
+      < CASE WHEN lang = 'en' THEN {en_pct} ELSE 100 END
+"""
+
+
+def _length_quantile_oracle(lo: float, hi: float) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, CAST({_BPE_TOKS} AS BIGINT) AS n_tokens FROM documents
+), r AS (
+    SELECT doc_id, lang, n_tokens,
+           percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr
+    FROM t
+)
+SELECT doc_id, lang, n_tokens FROM r WHERE pr >= {lo} AND pr <= {hi}
+"""
+
+
+_SOURCE_MIX_ORACLE = f"""
+WITH cells AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_BPE_TOKS}) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, total_tokens,
+       CAST(n_docs * 1000000 // (SELECT SUM(n_docs) FROM cells) AS BIGINT)
+           AS doc_share_ppm
+FROM cells
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_star_join_agg(spark, SF_SMOKE)
@@ -1228,6 +1379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "pack_sequences": q_pack_sequences,
+        "contamination_check": q_contamination_check,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "length_quantile_filter": q_length_quantile_filter,
+        "source_mix": q_source_mix,
     }
 
 
@@ -1394,4 +1551,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _embedding_neardup_oracle(0.4),
         "doc_fingerprints": _kgram_fp_oracle(k=8, mod_p=8),
         "multimodal_features": _MULTIMODAL_ORACLE,
+        "pack_sequences": _pack_sequences_oracle(budget=512, shards=32),
+        "contamination_check": _contamination_oracle(n=5, test_mod=97),
+        "repetition_stats": _repetition_oracle(n=3),
+        "stratified_sample": _stratified_sample_oracle(en_pct=40),
+        "length_quantile_filter": _length_quantile_oracle(0.05, 0.95),
+        "source_mix": _SOURCE_MIX_ORACLE,
     }

@@ -1,0 +1,266 @@
+"""Corpus-curation operators for LLM pretraining pipelines
+(beyond-reference surface, same tier as the dedup family).
+
+Every operator is pure DataFrame algebra over JVM built-ins — no Python
+in the hot path — and deterministic (hash- or id-derived decisions, no
+RNG), so each has an exact DuckDB oracle twin in ``__spark_entry__``.
+
+Scale notes (100 TB):
+
+- :func:`pack_sequences` packs within hash shards, so the cumulative-sum
+  window is ``partitionBy(shard)`` — never the single-partition global
+  window that ``Window.orderBy`` alone would plan. One shuffle.
+- :func:`contamination_check` joins on 60-bit gram hashes, not gram
+  strings: the shuffle carries 8 bytes per gram and the join is an
+  integer equi-join. Test-set grams are usually small enough to
+  broadcast; the default stays a shuffled join (AQE may elect the
+  broadcast at runtime from observed sizes).
+- :func:`repetition_stats` is explode → two partial-aggregated groupBys
+  on (doc, gram-hash) — embarrassingly parallel, no self-join.
+- :func:`stratified_sample` and :func:`length_quantile_filter` are a
+  filter and a per-stratum window respectively; both shuffle at most
+  once on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.functions.text import (
+    bpe_ish_token_count,
+    hash60,
+    tokens_col,
+)
+
+#: Salt for the sampling hash — decouples the keep/drop decision from any
+#: other hash-derived decision (dedup buckets, shard assignment) made on
+#: the same key.
+SAMPLE_SALT = "samp"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign documents to
+    fixed-token-budget training bins.
+
+    Documents are sharded by ``id % shards`` (at scale: one shard per
+    packer task), ordered by id within the shard, and a document opens in
+    the bin where its shard's running token count stood — i.e. bins fill
+    greedily in id order and a bin may overflow by at most one document
+    (standard "open bin" packing, the shape sequence-packing dataloaders
+    expect). Deterministic: same corpus → same bins, any engine.
+
+    Returns one row per (shard, bin_id): doc count, token total, id span.
+    """
+    n_tok = bpe_ish_token_count(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("long").alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = base.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget_tokens
+        ).cast("long"),
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min(id_col).alias("min_doc_id"),
+        F.max(id_col).alias("max_doc_id"),
+    )
+
+
+def _gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, g) — distinct word n-gram hash60s per document (docs with
+    < n tokens contribute nothing)."""
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+        .filter(F.size(toks) >= n)
+        .select("doc", F.explode(F.array_distinct(grams)).alias("gram"))
+        .select("doc", hash60(F.col("gram")).alias("g"))
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    test_mod: int = 97,
+) -> DataFrame:
+    """Train/test n-gram contamination: which training documents share
+    ≥ 1 word n-gram with the held-out set?
+
+    The held-out set is the deterministic ``id % test_mod == 0`` slice
+    (in production: the actual eval benchmarks). A training document is
+    contaminated if any of its distinct n-grams hash-matches a test
+    gram; the report carries how many grams overlap and how many test
+    docs are implicated — the decontamination shape used for pretraining
+    corpora (n-gram collision against eval sets).
+
+    Returns (doc_id, n_shared_grams, n_test_docs) for contaminated
+    training docs only.
+    """
+    grams = _gram_hashes(df, text_col, id_col, n)
+    is_test = F.pmod(F.col("doc"), F.lit(test_mod)) == 0
+    test = grams.filter(is_test).select(F.col("doc").alias("tdoc"), "g")
+    train = grams.filter(~is_test)
+    return (
+        train.join(test, "g")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_shared_grams"),
+            F.countDistinct("tdoc").cast("long").alias("n_test_docs"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition metrics — the boilerplate/spam signal
+    (degenerate, repetitive text is a known pretraining-quality hazard).
+
+    Per document over its NON-distinct word n-grams: total grams,
+    distinct grams, the most frequent gram's count, and two ratios —
+    ``dup_gram_ratio`` (1 − distinct/total: what fraction of grams are
+    repeats) and ``top_gram_ratio`` (share of the single most repeated
+    gram). Docs with < n tokens have no grams and are excluded.
+    """
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    per_gram = (
+        df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+        .filter(F.size(toks) >= n)
+        .select("doc", F.explode(grams).alias("gram"))
+        .select("doc", hash60(F.col("gram")).alias("g"))
+        .groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c").cast("long")
+    distinct_ = F.count(F.lit(1)).cast("long")
+    top = F.max("c").cast("long")
+    return (
+        per_gram.groupBy("doc")
+        .agg(
+            total.alias("total_grams"),
+            distinct_.alias("distinct_grams"),
+            top.alias("top_gram_count"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "total_grams",
+            "distinct_grams",
+            "top_gram_count",
+            (
+                F.lit(1.0)
+                - F.col("distinct_grams").cast("double")
+                / F.col("total_grams").cast("double")
+            ).alias("dup_gram_ratio"),
+            (
+                F.col("top_gram_count").cast("double")
+                / F.col("total_grams").cast("double")
+            ).alias("top_gram_ratio"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the language/source
+    rebalance step of a pretraining mixture (e.g. keep 40% of the
+    dominant language, all of the rest).
+
+    Keep decision: ``hash60("samp|" + id) % 100 < rate(stratum)`` — a
+    pure filter (no shuffle, no RNG), reproducible across engines and
+    runs, and independent of row order/partitioning. Rates are integer
+    percents; strata absent from ``rates_pct`` use ``default_pct``.
+    """
+    bucket = F.pmod(
+        hash60(F.col(id_col).cast("string"), salt=SAMPLE_SALT), F.lit(100)
+    )
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def length_quantile_filter(
+    df: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum length-band filter: keep documents whose token count
+    sits within the [lo, hi] percent-rank band of their stratum —
+    trimming the truncated-fragment head and concatenation-artifact tail
+    per language rather than with one global cutoff.
+
+    Exact ``percent_rank`` over (n_tokens, id) — a total order, so the
+    band edges are deterministic. One shuffle on the stratum key. (At
+    extreme per-stratum cardinality swap for approx quantile bounds +
+    join; exact is preferred while it fits, and the oracle is exact.)
+    """
+    n_tok = bpe_ish_token_count(text_col)
+    w = Window.partitionBy(strata_col).orderBy("n_tokens", id_col)
+    return (
+        df.select(F.col(id_col), F.col(strata_col), n_tok.alias("n_tokens"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter((F.col("pr") >= lo) & (F.col("pr") <= hi))
+        .select(id_col, strata_col, "n_tokens")
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    group_cols: tuple[str, str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-composition report per (source, stratum): doc count, token
+    total, and each cell's share of all docs — the numbers a mixture-
+    weighting step consumes. The global total joins back as a broadcast
+    scalar (one row), not a second pass over the data. Shares are
+    parts-per-million via exact integer division (floating-point shares
+    round differently across engines)."""
+    n_tok = bpe_ish_token_count(text_col)
+    cells = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+    )
+    total = cells.select(F.sum("n_docs").alias("__all"))
+    return cells.join(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        "total_tokens",
+        F.expr("CAST(n_docs * 1000000 DIV __all AS BIGINT)").alias(
+            "doc_share_ppm"
+        ),
+    )

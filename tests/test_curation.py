@@ -1,0 +1,126 @@
+"""Curation-operator semantics (oracle parity is in parity.py; these
+tests pin the properties the oracle can't see — budget bounds, recall,
+determinism, plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from dataeng_azure_spotify_spark.operators.curation import (
+    contamination_check,
+    length_quantile_filter,
+    pack_sequences,
+    repetition_stats,
+    source_mix,
+    stratified_sample,
+)
+
+
+def _docs(spark, texts, langs=None, sources=None):
+    rows = [
+        Row(
+            doc_id=i,
+            text=t,
+            lang=(langs[i] if langs else "en"),
+            source=(sources[i] if sources else "s0"),
+        )
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    texts = [("w " * (10 * (i % 7 + 1))).strip() for i in range(40)]
+    df = _docs(spark, texts)
+    bins = pack_sequences(df, budget_tokens=50, shards=4).collect()
+    # every document lands in exactly one bin
+    assert sum(b.n_docs for b in bins) == 40
+    # open-bin packing: a bin STARTS below the budget boundary, so it can
+    # overflow only by its last document (< budget + max single doc)
+    max_doc = 70
+    for b in bins:
+        assert b.total_tokens < 50 + max_doc
+    # bins fill greedily: within a shard, ids are contiguous across bins
+    by_shard: dict[int, list] = {}
+    for b in bins:
+        by_shard.setdefault(b.shard, []).append(b)
+    for shard_bins in by_shard.values():
+        shard_bins.sort(key=lambda b: b.bin_id)
+        for prev, nxt in zip(shard_bins, shard_bins[1:]):
+            assert prev.max_doc_id < nxt.min_doc_id
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The cumulative sum must be per-shard — a global Window.orderBy
+    would plan Exchange SinglePartition (the 100 TB killer)."""
+    df = _docs(spark, ["a b c"] * 8)
+    plan = pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_contamination_flags_only_overlapping_train_docs(spark):
+    shared = "alpha beta gamma delta epsilon"
+    texts = [
+        shared + " zeta",            # doc 0 → test slice (0 % 97 == 0)
+        "intro " + shared,           # doc 1 → shares the 5-gram
+        "totally different words here now",  # doc 2 → clean
+    ]
+    out = contamination_check(_docs(spark, texts), n=5, test_mod=97).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].n_shared_grams == 1 and out[0].n_test_docs == 1
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b c a b c a b c": 7 grams total, 3 distinct, top gram 'a b c' ×3
+    out = repetition_stats(
+        _docs(spark, ["a b c a b c a b c"]), n=3
+    ).collect()[0]
+    assert out.total_grams == 7
+    assert out.distinct_grams == 3
+    assert out.top_gram_count == 3
+    assert abs(out.dup_gram_ratio - (1 - 3 / 7)) < 1e-12
+    assert abs(out.top_gram_ratio - 3 / 7) < 1e-12
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = _docs(
+        spark,
+        ["x"] * 200,
+        langs=["en" if i % 2 else "de" for i in range(200)],
+    )
+    none_kept = stratified_sample(df, {"en": 0, "de": 0})
+    assert none_kept.count() == 0
+    all_kept = stratified_sample(df, {})
+    assert all_kept.count() == 200
+    half = stratified_sample(df, {"en": 50})
+    # de untouched, en roughly halved (hash-uniform, not exact)
+    assert half.filter("lang = 'de'").count() == 100
+    n_en = half.filter("lang = 'en'").count()
+    assert 30 <= n_en <= 70
+    # deterministic: same inputs → identical kept set
+    a = {r.doc_id for r in half.collect()}
+    b = {r.doc_id for r in stratified_sample(df, {"en": 50}).collect()}
+    assert a == b
+
+
+def test_length_quantile_filter_trims_tails_per_stratum(spark):
+    texts = [("w " * (i + 1)).strip() for i in range(100)]
+    out = length_quantile_filter(_docs(spark, texts), lo=0.1, hi=0.9)
+    kept = sorted(r.n_tokens for r in out.collect())
+    # percent_rank over 100 rows: rank (i)/(99); keep 0.1..0.9 → ~81 rows
+    assert 75 <= len(kept) <= 85
+    assert kept[0] > 1 and kept[-1] < 100
+
+
+def test_source_mix_shares_sum_to_one_million(spark):
+    df = _docs(
+        spark,
+        ["t " * 5] * 10,
+        langs=["en"] * 10,
+        sources=["a"] * 7 + ["b"] * 3,
+    )
+    rows = source_mix(df).collect()
+    assert sum(r.n_docs for r in rows) == 10
+    # integer-floor shares: sum within rounding slack of 1e6
+    total_ppm = sum(r.doc_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
