@@ -40,6 +40,7 @@ from dataeng_azure_spotify_spark.operators.dedup import (
 )
 from dataeng_azure_spotify_spark.operators.asof import asof_join, range_join
 from dataeng_azure_spotify_spark.operators.curation import (
+    chunk_documents,
     contamination_check,
     length_quantile_filter,
     pack_sequences,
@@ -891,6 +892,12 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(cat["documents"])
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token training chunks (64 tokens, 8 overlap) per document."""
+    cat = _cat(spark, sf_dir)
+    return chunk_documents(cat["documents"], chunk_size=64, overlap=8)
+
+
 # --- DuckDB oracle SQL builders for the LLM-pipeline ops -------------------
 # These mirror the Spark implementations primitive-for-primitive:
 # tokens = whitespace split of trimmed text; hash60(x) = first 15 hex chars
@@ -1314,6 +1321,26 @@ SELECT doc_id, lang, n_tokens FROM r WHERE pr >= {lo} AND pr <= {hi}
 """
 
 
+def _chunk_documents_oracle(chunk_size: int, overlap: int) -> str:
+    stride = chunk_size - overlap
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), starts AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {overlap}, 1), {stride}))
+               AS start
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) // {stride} AS BIGINT) AS chunk_id,
+       CAST(len(t[start : start + {chunk_size - 1}]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(t[start : start + {chunk_size - 1}], ' ') AS chunk_text
+FROM starts
+"""
+
+
 _SOURCE_MIX_ORACLE = f"""
 WITH cells AS (
     SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1385,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "length_quantile_filter": q_length_quantile_filter,
         "source_mix": q_source_mix,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1557,4 +1585,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle(en_pct=40),
         "length_quantile_filter": _length_quantile_oracle(0.05, 0.95),
         "source_mix": _SOURCE_MIX_ORACLE,
+        "chunk_documents": _chunk_documents_oracle(chunk_size=64, overlap=8),
     }

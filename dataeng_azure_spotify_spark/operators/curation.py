@@ -239,6 +239,47 @@ def length_quantile_filter(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap —
+    the step between curation and sequence packing that turns documents
+    into model-context-sized samples.
+
+    Chunk c starts at token ``1 + c·(chunk_size − overlap)`` and carries
+    ``chunk_size`` tokens (the final chunk may be shorter); consecutive
+    chunks share ``overlap`` tokens so no span is split across a
+    boundary without context. Empty documents yield no chunks.
+
+    Pure per-row ``sequence``/``slice`` expressions + one explode — no
+    shuffle at all; output size is the training corpus itself, streamed
+    straight to the sink.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = F.col("__toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(toks, F.col("start"), chunk_size)
+    return (
+        df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+        .filter(F.size(toks) > 0)
+        .select(id_col, "__toks", F.explode(starts).alias("start"))
+        .select(
+            F.col(id_col),
+            ((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 def source_mix(
     df: DataFrame,
     group_cols: tuple[str, str] = ("source", "lang"),

@@ -124,3 +124,28 @@ def test_source_mix_shares_sum_to_one_million(spark):
     # integer-floor shares: sum within rounding slack of 1e6
     total_ppm = sum(r.doc_share_ppm for r in rows)
     assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from dataeng_azure_spotify_spark.operators.curation import chunk_documents
+
+    toks = [f"t{i}" for i in range(100)]
+    df = _docs(spark, [" ".join(toks), ""])
+    rows = sorted(
+        chunk_documents(df, chunk_size=40, overlap=10).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    # empty doc yields nothing; 100 tokens, stride 30 → starts 1,31,61
+    # (a start at 91 would repeat tokens chunk 61-100 already carries)
+    assert [r.doc_id for r in rows] == [0, 0, 0]
+    assert [r.n_chunk_tokens for r in rows] == [40, 40, 40]
+    c0, c1 = rows[0].chunk_text.split(), rows[1].chunk_text.split()
+    assert c0[30:] == c1[:10]  # consecutive chunks share `overlap` tokens
+    # every token appears in some chunk
+    seen = {t for r in rows for t in r.chunk_text.split()}
+    assert seen == set(toks)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=10, overlap=10)
