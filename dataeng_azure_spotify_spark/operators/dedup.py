@@ -122,6 +122,12 @@ def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> Da
     )
 
 
+#: Candidate-pair cap under which the verify broadcasts the CANDIDATES
+#: (not the corpus-sized shingle table): 2M pairs ≈ 32 MB — comfortably
+#: within executor broadcast budgets at any corpus size.
+BROADCAST_CANDIDATES_CAP = 2_000_000
+
+
 def _verify_jaccard(
     candidates: DataFrame,
     sh: DataFrame,
@@ -133,16 +139,25 @@ def _verify_jaccard(
     to its distinct shingle set and intersect JVM-side (``array_intersect``).
     Cost is O(candidates), independent of corpus-wide shingle frequency.
 
-    The per-doc shingle table is O(corpus), so by default both lookups are
-    shuffled hash joins keyed on the doc id — the only shape that survives
-    a corpus larger than executor memory. ``broadcast_shingles=True`` opts
-    into broadcasting it (the candidate stream then never shuffles), valid
-    only when the whole shingle table fits on every executor; AQE may
-    still elect a runtime broadcast from observed sizes on the default
-    path, which is a per-job decision rather than a baked-in assumption."""
+    Join strategy — the shingle table is O(corpus) and must never be an
+    unconditional broadcast, so the choice is size-gated on the SMALL
+    side: the candidate set is persisted and count-probed (bounded probe,
+    one cheap pass over the cache); when it's under
+    ``BROADCAST_CANDIDATES_CAP`` the candidates broadcast and the shingle
+    table STREAMS through both lookups with zero shuffle — the common
+    case, since near-dup pairs are sparse. Past the cap (dup-saturated
+    corpus) both lookups degrade to shuffled hash joins on the doc id,
+    the only shape that survives a corpus larger than executor memory.
+    ``broadcast_shingles=True`` remains the explicit small-corpus opt-in
+    to broadcast the shingle table itself."""
     docs = sh.select("doc", F.col(shingle_col).alias("shingles"), "n_sh")
     if broadcast_shingles:
         docs = F.broadcast(docs)
+    else:
+        candidates = _persist(candidates)
+        probe = candidates.limit(BROADCAST_CANDIDATES_CAP + 1).count()
+        if probe <= BROADCAST_CANDIDATES_CAP:
+            candidates = F.broadcast(candidates)
     verified = (
         candidates.join(
             docs.select(

@@ -59,19 +59,29 @@ def test_minhash_candidates_match_exact_on_high_sim(spark):
     assert exact == lsh == {(1, 2)}
 
 
-def test_verify_jaccard_broadcast_and_shuffled_paths_agree(spark):
-    """Both verify paths (scale-safe shuffled hash join vs opt-in
-    broadcast) must produce identical pairs — and the default path must
-    not bake a broadcast hint of the O(corpus) shingle table into the
-    plan (VERDICT r1 item 2; AQE may still broadcast at runtime from
+def test_verify_jaccard_all_three_paths_agree(spark, monkeypatch):
+    """The three verify strategies must produce identical pairs:
+    auto (bounded candidate broadcast), forced-shuffled (candidate set
+    "too big" — cap patched to 0), and opt-in shingle-table broadcast.
+    The forced-shuffled plan must bake in NO broadcast hint at all —
+    neither the O(corpus) shingle table (VERDICT r1 item 2) nor the
+    over-cap candidates (AQE may still broadcast at runtime from
     observed sizes, which is fine and not asserted against)."""
+    from dataeng_azure_spotify_spark.operators import dedup as D
+
     cat = Catalog(spark, SF)
     docs = cat.load("documents")
+    auto = ngram_jaccard_pairs(docs, threshold=0.5)
+    got_a = {(r.doc_a, r.doc_b, r.jaccard) for r in auto.collect()}
+
+    monkeypatch.setattr(D, "BROADCAST_CANDIDATES_CAP", 0)
     shuffled = ngram_jaccard_pairs(docs, threshold=0.5)
-    broadcasted = ngram_jaccard_pairs(docs, threshold=0.5, broadcast_shingles=True)
     got_s = {(r.doc_a, r.doc_b, r.jaccard) for r in shuffled.collect()}
+    monkeypatch.undo()
+
+    broadcasted = ngram_jaccard_pairs(docs, threshold=0.5, broadcast_shingles=True)
     got_b = {(r.doc_a, r.doc_b, r.jaccard) for r in broadcasted.collect()}
-    assert got_s == got_b and got_s
+    assert got_a == got_s == got_b and got_a
 
     plan_s = shuffled._jdf.queryExecution().optimizedPlan().toString()
     plan_b = broadcasted._jdf.queryExecution().optimizedPlan().toString()
