@@ -163,6 +163,69 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+# Classic TPC-H query shapes (Q3/Q10/Q18) over the same corpus — shared
+# ANSI SQL, executed verbatim by Spark and the DuckDB oracle. Decimal
+# aggregation + ROUND-before-DOUBLE follows the STAR_AGG_SQL rationale.
+# Plan notes (asserted informally via .explain during development): the
+# selective filters reach PushedFilters on the scans; customer/orders
+# join before the lineitem probe; Q18's HAVING subquery plans as a
+# shuffled semi-join on l_orderkey.
+
+TPCH_Q3_SQL = """
+SELECT
+    o.o_orderkey AS orderkey,
+    CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+    o.o_orderdate AS orderdate,
+    o.o_orderpriority AS orderpriority
+FROM customer AS c
+JOIN orders AS o ON c.c_custkey = o.o_custkey
+JOIN lineitem AS l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+"""
+
+TPCH_Q10_SQL = """
+SELECT
+    c.c_custkey AS custkey,
+    c.c_name AS name,
+    CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+    CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+    n.n_name AS nation,
+    CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer AS c
+JOIN orders AS o ON c.c_custkey = o.o_custkey
+JOIN lineitem AS l ON l.l_orderkey = o.o_orderkey
+JOIN nation AS n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20
+"""
+
+TPCH_Q18_SQL = """
+SELECT
+    c.c_custkey AS custkey,
+    o.o_orderkey AS orderkey,
+    o.o_orderdate AS orderdate,
+    CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM customer AS c
+JOIN orders AS o ON c.c_custkey = o.o_custkey
+JOIN lineitem AS l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200
+)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
 ROLLUP_SQL = """
 SELECT
     l_returnflag,
@@ -305,6 +368,24 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (beyond-reference agg suite)."""
     _cat(spark, sf_dir)
     return spark.sql(PRICING_SUMMARY_SQL)
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: shipping-priority revenue per open order."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q3_SQL)
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 returned-item customers by revenue."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q10_SQL)
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING semi-join."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q18_SQL)
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,6 +1446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_wide": q_star_join_wide,
         "star_join_agg": q_star_join_agg,
         "pricing_summary": q_pricing_summary,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "grouping_sets": q_grouping_sets,
@@ -1422,6 +1506,9 @@ def oracle_sql() -> dict[str, str]:
         "star_join_wide": render_star_sql(STAR_SPECS_WIDE),
         "star_join_agg": STAR_AGG_SQL,
         "pricing_summary": PRICING_SUMMARY_SQL,
+        "tpch_q3": TPCH_Q3_SQL,
+        "tpch_q10": TPCH_Q10_SQL,
+        "tpch_q18": TPCH_Q18_SQL,
         "rollup_agg": ROLLUP_SQL,
         "cube_agg": CUBE_SQL,
         "grouping_sets": GROUPING_SETS_SQL,
