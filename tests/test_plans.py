@@ -25,7 +25,8 @@ def plans(spark):
     qs = entry.queries()
     return {name: _plan(qs[name](spark, SF)) for name in (
         "star_join_agg", "pricing_summary", "star_join_wide", "topk_per_group",
-        "incremental_filter", "distinct_agg",
+        "incremental_filter", "distinct_agg", "tpch_q3", "tpch_q18",
+        "pack_sequences", "chunk_documents", "stratified_sample",
     )}
 
 
@@ -76,3 +77,39 @@ def test_distinct_agg_expands_not_joins(plans):
     # self-join per distinct column
     p = plans["distinct_agg"]
     assert "Expand" in p and "Join" not in p
+
+
+def test_tpch_q3_pushes_selective_filters(plans):
+    """The segment and both date predicates must reach their scans —
+    at 100 TB these filters are what keep the join inputs small."""
+    p = plans["tpch_q3"]
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+
+
+def test_tpch_q18_having_plans_as_semi_join(plans):
+    """The IN (GROUP BY ... HAVING) subquery must plan as a semi join on
+    the order key, not a full join + dedup."""
+    assert "LeftSemi" in plans["tpch_q18"]
+
+
+def test_pack_sequences_prunes_to_two_columns(plans):
+    """Packing reads (doc_id, text) only — a scan carrying lang/source/
+    n_chars for a 2-column computation is wrong at any scale."""
+    scan_schema = plans["pack_sequences"].split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in scan_schema and "doc_id" in scan_schema
+    assert "lang" not in scan_schema and "source" not in scan_schema
+
+
+def test_chunk_documents_has_no_shuffle(plans):
+    """Chunking is per-row sequence/slice + explode — any Exchange in
+    this plan is a regression."""
+    assert "Exchange" not in plans["chunk_documents"]
+
+
+def test_stratified_sample_is_pure_filter(plans):
+    """Hash-gated sampling must stay a scan-stage filter: no shuffle, no
+    aggregation, no join."""
+    p = plans["stratified_sample"]
+    assert "Exchange" not in p and "Join" not in p and "Aggregate" not in p
