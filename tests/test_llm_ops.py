@@ -266,3 +266,30 @@ def test_approx_distinct_within_error_bound(spark):
         F.approx_count_distinct("l_partkey", rsd=0.02)
     ).first()[0]
     assert abs(approx - exact) <= max(3, 0.06 * exact)  # 3x rsd slack
+
+
+def test_mulmod_p61_equals_bigint_arithmetic(spark):
+    """The long-limb Mersenne fold must equal wide-integer (a*x) % p for
+    boundary and pseudo-random operands — any overflow would show as a
+    wrong residue."""
+    from pyspark.sql import functions as F
+
+    from dataeng_azure_spotify_spark.operators.dedup import (
+        MINHASH_P,
+        SHINGLE_C,
+        _mulmod_p61,
+        minhash_family,
+    )
+
+    xs = [0, 1, 2, MINHASH_P - 1, MINHASH_P - 2, (1 << 60) - 1, (1 << 31),
+          (1 << 31) - 1, 1234567890123456789 % MINHASH_P]
+    xs += [(6364136223846793005 * i + 1442695040888963407) % MINHASH_P
+           for i in range(1, 40)]
+    a_vals = [SHINGLE_C, (1 << 30) - 1, 1] + [a for a, _ in minhash_family(8)]
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    for a in a_vals:
+        got = [r.r for r in df.select(
+            _mulmod_p61(a, F.col("x")).alias("r")).orderBy("x").collect()]
+        want = [(a * x) % MINHASH_P for x in sorted(xs)]
+        assert got == want, f"a={a}"
