@@ -429,32 +429,45 @@ def simhash_fingerprints(
 
     Classic construction: each token votes its hash bits (+1 for a set
     bit, −1 for unset); fingerprint bit j is 1 iff the net vote is
-    positive (strictly more set than unset). Implemented as 60 conditional
-    sums in one aggregation pass — a single shuffle on the doc id, fully
-    partial-aggregation friendly (map-side combine leaves only per-doc
-    61-long partials on the wire).
+    positive (strictly more set than unset). One aggregation pass — a
+    single shuffle on the doc id, fully partial-aggregation friendly
+    (map-side combine leaves only small per-doc partials on the wire).
 
-    Measured alternatives (sf0.1, warm): a per-row form with 60
-    ``F.aggregate`` array folds (no shuffle at all) runs 3-4× slower —
-    higher-order lambdas evaluate interpreted, while this form stays in
-    whole-stage codegen; an Arrow ``mapInPandas`` bit-vote pays more in
-    hash-array serialization than it saves. Keep the codegen'd shape.
+    The 60 bit-counters pack two per aggregate: counter j accumulates
+    bit j in the low half and bit j+30 shifted to bit 32 — each half has
+    32 bits of headroom, so the packing is exact for any document under
+    2^32 tokens (~16 GB of text; not a real constraint). Half the
+    aggregate buffers/update calls of the naive 60-sum form, same
+    whole-stage-codegen shape. Measured alternatives that LOST: 60
+    separate sums (this form's predecessor, ~25% slower), a per-row
+    ``F.aggregate`` array fold (3-4× slower, interpreted), and an Arrow
+    ``mapInPandas`` bit-vote (loses to hash-array serialization).
     """
+    half = SIMHASH_BITS // 2  # 30 packed counters
     toks = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("t")
     )
     hashed = toks.withColumn("h", hash60(F.col("t")))
+    h = F.col("h")
     bit_sums = hashed.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
+            F.sum(
+                F.shiftright(h, j).bitwiseAND(F.lit(1))
+                + F.shiftleft(
+                    F.shiftright(h, j + half).bitwiseAND(F.lit(1)), 32
+                )
+            ).alias(f"c{j}")
+            for j in range(half)
         ],
     )
+    lo_mask = F.lit((1 << 32) - 1)
     fp = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.lit(2) * F.col(f"b{j}") > F.col("n"), F.lit(1 << j)).otherwise(
-            F.lit(0)
+    for j in range(half):
+        lo = F.col(f"c{j}").bitwiseAND(lo_mask)
+        hi = F.shiftright(F.col(f"c{j}"), 32)
+        term = F.when(F.lit(2) * lo > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0)) + (
+            F.when(F.lit(2) * hi > F.col("n"), F.lit(1 << (j + half))).otherwise(F.lit(0))
         )
         fp = term if fp is None else fp + term
     return bit_sums.select("doc", fp.cast("long").alias("simhash"))
