@@ -226,6 +226,96 @@ WHERE o.o_orderkey IN (
 GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 """
 
+# Q4 shape: priority counts over orders with at least one late line
+# (shipped after the order date) — EXISTS plans as a left semi join on
+# o_orderkey, so the subquery never materializes per-order duplicates.
+TPCH_Q4_SQL = """
+SELECT
+    o.o_orderpriority AS orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders AS o
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem AS l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+# Q5 shape: revenue by customer nation within one region, restricted to
+# "local" suppliers (supplier nation = customer nation). Region/nation
+# are tiny broadcast dims; the supplier equi-condition rides the join.
+TPCH_Q5_SQL = """
+SELECT
+    n.n_name AS nation,
+    CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+FROM customer AS c
+JOIN orders AS o ON c.c_custkey = o.o_custkey
+JOIN lineitem AS l ON l.l_orderkey = o.o_orderkey
+JOIN supplier AS s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+JOIN nation AS n ON c.c_nationkey = n.n_nationkey
+JOIN region AS r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+# Q12 shape: per-returnflag counts of late-shipped lines split by order
+# priority class — the CASE-WHEN conditional-aggregation pattern.
+TPCH_Q12_SQL = """
+SELECT
+    l.l_returnflag AS returnflag,
+    CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+    CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders AS o
+JOIN lineitem AS l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+  AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l.l_returnflag
+"""
+
+# Q16 shape: distinct supplier count per (brand, type, size) with an
+# excluded-supplier NOT IN — plans as a broadcast null-aware anti join
+# (the exclusion list is tiny) under a distinct aggregate.
+TPCH_Q16_SQL = """
+SELECT
+    p.p_brand AS brand,
+    p.p_type AS type,
+    p.p_size AS size,
+    CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem AS l
+JOIN part AS p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 14, 23, 45)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+# Q22 shape: positive-balance customers above the global positive-balance
+# mean with no orders at all — scalar subquery + anti join, grouped by
+# nation. AVG is decimal-accumulated so both engines agree bit-exactly.
+TPCH_Q22_SQL = """
+SELECT
+    c.c_nationkey AS nationkey,
+    CAST(COUNT(*) AS BIGINT) AS numcust,
+    CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer AS c
+WHERE c.c_acctbal > (
+    SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0.0
+)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders AS o WHERE o.o_custkey = c.c_custkey
+  )
+GROUP BY c.c_nationkey
+"""
+
 ROLLUP_SQL = """
 SELECT
     l_returnflag,
@@ -386,6 +476,36 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders via HAVING semi-join."""
     _cat(spark, sf_dir)
     return spark.sql(TPCH_Q18_SQL)
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts of orders with a late line (EXISTS)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q4_SQL)
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation in one region."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q5_SQL)
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-line counts split by order priority class."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q12_SQL)
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attrs, NOT IN exclusion."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q16_SQL)
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich no-order customers (scalar subquery + anti join)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q22_SQL)
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q22": q_tpch_q22,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "grouping_sets": q_grouping_sets,
@@ -1509,6 +1634,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": TPCH_Q3_SQL,
         "tpch_q10": TPCH_Q10_SQL,
         "tpch_q18": TPCH_Q18_SQL,
+        "tpch_q4": TPCH_Q4_SQL,
+        "tpch_q5": TPCH_Q5_SQL,
+        "tpch_q12": TPCH_Q12_SQL,
+        "tpch_q16": TPCH_Q16_SQL,
+        "tpch_q22": TPCH_Q22_SQL,
         "rollup_agg": ROLLUP_SQL,
         "cube_agg": CUBE_SQL,
         "grouping_sets": GROUPING_SETS_SQL,

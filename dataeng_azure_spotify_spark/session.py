@@ -64,6 +64,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Long-lived sessions compile one generated class per codegen'd
+        # stage; the JVM default 240 MiB code cache fills after a few dozen
+        # distinct queries, the JIT silently disables itself, and
+        # expression-heavy plans (the hash/dedup family) degrade 5-10x to
+        # interpreted speed. 1 GiB + explicit flushing keeps steady-state
+        # JIT'd on multi-tenant / benchmark-length sessions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     # Delta SQL extension + catalog when delta-spark is importable (no-op
     # dict otherwise) — keeps fmt='delta' sinks and MERGE INTO working on
