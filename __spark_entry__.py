@@ -39,6 +39,10 @@ from dataeng_azure_spotify_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from dataeng_azure_spotify_spark.operators.asof import asof_join, range_join
+from dataeng_azure_spotify_spark.operators.graph import (
+    component_sizes,
+    connected_components,
+)
 from dataeng_azure_spotify_spark.operators.curation import (
     chunk_documents,
     contamination_check,
@@ -1000,6 +1004,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cat["documents"], threshold=0.5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact Jaccard
+    pair graph (J ≥ 0.5) — every document labeled with the smallest
+    doc_id reachable through near-dup edges, plus the cluster size.
+    Singletons (no near-dup) keep their own id with size 1. This is the
+    keep-one-per-cluster primitive a curation pipeline runs after any
+    pair generator (jaccard / minhash / simhash / embedding)."""
+    cat = _cat(spark, sf_dir)
+    docs = cat["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return component_sizes(labels).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.col("size").cast("long").alias("cluster_size"),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup join (16 hashes, 8 bands), Jaccard-verified."""
     cat = _cat(spark, sf_dir)
@@ -1198,6 +1225,36 @@ def _ngram_jaccard_oracle(threshold: float) -> str:
     return f"""
 WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def _dedup_clusters_oracle(threshold: float) -> str:
+    """Connected components as a DuckDB recursive CTE: reach(node, r)
+    closes the near-dup edge relation transitively (UNION dedups, so
+    cycles terminate); min reachable id per node = the cluster id the
+    Spark-side min-label propagation converges to."""
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+dup AS (
+    SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM dup
+), reach(node, r) AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT e.v AS node, reach.r AS r
+    FROM reach JOIN edges e ON e.u = reach.node
+), comp AS (
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+), csize AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT CAST(comp.node AS BIGINT) AS doc_id,
+       CAST(comp.cluster_id AS BIGINT) AS cluster_id,
+       CAST(csize.cluster_size AS BIGINT) AS cluster_size
+FROM comp JOIN csize USING (cluster_id)
 """
 
 
@@ -1607,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup": q_simhash_neardup,
@@ -1787,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.5),
+        "dedup_clusters": _dedup_clusters_oracle(0.5),
         "dedup_minhash_lsh": _minhash_lsh_oracle(16, 8, 0.5),
         "simhash_fingerprints": _simhash_fp_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(8),
