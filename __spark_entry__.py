@@ -39,6 +39,7 @@ from dataeng_azure_spotify_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from dataeng_azure_spotify_spark.operators.asof import asof_join, range_join
+from dataeng_azure_spotify_spark.functions.pii import redact_pii
 from dataeng_azure_spotify_spark.operators.graph import (
     component_sizes,
     connected_components,
@@ -992,6 +993,34 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: mask emails/IPv4s/phones and count replacements.
+
+    The synthetic corpus contains no organic PII, so the input is a
+    deterministic contact blurb composed from customer columns — the
+    redaction then demonstrably fires on every row and the oracle checks
+    the masked text byte-for-byte."""
+    cat = _cat(spark, sf_dir)
+    blurb = cat["customer"].select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("contact "),
+            F.col("c_name"),
+            F.lit(" at user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com call +1-555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("c_nationkey") % 128).cast("string"),
+            F.lit("."),
+            (F.col("c_custkey") % 256).cast("string"),
+            F.lit(".1 segment "),
+            F.col("c_mktsegment"),
+        ).alias("text"),
+    )
+    return redact_pii(blurb, text_col="text", id_col="doc_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-groupBy on normalized text."""
     cat = _cat(spark, sf_dir)
@@ -1225,6 +1254,44 @@ def _ngram_jaccard_oracle(threshold: float) -> str:
     return f"""
 WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def _pii_redaction_oracle() -> str:
+    from dataeng_azure_spotify_spark.functions.pii import (
+        EMAIL_RE,
+        EMAIL_TAG,
+        IPV4_RE,
+        IPV4_TAG,
+        PHONE_RE,
+        PHONE_TAG,
+    )
+
+    return f"""
+WITH blurb AS (
+    SELECT c_custkey AS doc_id,
+           'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+           || '@example.com call +1-555-'
+           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || ' from 10.' || CAST(c_nationkey % 128 AS VARCHAR)
+           || '.' || CAST(c_custkey % 256 AS VARCHAR)
+           || '.1 segment ' || c_mktsegment AS text
+    FROM customer
+), r1 AS (
+    SELECT doc_id, text,
+           regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TAG}', 'g') AS t1
+    FROM blurb
+), r2 AS (
+    SELECT doc_id, text, t1,
+           regexp_replace(t1, '{IPV4_RE}', '{IPV4_TAG}', 'g') AS t2
+    FROM r1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PHONE_RE}', '{PHONE_TAG}', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM r2
 """
 
 
@@ -1665,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "pii_redaction": q_pii_redaction,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup": q_simhash_neardup,
@@ -1846,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.5),
         "dedup_clusters": _dedup_clusters_oracle(0.5),
+        "pii_redaction": _pii_redaction_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(16, 8, 0.5),
         "simhash_fingerprints": _simhash_fp_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(8),
