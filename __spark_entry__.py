@@ -30,7 +30,7 @@ from dataeng_azure_spotify_spark.operators.relational import (
     scalar_max,
     watermark_filter,
 )
-from dataeng_azure_spotify_spark.functions.text import text_stats
+from dataeng_azure_spotify_spark.functions.text import gopher_quality, text_stats
 from dataeng_azure_spotify_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -993,6 +993,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate over the document corpus."""
+    cat = _cat(spark, sf_dir)
+    return gopher_quality(cat["documents"])
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: mask emails/IPv4s/phones and count replacements.
 
@@ -1254,6 +1260,46 @@ def _ngram_jaccard_oracle(threshold: float) -> str:
     return f"""
 WITH {_SHINGLES_CTE}, {_JACCARD_PAIRS}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def _gopher_quality_oracle() -> str:
+    from dataeng_azure_spotify_spark.functions.text import STOPWORDS_EN
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH tk AS (
+    SELECT doc_id, text, {_TOKS} AS t FROM documents
+), m AS (
+    SELECT doc_id,
+           len(t) AS n_words,
+           CASE WHEN len(t) > 0
+                THEN CAST(list_sum(list_transform(t, x -> CAST(len(x) AS BIGINT)))
+                          AS DOUBLE) / len(t)
+                ELSE 0.0 END AS mwl,
+           CASE WHEN len(t) > 0
+                THEN CAST(len(text) - len(replace(text, '#', ''))
+                          + len(regexp_extract_all(text, '[.][.][.]'))
+                          AS DOUBLE) / len(t)
+                ELSE 0.0 END AS swr,
+           CASE WHEN len(t) > 0
+                THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / len(t)
+                ELSE 0.0 END AS awr,
+           len(list_filter(t, x -> x IN ({stop_list}))) AS stop_hits
+    FROM tk
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mwl, 8) AS mean_word_len,
+       ROUND(swr, 8) AS symbol_word_ratio,
+       ROUND(awr, 8) AS alpha_word_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words >= 40 AND n_words <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND swr <= 0.1 AND awr >= 0.8
+        AND stop_hits >= 2) AS gopher_pass
+FROM m
 """
 
 
@@ -1733,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "pii_redaction": q_pii_redaction,
+        "gopher_quality": q_gopher_quality,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_neardup": q_simhash_neardup,
@@ -1915,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.5),
         "dedup_clusters": _dedup_clusters_oracle(0.5),
         "pii_redaction": _pii_redaction_oracle(),
+        "gopher_quality": _gopher_quality_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(16, 8, 0.5),
         "simhash_fingerprints": _simhash_fp_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(8),

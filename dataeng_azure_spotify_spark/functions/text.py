@@ -200,6 +200,72 @@ def kgram_fingerprints(
     )
 
 
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition-free quality gate (Rae et al. 2021,
+    "Scaling Language Models", Table A1 heuristics) — the canonical
+    pretraining document filter, as one JVM-expression projection.
+
+    Per document: word count bounds, mean word length bounds,
+    symbol-to-word ratio ('#' and '...' occurrences per word),
+    alphabetic-word ratio (words containing a letter), and a minimum
+    stopword-hit count; ``gopher_pass`` conjoins all five. Everything is
+    array-expression algebra over the whitespace tokens — no UDF, no
+    shuffle, whole-stage codegen; at 100 TB this pass is scan-bound.
+    Thresholds are the paper's defaults scaled to this corpus's short
+    synthetic docs (``min_words`` 40 vs the paper's 50).
+    """
+    c = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit("[.][.][.]"), F.lit(0)))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    checks = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 8).alias("mean_word_len"),
+        F.round(symbol_ratio, 8).alias("symbol_word_ratio"),
+        F.round(alpha_ratio, 8).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        checks.alias("gopher_pass"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats projection used by the quality/filter stage."""
     return df.select(

@@ -37,3 +37,19 @@ def test_phone_requires_plus_prefix(spark):
     r = _one(spark, "order 1234567890 ships +1-234-567-8901 today")
     assert r.n_phones == 1
     assert "1234567890" in r.clean_text and "<PHONE>" in r.clean_text
+
+
+def test_gopher_quality_rules(spark):
+    from dataeng_azure_spotify_spark.functions.text import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog " * 6  # 60 words, stopwords
+    symbols = ("word " * 50) + "### ... ### ... ###"
+    short = "too short to pass"
+    df = spark.createDataFrame(
+        [(1, good), (2, symbols), (3, short)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in gopher_quality(df, min_words=40).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].gopher_pass and out[2].symbol_word_ratio > 0.1
+    assert not out[3].gopher_pass and out[3].n_words < 40
+    assert abs(out[1].mean_word_len - (33 / 9)) < 1e-7
