@@ -1731,7 +1731,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver's correctness harness checks the first 50
+    # entries in dict order. The LLM-pipeline queries (previously driver-
+    # unchecked) are listed FIRST so they all receive driver CORRECTNESS
+    # rows; 13 thrice-proven cheap relational queries (green in r1-r3,
+    # still pytest-oracle-checked at sf0.001) rotate to the back.
     return {
+        "simhash_neardup": q_simhash_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "pack_sequences": q_pack_sequences,
+        "contamination_check": q_contamination_check,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "length_quantile_filter": q_length_quantile_filter,
+        "source_mix": q_source_mix,
+        "chunk_documents": q_chunk_documents,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
         "star_join_agg": q_star_join_agg,
@@ -1744,28 +1762,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q16": q_tpch_q16,
         "tpch_q22": q_tpch_q22,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "grouping_sets": q_grouping_sets,
-        "value_histogram": q_value_histogram,
-        "percentile_summary": q_percentile_summary,
-        "distinct_agg": q_distinct_agg,
-        "approx_distinct": q_approx_distinct,
-        "set_ops": q_set_ops,
         "incremental_filter": q_incremental_filter,
-        "bucketize_case_when": q_bucketize,
-        "constant_injection": q_constant_injection,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
-        "scalar_max_watermark": q_scalar_max_watermark,
         "email_validation": q_email_validation,
         "topk_per_group": q_topk_per_group,
         "events_tumbling_window": q_events_tumbling,
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
-        "pivot_event_counts": q_pivot_event_counts,
-        "unpivot_metrics": q_unpivot_metrics,
         "running_totals": q_running_totals,
         "json_extract_agg": q_json_extract_agg,
         "asof_join": q_asof_join,
@@ -1782,19 +1787,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_neardup": q_simhash_neardup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "doc_fingerprints": q_doc_fingerprints,
-        "multimodal_features": q_multimodal_features,
-        "pack_sequences": q_pack_sequences,
-        "contamination_check": q_contamination_check,
-        "repetition_stats": q_repetition_stats,
-        "stratified_sample": q_stratified_sample,
-        "length_quantile_filter": q_length_quantile_filter,
-        "source_mix": q_source_mix,
-        "chunk_documents": q_chunk_documents,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
+        "value_histogram": q_value_histogram,
+        "percentile_summary": q_percentile_summary,
+        "distinct_agg": q_distinct_agg,
+        "approx_distinct": q_approx_distinct,
+        "set_ops": q_set_ops,
+        "bucketize_case_when": q_bucketize,
+        "constant_injection": q_constant_injection,
+        "scalar_max_watermark": q_scalar_max_watermark,
+        "pivot_event_counts": q_pivot_event_counts,
+        "unpivot_metrics": q_unpivot_metrics,
     }
 
 
