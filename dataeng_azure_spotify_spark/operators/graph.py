@@ -4,29 +4,46 @@ dedup stops at per-key ``dropDuplicates``; near-dup *clusters* are part
 of the beyond-reference LLM-curation surface, composing with
 ``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` / ``simhash_neardup``).
 
-Algorithm: iterative min-label propagation (Pregel-style) in pure
-DataFrame algebra. Every node starts labeled with its own id; each round
-replaces a node's label with the minimum over its own and its
-neighbors' labels; a fixpoint means every node carries the smallest id
-reachable from it — the canonical component id.
+Two algorithms, both pure DataFrame algebra:
+
+1. **Min-label propagation** (Pregel-style). Every node starts labeled
+   with its own id; each round replaces a node's label with the minimum
+   over its own and its neighbors' labels. Converges in *diameter*
+   rounds — ideal for near-dup graphs, which are piles of small dense
+   clusters (diameter 2-4), with one shuffled join + one groupBy per
+   round.
+
+2. **Large-star / small-star edge rewriting** (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+   rewires edges toward component minima:
+
+   - *large-star*: for every node u, connect each strictly-larger
+     neighbor v to the minimum of u's closed neighborhood.
+   - *small-star*: for every node u (edges oriented larger→smaller),
+     connect u and each smaller neighbor to the minimum of that set.
+
+   The edge set converges in O(log² n) rounds to a star forest whose
+   centers are the component minima — diameter-independent, so
+   chain-shaped components (templated spam, boilerplate gradients at
+   100 TB) cannot blow the round budget.
 
 Scale notes (100 TB):
 
-- Rounds needed = graph diameter. Near-dup graphs are piles of small
-  dense clusters (diameter 2-4), so propagation converges in a handful
-  of rounds; the per-round cost is one shuffled join edges⋈labels on
-  ``dst`` plus one groupBy — both partition-parallel, nothing
-  corpus-sized on the driver or in a broadcast.
-- For adversarial high-diameter graphs (long chains), swap the body for
-  the large-star/small-star edge-rewriting of Kiveris et al.
-  ("Connected Components in MapReduce and Beyond", SoCC'14), which
-  converges in O(log² n) rounds with the same join-per-round shape.
+- Default ``method="auto"`` runs propagation first (cheapest on the
+  common dense-cluster shape) and, if the diameter budget is exhausted,
+  *contracts* the graph by the partial labels (every label after r
+  rounds is the min id within r hops, so chains shrink ~r×) and
+  finishes with large/small-star on the contracted remainder — no work
+  is thrown away and no input shape can hard-fail.
+- Every round of either algorithm is join+groupBy on (long, long)
+  pairs — partition-parallel, nothing corpus-sized on the driver or in
+  a broadcast.
 - Lineage is truncated each round with an eager ``localCheckpoint``
   (executor-side, no driver round-trip) — without it round k recomputes
   rounds 1..k-1 and the plan grows quadratically.
-- The convergence probe is one tiny aggregate action per round
-  (count of changed labels), the standard driver-coordinated fixpoint
-  loop — the same shape as the k-means refinement in
+- Convergence probes are one tiny aggregate action per round (count of
+  changed labels / changed edges), the standard driver-coordinated
+  fixpoint loop — the same shape as the k-means refinement in
   :mod:`..operators.similarity`.
 """
 
@@ -36,6 +53,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(directed: DataFrame) -> DataFrame:
+    """One large-star round.
+
+    Input/output edges are oriented (src > dst). For each node u over
+    its *symmetrized* neighborhood, every strictly-larger neighbor v is
+    re-pointed at m = min(closed neighborhood of u). Output edges
+    (v, m) keep the src > dst orientation because m <= u < v.
+    """
+    sym = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """One small-star round.
+
+    Input edges oriented (src > dst): node src sees only its smaller
+    neighbors. All of them, plus src itself, are pointed at the minimum
+    of the set; self-loops are dropped. Output stays src > dst.
+    """
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = (
+        directed.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    centers = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return rewired.union(centers).distinct()
+
+
+def star_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Component labels via alternating large-star/small-star.
+
+    ``edges``: (src, dst) long pairs, any orientation, duplicates fine.
+    Returns (node, component) for every node incident to an edge;
+    component is the smallest node id in the connected component.
+
+    O(log² n) rounds regardless of diameter (Kiveris et al. SoCC'14);
+    ``max_rounds=50`` is therefore unreachable for any realistic n and
+    exists only as an infinite-loop guard.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col("src"), F.col("dst")).alias("src"),
+            F.least(F.col("src"), F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Exact fixpoint probe: same count and no edge outside the old set.
+        if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
+            e = nxt
+            break
+        e = nxt
+    else:  # pragma: no cover - O(log² n) bound makes this unreachable
+        raise RuntimeError(
+            f"star_components did not converge in {max_rounds} rounds"
+        )
+    # Converged edge set is a star forest: (member, center) with center =
+    # component min. Centers label themselves.
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .union(
+            e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -43,6 +142,7 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "node",
     max_iters: int = 25,
+    method: str = "auto",
 ) -> DataFrame:
     """Component labels for an undirected graph.
 
@@ -51,13 +151,23 @@ def connected_components(
     appear in the output as singleton components; defaults to the nodes
     present in ``edges``.
 
+    ``method``:
+
+    - ``"auto"`` (default): min-label propagation for up to
+      ``max_iters`` rounds; if the fixpoint is not reached (diameter >
+      budget), contract the graph by the partial labels and finish with
+      :func:`star_components` — never fails, never wastes the rounds
+      already run.
+    - ``"propagation"``: propagation only; raises ``RuntimeError`` on
+      budget exhaustion (the pre-round-4 behavior, kept for tests and
+      for callers that want the diameter bound enforced).
+    - ``"star"``: large/small-star only — diameter-independent.
+
     Returns (``id_col``, component) where component is the smallest node
     id in the connected component — deterministic, engine-independent.
-
-    Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iters`` rounds (diameter bound exceeded — see module notes for
-    the O(log² n) alternative).
     """
+    if method not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown method {method!r}")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
@@ -75,6 +185,10 @@ def connected_components(
             .union(und.select(F.col("dst").alias("node")))
             .distinct()
         )
+
+    if method == "star":
+        return _finalize(star_components(und), universe, id_col)
+
     und = und.localCheckpoint(eager=True)
     labels = universe.select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint(eager=True)
@@ -103,11 +217,49 @@ def connected_components(
         ).first()["n"]
         labels = new_labels.drop("__changed")
         if not changed:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds; "
-        "graph diameter exceeds the propagation budget — use the "
-        "large-star/small-star variant for chain-heavy graphs"
+            return labels.withColumnRenamed("node", id_col)
+    if method == "propagation":
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "graph diameter exceeds the propagation budget — use "
+            "method='auto' or 'star' for chain-heavy graphs"
+        )
+    # Auto fallback: contract by partial labels, finish with star rounds.
+    # After r propagation rounds label(u) = min id within r hops, so the
+    # quotient graph shrinks chains ~r×; its components are exactly the
+    # original components, and the true component min x keeps label(x)=x,
+    # so star roots on the quotient ARE the original minima.
+    lbl_src = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("lsrc")
+    )
+    lbl_dst = labels.select(
+        F.col("node").alias("dst"), F.col("component").alias("ldst")
+    )
+    contracted = (
+        und.join(lbl_src, "src")
+        .join(lbl_dst, "dst")
+        .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    roots = star_components(contracted).select(
+        F.col("node").alias("component"), F.col("component").alias("root")
+    )
+    resolved = (
+        labels.join(roots, "component", "left")
+        .select("node", F.coalesce("root", "component").alias("component"))
+    )
+    return _finalize(resolved, universe, id_col)
+
+
+def _finalize(labels: DataFrame, universe: DataFrame, id_col: str) -> DataFrame:
+    """Attach singleton self-labels for nodes absent from ``labels``."""
+    return (
+        universe.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+        )
     )
 
 

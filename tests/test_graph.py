@@ -49,9 +49,55 @@ def test_component_sizes(spark):
     assert got == {(1, 1, 2), (2, 1, 2), (4, 4, 3), (5, 4, 3), (6, 4, 3)}
 
 
-def test_nonconvergence_raises(spark):
+def test_nonconvergence_raises_with_propagation_method(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=2)
+        connected_components(edges, max_iters=2, method="propagation")
+
+
+def test_auto_falls_back_to_star_past_diameter_budget(spark):
+    # same chain exceeds max_iters=2, but auto contracts + star-finishes
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iters=2, method="auto")
+    assert set(_labels(out).values()) == {0}
+
+
+def test_star_method_direct(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "node long")
+    out = connected_components(edges, nodes=nodes, method="star")
+    assert _labels(out) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+@pytest.mark.slow
+def test_high_diameter_path_graph_converges(spark):
+    # 10k-node path: diameter 9999 >> any propagation budget. The
+    # propagation-only method would hard-fail; auto must converge via
+    # the O(log^2 n) large-star/small-star fallback (Kiveris SoCC'14).
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(edges, max_iters=5, method="auto")
+    comps = out.select("component").distinct().collect()
+    assert [r.component for r in comps] == [0]
+    assert out.count() == n
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    import random
+
+    rng = random.Random(1234)
+    # 300 nodes, sparse random edges -> a mix of components + singletons
+    pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(200)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(300)], "node long")
+    a = _labels(connected_components(edges, nodes=nodes, method="propagation"))
+    b = _labels(connected_components(edges, nodes=nodes, method="star"))
+    assert a == b
