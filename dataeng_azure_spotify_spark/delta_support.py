@@ -13,6 +13,22 @@ parquet-based fallback carrying the same semantics
 On a Delta-capable cluster nothing changes in caller code: sessions pick
 up the Delta SQL extension automatically, ``fmt='delta'`` sinks become
 real, and ``CdcFlow(backend='auto')`` resolves to transactional MERGE.
+
+Installation status (checked 2026-08-13, round 4): installing
+``delta-spark`` in this sandbox is not possible —
+
+1. package installation is prohibited by the environment contract
+   (no ``pip install`` / ``apt install``; only baked-in packages);
+2. there is no package index reachable anyway: ``pip download
+   delta-spark --no-deps`` returns nothing (empty target dir); and
+3. even with the Python package present, the Delta *format* needs the
+   JVM artifact ``io.delta:delta-spark_2.13`` resolved from Maven at
+   session start (``spark.jars.packages``) — no network, no jar, no
+   format.
+
+Hence the one skipped test (the Delta-backend leg) stays skipped here;
+the gated code paths are exercised on any cluster where
+``delta_available()`` is True.
 """
 
 from __future__ import annotations
