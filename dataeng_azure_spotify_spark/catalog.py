@@ -144,6 +144,20 @@ class Catalog:
         return self.spark.table(name)
 
 
+def ensure_database(spark: SparkSession, table_name: str) -> None:
+    """Create the database of a ``db.table`` name if absent.
+
+    Stands in for the reference's pre-provisioned UC schemas
+    (``terraform/10_databricks_uc/main.tf:26-84`` creates ``silver`` /
+    ``gold`` before any write) — on OSS metastores the namespace is one
+    idempotent DDL away, so sinks create it on first use. No-op for
+    unqualified names.
+    """
+    if "." in table_name:
+        db = table_name.rsplit(".", 1)[0]
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) (driver-side footer peek)."""
     try:

@@ -202,6 +202,12 @@ class CdcFlow:
     #: ``auto`` → Delta when delta-spark is importable, else parquet
     #: snapshots. Pin ``parquet``/``delta`` to force a backend.
     backend: str = "auto"
+    #: Metastore name of the silver staging table this flow reads
+    #: (reference: every gold flow stages from
+    #: ``spark.readStream.table("spotify.silver.<t>")``,
+    #: ``FactStream.py:49-60``, ``DimUser.py:62-73``). Optional — flows
+    #: can still be driven from an explicit stream via :meth:`run_stream`.
+    source_table: str | None = None
 
     def _resolved_backend(self) -> str:
         if self.backend == "auto":
@@ -305,3 +311,21 @@ class CdcFlow:
         )
         q.awaitTermination()
         return q
+
+    def source_stream(self, spark: SparkSession) -> DataFrame:
+        """Staging stream over the silver METASTORE table — the
+        reference's gold staging shape (``spark.readStream.table(
+        "spotify.silver.<t>")``, ``FactStream.py:59``), not a path
+        stream: schema comes from the catalog and the flow keeps working
+        when the table's storage is relocated or compacted."""
+        if self.source_table is None:
+            raise ValueError(
+                f"flow {self.name!r} has no source_table; pass a stream to "
+                "run_stream instead"
+            )
+        return spark.readStream.table(self.source_table)
+
+    def run_from_table(self, spark: SparkSession, checkpoint: str):
+        """Bounded run staging from :attr:`source_table` — each drain
+        merges only the silver files appended since the checkpoint."""
+        return self.run_stream(spark, self.source_stream(spark), checkpoint)

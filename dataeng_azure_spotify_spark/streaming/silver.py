@@ -29,6 +29,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataeng_azure_spotify_spark.catalog import ensure_database
 from dataeng_azure_spotify_spark.delta_support import default_table_format
 from dataeng_azure_spotify_spark.streaming.rescue import RESCUE_COL, read_bronze_stream
 
@@ -83,7 +84,11 @@ def write_silver_stream(
         .option("path", output_path)
         .trigger(availableNow=True)
     )
-    q = writer.toTable(table_name) if table_name else writer.start()
+    if table_name:
+        ensure_database(df.sparkSession, table_name)
+        q = writer.toTable(table_name)
+    else:
+        q = writer.start()
     if await_termination:
         q.awaitTermination()
     return q

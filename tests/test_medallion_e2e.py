@@ -44,6 +44,10 @@ def test_full_medallion_two_cycles(spark, tmp_path, backend):
     base = str(tmp_path)
     store = WatermarkStore(base + "/wm")
     log = RunLog(spark, base + "/runlog")
+    # Silver lands as a METASTORE table and gold stages from that table
+    # name (reference: spark.readStream.table("spotify.silver.<t>"),
+    # FactStream.py:49-60) — not from the storage path.
+    silver_table = f"spotify_silver.users_e2e_{backend}"
     flow = CdcFlow(
         name="dim_user",
         gold_base=base + "/gold/dim_user",
@@ -53,6 +57,7 @@ def test_full_medallion_two_cycles(spark, tmp_path, backend):
         tiebreakers=["name"],
         expectations={"key not null": "user_id IS NOT NULL"},
         backend=backend,
+        source_table=silver_table,
     )
 
     def run_cycle(source_df, run_id):
@@ -76,17 +81,17 @@ def test_full_medallion_two_cycles(spark, tmp_path, backend):
                 dedup_stream(stream.drop(RESCUE_COL), ["user_id", "updated_at"]),
                 base + "/silver/users",
                 base + "/chk/silver",
+                table_name=silver_table,
             )
-            return base + "/silver/users"
+            return silver_table
 
         pipe.add("silver", lambda s: log.timed(run_id, "silver", lambda: silver(s)),
                  depends_on=("bronze",))
 
         def gold(s):
-            batch = s.read.parquet(base + "/silver/users")
-            # foreachBatch body applied to the drained silver increment;
-            # merge is idempotent so re-reading the whole silver dir is safe
-            flow.merge_batch(s, batch)
+            # checkpointed stream over the silver TABLE: each cycle
+            # merges exactly the files appended since the last drain
+            flow.run_from_table(s, base + "/chk/gold")
             return "ok"
 
         pipe.add("gold", lambda s: log.timed(run_id, "gold", lambda: gold(s)),
