@@ -126,17 +126,60 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _rows_from_file_metadata(df: DataFrame, avg_item_bytes: int) -> int | None:
+    """Row-count estimate from driver-side file listing — NO Spark job.
+
+    Media tables are payload-dominated and media bytes barely compress,
+    so on-disk size / avg_item_bytes ≈ row count. Returns None for
+    non-file-backed plans or non-local filesystems without sizes.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(parsed.path or uri)
+        except OSError:
+            return None
+    return max(1, total // max(1, avg_item_bytes))
+
+
 def repartition_for_media(
-    df: DataFrame, avg_item_bytes: int, target_partition_bytes: int = 128 << 20
+    df: DataFrame,
+    avg_item_bytes: int,
+    target_partition_bytes: int = 128 << 20,
+    row_count_hint: int | None = None,
 ) -> DataFrame:
     """Spread large binary rows so partitions stay within a byte budget.
 
     At 100 TB the file-size-based split doesn't see post-decode blow-up;
     partition count is derived from payload size instead of row count.
+
+    Pure transformation — no Spark action. Row count comes from
+    ``row_count_hint`` when the caller knows it, else from driver-side
+    file metadata (:func:`_rows_from_file_metadata`); in-memory plans
+    with no hint fall back to the cluster's default parallelism.
     """
-    rows = df.count()
     per_part = max(1, target_partition_bytes // max(1, avg_item_bytes))
-    n_parts = max(1, (rows + per_part - 1) // per_part)
+    rows = (
+        row_count_hint
+        if row_count_hint is not None
+        else _rows_from_file_metadata(df, avg_item_bytes)
+    )
+    if rows is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    else:
+        n_parts = max(1, (rows + per_part - 1) // per_part)
     return df.repartition(n_parts)
 
 

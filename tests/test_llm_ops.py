@@ -19,6 +19,7 @@ from dataeng_azure_spotify_spark.operators.similarity import cosine_topk, ivf_to
 from dataeng_azure_spotify_spark.sources.multimodal import (
     extract_features,
     frame_sample_plan,
+    repartition_for_media,
     MEDIA_SCHEMA,
 )
 
@@ -214,6 +215,34 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
     assert all(r.media_id == 3 for r in frames)  # images not frame-sampled
+
+
+def test_repartition_for_media_runs_no_job(spark, tmp_path):
+    """Partition sizing must come from driver-side metadata (file sizes
+    or caller hint), never from a df.count() action — at 100 TB an extra
+    full scan per helper call is a real cost."""
+    path = str(tmp_path / "media")
+    spark.range(100).selectExpr(
+        "id as media_id", "repeat('x', 1000) as payload"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    # file-metadata path
+    out = repartition_for_media(df, avg_item_bytes=1000)
+    # explicit-hint path: 8 rows / (2000 bytes budget / 1000 bytes each) = 4
+    out2 = repartition_for_media(
+        df, avg_item_bytes=1000, target_partition_bytes=2000, row_count_hint=8
+    )
+    # in-memory plan, no hint -> defaultParallelism fallback
+    mem = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    out3 = repartition_for_media(mem, avg_item_bytes=1)
+    assert len(tracker.getJobIdsForGroup(None)) == before  # zero jobs run
+
+    assert out.sparkSession is df.sparkSession and out3.sparkSession is spark
+    n = out2.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n == 4
 
 
 def test_cosine_neardup_pairs_symmetric_and_thresholded(spark):
