@@ -62,7 +62,14 @@ def main() -> None:
     entrymod._cat(spark, sf_dir)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # the variance-prone heavy family gets extra samples: identical-code
+    # rounds showed up to 4x per-query swings at 3 samples, which made
+    # round-over-round comparisons unfalsifiable for exactly these queries
+    heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5"))
+    heavy = {"dedup_minhash_lsh", "simhash_neardup", "ann_ivf_topk",
+             "dedup_clusters", "simhash_fingerprints", "dedup_ngram_jaccard"}
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         # warm run (untimed): whole-stage-codegen compiles each query's
@@ -70,18 +77,22 @@ def main() -> None:
         # would otherwise dominate sub-second queries. Steady-state is the
         # comparable number. clearCache between runs drops operator-level
         # persist()s so timings stay order-independent. The reported
-        # per-query number is the MEDIAN of `runs` warm executions —
+        # per-query number is the MEDIAN of warm executions —
         # single warm runs showed ±2x JIT/GC variance round-to-round,
         # which would swamp real plan regressions.
         spark.catalog.clearCache()
         fn(spark, sf_dir).count()
         samples = []
-        for _ in range(runs):
+        for _ in range(heavy_runs if name in heavy else runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # dispersion: interquartile range of the warm samples — a
+        # round-over-round delta smaller than the IQR is noise, not signal
+        q1, _, q3 = statistics.quantiles(samples, n=4)
+        spreads[name] = round(q3 - q1, 4)
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     print(
@@ -93,7 +104,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": runs,
+                "heavy_runs": heavy_runs,
                 "agg": "median",
+                "iqr": spreads,
             }
         )
     )
