@@ -157,3 +157,77 @@ def test_cdc_flow_backend_resolution_and_merge_condition():
     assert _lexicographic_newer("seq", ["tb"]) == (
         "(s.seq > t.seq) OR (s.seq <=> t.seq AND s.tb >= t.tb)"
     )
+
+
+def test_watermarked_window_agg_stream_matches_batch_twin(spark, tmp_path):
+    """SURVEY §2.8 gap-fill: a checkpointed streaming run of the tumbling
+    window aggregation with withWatermark, in append mode through
+    write_silver_stream, converges to the same end state as the batch
+    twin (q_events_tumbling's shape) over the same data.
+
+    Append-mode mechanics exercised: the watermark used during batch N
+    is derived from data seen through batch N-1, so windows emit one
+    drain AFTER the watermark passes their end; a late row arriving
+    above the current watermark is aggregated, and windows still inside
+    the lateness horizon (the sentinel's) are withheld from the sink.
+    """
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "agg")
+    chk = str(tmp_path / "chk")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(minutes, typ):
+        return Row(ts=base + dt.timedelta(minutes=minutes), event_type=typ)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .parquet(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        write_silver_stream(stream, sink, chk)
+
+    # wave 1: hour-0 events + early hour-1 (max ts 75min -> wm 45min)
+    _write_batch(
+        spark, src,
+        [ev(1, "a"), ev(5, "b"), ev(30, "a"), ev(59, "b"), ev(61, "a"), ev(75, "b")],
+    )
+    drain()
+    # wave 2: rest of hour-1, one LATE hour-0 row still above the 45min
+    # watermark (minute 50), and a sentinel far ahead (minute 300)
+    _write_batch(spark, src, [ev(80, "a"), ev(110, "b"), ev(50, "a"), ev(300, "x")])
+    drain()
+    # wave 3: second sentinel advances processing so the now-closed
+    # hour-0/hour-1 windows (wm 270min) actually emit
+    _write_batch(spark, src, [ev(301, "x")])
+    drain()
+
+    got = {
+        (r.window_start, r.event_type, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch_twin = {
+        (r.window_start, r.event_type, r.n_events)
+        for r in (
+            spark.read.parquet(src)
+            .filter(F.col("ts") < base + dt.timedelta(minutes=300))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n_events"
+            )
+            .collect()
+        )
+    }
+    assert got == batch_twin
+    # the sentinel window is inside the lateness horizon: not emitted
+    assert not any(t == "x" for _, t, _ in got)
