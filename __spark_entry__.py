@@ -321,6 +321,272 @@ WHERE c.c_acctbal > (
 GROUP BY c.c_nationkey
 """
 
+# --- Remaining TPC-H shapes (q2/q6..q21) -------------------------------
+# The corpus has no partsupp table (TESTDATA.md), so q2/q9/q11/q20 are
+# re-shaped onto lineitem links while keeping each query's DEFINING
+# operator shape (correlated MIN, scalar-subquery HAVING, nested IN),
+# and lineitem lacks commit/receipt dates, so q21's "late line" marker
+# is l_returnflag='R'. Money arithmetic follows the house rule: exact
+# DECIMAL accumulation, ROUND, CAST to DOUBLE at the boundary so Spark
+# and DuckDB agree bit-for-bit; ratios divide as DOUBLE (IEEE-identical)
+# after exact sums.
+
+TPCH_Q2_SQL = """
+SELECT DISTINCT
+    CAST(s.s_acctbal AS DOUBLE) AS acctbal,
+    s.s_name AS sname,
+    n.n_name AS nation,
+    p.p_partkey AS partkey,
+    p.p_type AS ptype
+FROM part AS p
+JOIN lineitem AS l ON p.p_partkey = l.l_partkey
+JOIN supplier AS s ON s.s_suppkey = l.l_suppkey
+JOIN nation AS n ON s.s_nationkey = n.n_nationkey
+JOIN region AS r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+  AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice)
+      FROM lineitem AS l2
+      JOIN supplier AS s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation AS n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region AS r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+TPCH_Q6_SQL = """
+SELECT
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+TPCH_Q7_SQL = """
+SELECT
+    supp_nation,
+    cust_nation,
+    l_year,
+    CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS revenue
+FROM (
+    SELECT
+        n1.n_name AS supp_nation,
+        n2.n_name AS cust_nation,
+        CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+        CAST(l.l_extendedprice AS DECIMAL(18,4))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume
+    FROM supplier AS s
+    JOIN lineitem AS l ON s.s_suppkey = l.l_suppkey
+    JOIN orders AS o ON o.o_orderkey = l.l_orderkey
+    JOIN customer AS c ON c.c_custkey = o.o_custkey
+    JOIN nation AS n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation AS n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+) AS shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+TPCH_Q8_SQL = """
+SELECT
+    o_year,
+    CAST(ROUND(
+        CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT
+        CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+        CAST(l.l_extendedprice AS DECIMAL(18,4))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume,
+        n2.n_name AS nation
+    FROM part AS p
+    JOIN lineitem AS l ON p.p_partkey = l.l_partkey
+    JOIN supplier AS s ON s.s_suppkey = l.l_suppkey
+    JOIN orders AS o ON l.l_orderkey = o.o_orderkey
+    JOIN customer AS c ON o.o_custkey = c.c_custkey
+    JOIN nation AS n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region AS r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation AS n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+) AS all_nations
+GROUP BY o_year
+"""
+
+TPCH_Q9_SQL = """
+SELECT
+    nation,
+    o_year,
+    CAST(ROUND(SUM(amount), 4) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT
+        n.n_name AS nation,
+        CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+        CAST(l.l_extendedprice AS DECIMAL(18,4))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS amount
+    FROM part AS p
+    JOIN lineitem AS l ON p.p_partkey = l.l_partkey
+    JOIN supplier AS s ON s.s_suppkey = l.l_suppkey
+    JOIN orders AS o ON o.o_orderkey = l.l_orderkey
+    JOIN nation AS n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+) AS profit
+GROUP BY nation, o_year
+"""
+
+TPCH_Q11_SQL = """
+SELECT
+    l_partkey AS partkey,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > (
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 0.00085
+    FROM lineitem
+)
+"""
+
+TPCH_Q13_SQL = """
+SELECT
+    c_count,
+    CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT
+        c.c_custkey,
+        CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer AS c
+    LEFT JOIN orders AS o
+           ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) AS c_orders
+GROUP BY c_count
+"""
+
+TPCH_Q14_SQL = """
+SELECT
+    CAST(ROUND(100.0
+        * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                        ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+        6) AS DOUBLE) AS promo_revenue
+FROM lineitem AS l
+JOIN part AS p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+TPCH_Q15_SQL = """
+WITH revenue AS (
+    SELECT
+        l_suppkey AS supplier_no,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT
+    s.s_suppkey AS suppkey,
+    s.s_name AS name,
+    CAST(ROUND(r.total_revenue, 4) AS DOUBLE) AS total_revenue
+FROM supplier AS s
+JOIN revenue AS r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+TPCH_Q17_SQL = """
+SELECT
+    CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / 7.0, 4) AS DOUBLE) AS avg_yearly
+FROM lineitem AS l
+JOIN part AS p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND p.p_size = 5
+  AND l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity)
+      FROM lineitem AS l2
+      WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+TPCH_Q19_SQL = """
+SELECT
+    CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+FROM lineitem AS l
+JOIN part AS p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+TPCH_Q20_SQL = """
+SELECT
+    s.s_suppkey AS suppkey,
+    s.s_name AS name
+FROM supplier AS s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem AS l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    )
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_suppkey
+    HAVING SUM(l.l_quantity) > 50
+)
+  AND s.s_nationkey IN (
+      SELECT n_nationkey FROM nation
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+                       'NATION_4', 'NATION_5')
+  )
+"""
+
+TPCH_Q21_SQL = """
+SELECT
+    s.s_name AS name,
+    CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier AS s
+JOIN lineitem AS l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders AS o ON o.o_orderkey = l1.l_orderkey
+JOIN nation AS n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = 'NATION_1'
+  AND EXISTS (
+      SELECT 1 FROM lineitem AS l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem AS l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+"""
+
 ROLLUP_SQL = """
 SELECT
     l_returnflag,
@@ -511,6 +777,97 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: rich no-order customers (scalar subquery + anti join)."""
     _cat(spark, sf_dir)
     return spark.sql(TPCH_Q22_SQL)
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost-supplier per part via correlated MIN
+    subquery (reshaped onto lineitem prices; no partsupp in corpus)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q2_SQL)
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — pure scan+filter+agg; the
+    filters must reach PushedFilters for a scan-bound plan."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q6_SQL)
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations by year (5-way
+    join with a disjunctive cross-nation predicate)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q7_SQL)
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — 7-way join + conditional
+    aggregation ratio."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q8_SQL)
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year
+    (LIKE-filtered part join; supplycost term dropped — no partsupp)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q9_SQL)
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important-stock parts via scalar-subquery
+    HAVING threshold (reshaped onto lineitem value; no partsupp)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q11_SQL)
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution (LEFT JOIN with an
+    extra join-side predicate, double aggregation)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q13_SQL)
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional-agg ratio over a
+    month of lineitem."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q14_SQL)
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by quarterly revenue — CTE referenced
+    twice + scalar MAX subquery."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q15_SQL)
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — correlated AVG
+    subquery per part (p_container absent; brand+size filter)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q17_SQL)
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicate revenue
+    (OR-of-ANDs across both join sides)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q19_SQL)
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping excess filtered parts —
+    nested IN subqueries + HAVING (availqty term reshaped; no partsupp)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q20_SQL)
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — EXISTS +
+    NOT EXISTS correlated anti-join pair (late marker: l_returnflag)."""
+    _cat(spark, sf_dir)
+    return spark.sql(TPCH_Q21_SQL)
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1800,6 +2157,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_max_watermark": q_scalar_max_watermark,
         "pivot_event_counts": q_pivot_event_counts,
         "unpivot_metrics": q_unpivot_metrics,
+        # round-4 additions (rotate into the checked window next round)
+        "tpch_q2": q_tpch_q2,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
     }
 
 
@@ -1817,6 +2188,19 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": TPCH_Q12_SQL,
         "tpch_q16": TPCH_Q16_SQL,
         "tpch_q22": TPCH_Q22_SQL,
+        "tpch_q2": TPCH_Q2_SQL,
+        "tpch_q6": TPCH_Q6_SQL,
+        "tpch_q7": TPCH_Q7_SQL,
+        "tpch_q8": TPCH_Q8_SQL,
+        "tpch_q9": TPCH_Q9_SQL,
+        "tpch_q11": TPCH_Q11_SQL,
+        "tpch_q13": TPCH_Q13_SQL,
+        "tpch_q14": TPCH_Q14_SQL,
+        "tpch_q15": TPCH_Q15_SQL,
+        "tpch_q17": TPCH_Q17_SQL,
+        "tpch_q19": TPCH_Q19_SQL,
+        "tpch_q20": TPCH_Q20_SQL,
+        "tpch_q21": TPCH_Q21_SQL,
         "rollup_agg": ROLLUP_SQL,
         "cube_agg": CUBE_SQL,
         "grouping_sets": GROUPING_SETS_SQL,
