@@ -27,6 +27,7 @@ def plans(spark):
         "star_join_agg", "pricing_summary", "star_join_wide", "topk_per_group",
         "incremental_filter", "distinct_agg", "tpch_q3", "tpch_q18",
         "pack_sequences", "chunk_documents", "stratified_sample",
+        "tpch_q6", "tpch_q13", "tpch_q19", "tpch_q21",
     )}
 
 
@@ -113,3 +114,38 @@ def test_stratified_sample_is_pure_filter(plans):
     aggregation, no join."""
     p = plans["stratified_sample"]
     assert "Exchange" not in p and "Join" not in p and "Aggregate" not in p
+
+
+def test_tpch_q6_is_scan_bound(plans):
+    """Q6 is filter+agg only: all three predicates reach the scan and
+    the single exchange is the final-aggregate gather."""
+    p = plans["tpch_q6"]
+    # (the PushedFilters list renders truncated; the scan-stage Filter
+    # carries the full predicates)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert ">= 1996-01-01 00:00:00)" in p and "< 1997-01-01 00:00:00)" in p
+    assert "< 24.0)" in p
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+
+
+def test_tpch_q19_disjunction_pushes_to_scan(plans):
+    """The OR-of-ANDs quantity clauses must reach PushedFilters — losing
+    the Or() pushdown turns a selective scan into a full read + post
+    filter at 100 TB."""
+    p = plans["tpch_q19"]
+    assert "Or(" in p.split("PushedFilters")[1][:400]
+    assert p.count("SortMergeJoin") == 0  # part side broadcasts
+
+
+def test_tpch_q21_plans_semi_and_anti(plans):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; a full join + dedup
+    for either is a regression."""
+    p = plans["tpch_q21"]
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_tpch_q13_join_side_predicate_pushes(plans):
+    """The extra LEFT-JOIN-side predicate filters orders BEFORE the join
+    (pushed to the orders scan), not after."""
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plans["tpch_q13"]
