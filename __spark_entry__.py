@@ -45,6 +45,7 @@ from dataeng_azure_spotify_spark.operators.graph import (
     connected_components,
 )
 from dataeng_azure_spotify_spark.operators.curation import (
+    cap_per_source,
     chunk_documents,
     contamination_check,
     length_quantile_filter,
@@ -52,6 +53,10 @@ from dataeng_azure_spotify_spark.operators.curation import (
     repetition_stats,
     source_mix,
     stratified_sample,
+)
+from dataeng_azure_spotify_spark.operators.ranking import (
+    bm25_topk,
+    tfidf_top_terms,
 )
 from dataeng_azure_spotify_spark.operators.scd import (
     END_COL,
@@ -1518,6 +1523,28 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(cat["documents"], chunk_size=64, overlap=8)
 
 
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: at most 10 docs per source in doc_id order."""
+    cat = _cat(spark, sf_dir)
+    return cap_per_source(cat["documents"], max_per_key=10)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by (rational-idf) TF-IDF."""
+    cat = _cat(spark, sf_dir)
+    return tfidf_top_terms(cat["documents"], k=5)
+
+
+#: Fixed BM25 demo query — vocabulary drawn from the synthetic corpus.
+BM25_QUERY_TERMS = ["spark", "hash", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed bag-of-terms query."""
+    cat = _cat(spark, sf_dir)
+    return bm25_topk(cat["documents"], BM25_QUERY_TERMS, k=20)
+
+
 # --- DuckDB oracle SQL builders for the LLM-pipeline ops -------------------
 # These mirror the Spark implementations primitive-for-primitive:
 # tokens = whitespace split of trimmed text; hash60(x) = first 15 hex chars
@@ -2082,6 +2109,95 @@ FROM cells
 """
 
 
+def _cap_per_source_oracle(k: int) -> str:
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS __rn
+    FROM documents
+) t WHERE __rn <= {k}
+"""
+
+
+def _tfidf_oracle(k: int) -> str:
+    # score mirrors operators/ranking.py: exact-int product cast to DOUBLE,
+    # divided by exact-int cast to DOUBLE — bit-identical IEEE division
+    score = (
+        "CAST(tf.tf * (n.n_docs + 1) AS DOUBLE)"
+        " / CAST(dft.df_t + 1 AS DOUBLE)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+), dft AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, score, rank FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, {score} AS score,
+           CAST(row_number() OVER (
+               PARTITION BY tf.doc_id ORDER BY {score} DESC, tf.term
+           ) AS BIGINT) AS rank
+    FROM tf JOIN dft USING (term) CROSS JOIN n
+) ranked WHERE rank <= {k}
+"""
+
+
+def _bm25_oracle(terms: list[str], k: int, k1: float, b: float) -> str:
+    # literal doubles are emitted via repr() of the SAME Python floats the
+    # Spark side uses, so both engines parse identical values
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    idf = (
+        "((CAST(stats.n_docs - dft.df_t AS DOUBLE) + 0.5)"
+        " / (CAST(dft.df_t AS DOUBLE) + 0.5))"
+    )
+    tf_norm = (
+        f"((CAST(m.tf AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(m.tf AS DOUBLE) + {k1!r}"
+        f" * ({1.0 - b!r} + {b!r}"
+        " * (CAST(dl.dl AS DOUBLE)"
+        " / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))))"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+), m AS (
+    SELECT * FROM tf WHERE term IN ({in_list})
+), dft AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM m GROUP BY term
+), dl AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl FROM documents
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl
+    FROM dl
+), scored AS (
+    SELECT m.doc_id,
+           CAST(FLOOR({idf} * {tf_norm} * 1e10) AS BIGINT) AS s_fixed
+    FROM m
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = m.doc_id
+    CROSS JOIN stats
+), tot AS (
+    SELECT doc_id, CAST(SUM(s_fixed) AS BIGINT) AS s_total
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score, rank FROM (
+    SELECT doc_id, CAST(s_total AS DOUBLE) / 1e10 AS score,
+           CAST(row_number() OVER (
+               ORDER BY CAST(s_total AS DOUBLE) / 1e10 DESC, doc_id
+           ) AS BIGINT) AS rank
+    FROM tot
+) ranked WHERE rank <= {k}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_star_join_agg(spark, SF_SMOKE)
@@ -2171,6 +2287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "cap_per_source": q_cap_per_source,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -2368,4 +2487,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantile_filter": _length_quantile_oracle(0.05, 0.95),
         "source_mix": _SOURCE_MIX_ORACLE,
         "chunk_documents": _chunk_documents_oracle(chunk_size=64, overlap=8),
+        "cap_per_source": _cap_per_source_oracle(k=10),
+        "tfidf_top_terms": _tfidf_oracle(k=5),
+        "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, k=20, k1=1.2, b=0.75),
     }

@@ -305,3 +305,26 @@ def source_mix(
             "doc_share_ppm"
         ),
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    key_col: str = "source",
+    order_col: str = "doc_id",
+    max_per_key: int = 10,
+) -> DataFrame:
+    """Per-source quota: keep at most ``max_per_key`` documents per
+    ``key_col``, chosen deterministically in ``order_col`` order — the
+    domain-cap step that stops one crawl source from dominating the mix.
+
+    One shuffle on the source key; the ``row_number() <= k`` filter
+    plans as ``WindowGroupLimit``, so each map task forwards at most k
+    rows per source it sees before the exchange — a hot source costs
+    (k × tasks) shuffled rows, not its full row count.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_key)
+        .drop("__rn")
+    )

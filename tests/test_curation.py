@@ -149,3 +149,17 @@ def test_chunk_documents_overlap_and_coverage(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_cap_per_source_caps_deterministically(spark):
+    from dataeng_azure_spotify_spark.operators.curation import cap_per_source
+
+    rows = [(i, f"src{i % 2}") for i in range(10)]  # 5 docs per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_source(df, max_per_key=3)
+    got = {(r.source, r.doc_id) for r in out.collect()}
+    # lowest 3 doc_ids survive per source
+    assert got == {("src0", 0), ("src0", 2), ("src0", 4),
+                   ("src1", 1), ("src1", 3), ("src1", 5)}
+    # cap above group size keeps everything
+    assert cap_per_source(df, max_per_key=99).count() == 10

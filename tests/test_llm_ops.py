@@ -315,3 +315,39 @@ def test_mulmod_p61_equals_bigint_arithmetic(spark):
             _mulmod_p61(a, F.col("x")).alias("r")).orderBy("x").collect()]
         want = [(a * x) % MINHASH_P for x in sorted(xs)]
         assert got == want, f"a={a}"
+
+
+def test_tfidf_rarer_terms_score_higher(spark):
+    from dataeng_azure_spotify_spark.operators.ranking import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common common"), (3, "common filler")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    doc1 = {r.term: r for r in out.filter(F.col("doc_id") == 1).collect()}
+    # tf*(N+1)/(df_t+1) with N=3: rare = 2*4/2 = 4.0, common = 1*4/4 = 1.0
+    assert doc1["rare"].rank == 1 and doc1["rare"].score == 4.0
+    assert doc1["common"].rank == 2 and doc1["common"].score == 1.0
+    # ranks are 1..k, dense per doc
+    ranks = [r.rank for r in out.filter(F.col("doc_id") == 1).collect()]
+    assert sorted(ranks) == [1, 2]
+
+
+def test_bm25_matching_docs_rank_by_hits(spark):
+    from dataeng_azure_spotify_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash window spark"),   # 3 distinct query terms
+            (2, "spark filler filler filler"),  # 1 query term
+            (3, "no match at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark", "hash", "window"], k=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 3 not in by_id            # non-matching doc absent
+    assert by_id[1].rank == 1        # multi-term doc wins
+    assert by_id[1].score > by_id[2].score > 0
+    assert sorted(r.rank for r in out) == [1, 2]
