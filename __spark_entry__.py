@@ -2204,11 +2204,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver's correctness harness checks the first 50
-    # entries in dict order. The LLM-pipeline queries (previously driver-
-    # unchecked) are listed FIRST so they all receive driver CORRECTNESS
-    # rows; 13 thrice-proven cheap relational queries (green in r1-r3,
-    # still pytest-oracle-checked at sf0.001) rotate to the back.
+    # Ordering note: the driver's correctness harness checks the FIRST 50
+    # entries in dict order, so the window is spent on queries that have
+    # never had a driver CORRECTNESS row plus the complex families worth
+    # re-certifying each round (SCD, dedup/clusters, event windows).
+    # Positions 1-13: the LLM-pipeline tier (driver-unchecked before r4).
+    # Positions 14-29: round-4 additions (TPC-H completion + ranking).
+    # Positions 30-50: complex proven queries kept under regression watch.
+    # Positions 51+: cheap relational queries green in r1-r3 driver runs;
+    # still verified every round by the pytest oracle sweep at sf0.001.
     return {
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2223,57 +2227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantile_filter": q_length_quantile_filter,
         "source_mix": q_source_mix,
         "chunk_documents": q_chunk_documents,
-        "star_join": q_star_join,
-        "star_join_wide": q_star_join_wide,
-        "star_join_agg": q_star_join_agg,
-        "pricing_summary": q_pricing_summary,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q22": q_tpch_q22,
-        "incremental_filter": q_incremental_filter,
-        "expectations_drop": q_expectations_drop,
-        "dedup_latest_per_key": q_dedup_latest,
-        "email_validation": q_email_validation,
-        "topk_per_group": q_topk_per_group,
-        "events_tumbling_window": q_events_tumbling,
-        "scd1_upsert": q_scd1_upsert,
-        "scd2_history": q_scd2_history,
-        "scd2_incremental": q_scd2_incremental,
-        "running_totals": q_running_totals,
-        "json_extract_agg": q_json_extract_agg,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "events_sliding_window": q_events_sliding_window,
-        "events_session_window": q_events_session_window,
-        "text_stats": q_text_stats,
-        "token_counts": q_token_counts,
-        "corpus_curation": q_corpus_curation,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "pii_redaction": q_pii_redaction,
-        "gopher_quality": q_gopher_quality,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "grouping_sets": q_grouping_sets,
-        "value_histogram": q_value_histogram,
-        "percentile_summary": q_percentile_summary,
-        "distinct_agg": q_distinct_agg,
-        "approx_distinct": q_approx_distinct,
-        "set_ops": q_set_ops,
-        "bucketize_case_when": q_bucketize,
-        "constant_injection": q_constant_injection,
-        "scalar_max_watermark": q_scalar_max_watermark,
-        "pivot_event_counts": q_pivot_event_counts,
-        "unpivot_metrics": q_unpivot_metrics,
-        # round-4 additions (rotate into the checked window next round)
         "tpch_q2": q_tpch_q2,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -2290,6 +2243,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
+        "star_join_agg": q_star_join_agg,
+        "pricing_summary": q_pricing_summary,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q22": q_tpch_q22,
+        "scd1_upsert": q_scd1_upsert,
+        "scd2_history": q_scd2_history,
+        "scd2_incremental": q_scd2_incremental,
+        "events_sliding_window": q_events_sliding_window,
+        "events_session_window": q_events_session_window,
+        "range_join": q_range_join,
+        "corpus_curation": q_corpus_curation,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "star_join": q_star_join,
+        "star_join_wide": q_star_join_wide,
+        "incremental_filter": q_incremental_filter,
+        "expectations_drop": q_expectations_drop,
+        "dedup_latest_per_key": q_dedup_latest,
+        "email_validation": q_email_validation,
+        "topk_per_group": q_topk_per_group,
+        "events_tumbling_window": q_events_tumbling,
+        "running_totals": q_running_totals,
+        "json_extract_agg": q_json_extract_agg,
+        "asof_join": q_asof_join,
+        "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
+        "dedup_exact": q_dedup_exact,
+        "pii_redaction": q_pii_redaction,
+        "gopher_quality": q_gopher_quality,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
+        "value_histogram": q_value_histogram,
+        "percentile_summary": q_percentile_summary,
+        "distinct_agg": q_distinct_agg,
+        "approx_distinct": q_approx_distinct,
+        "set_ops": q_set_ops,
+        "bucketize_case_when": q_bucketize,
+        "constant_injection": q_constant_injection,
+        "scalar_max_watermark": q_scalar_max_watermark,
+        "pivot_event_counts": q_pivot_event_counts,
+        "unpivot_metrics": q_unpivot_metrics,
     }
 
 
