@@ -115,14 +115,14 @@ def bm25_topk(
     (standard BM25), not just query matches.
     """
     tf = _doc_terms(df, text_col, id_col)
-    dl = _spread(df).select(
-        F.col(id_col).alias("doc"),
-        F.size(tokens_col(text_col)).cast("long").alias("dl"),
-    )
+    # doc length = sum of term frequencies — derived from tf instead of a
+    # second tokenize pass over the corpus. Zero-token docs are absent
+    # here, which is fine: they can't match a query term, and they add 0
+    # to sum_dl; n_docs counts the full corpus below.
+    dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
     # corpus stats ride as a 1-row broadcast; avgdl divides exact ints
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
+    stats = dl.agg(F.sum("dl").cast("long").alias("sum_dl")).crossJoin(
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     matches = tf.filter(F.col("term").isin(list(query_terms)))
