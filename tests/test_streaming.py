@@ -231,3 +231,69 @@ def test_watermarked_window_agg_stream_matches_batch_twin(spark, tmp_path):
     assert got == batch_twin
     # the sentinel window is inside the lateness horizon: not emitted
     assert not any(t == "x" for _, t, _ in got)
+
+
+def test_watermarked_session_window_stream_matches_batch_twin(spark, tmp_path):
+    """Session windows (30-min gap) under watermark, append mode: sessions
+    merge across micro-batches in state and emit once the watermark
+    passes their close; the converged sink equals the batch twin."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "sess")
+    chk = str(tmp_path / "chk")
+    base = dt.datetime(2024, 4, 1, 0, 0, 0)
+
+    def ev(minutes, user):
+        return Row(ts=base + dt.timedelta(minutes=minutes), user_id=user)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .parquet(src)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        write_silver_stream(stream, sink, chk)
+
+    _write_batch(spark, src, [ev(0, 1), ev(10, 1), ev(5, 2)])
+    drain()
+    # u1@20 merges into u1's open session across the batch boundary;
+    # u1@120 opens a second session; u99 is the watermark-advancing sentinel
+    _write_batch(spark, src, [ev(20, 1), ev(120, 1), ev(300, 99)])
+    drain()
+    _write_batch(spark, src, [ev(301, 99)])
+    drain()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch_twin = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in (
+            spark.read.parquet(src)
+            .filter(F.col("user_id") != 99)
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert got == batch_twin
+    # the cross-batch merge produced ONE 3-event session for user 1
+    assert (1, base, base + dt.timedelta(minutes=50), 3) in got
+    # sentinel sessions stay inside the lateness horizon: never emitted
+    assert not any(u == 99 for u, *_ in got)
