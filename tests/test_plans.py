@@ -28,6 +28,7 @@ def plans(spark):
         "incremental_filter", "distinct_agg", "tpch_q3", "tpch_q18",
         "pack_sequences", "chunk_documents", "stratified_sample",
         "tpch_q6", "tpch_q13", "tpch_q19", "tpch_q21",
+        "tfidf_top_terms", "bm25_search",
     )}
 
 
@@ -149,3 +150,18 @@ def test_tpch_q13_join_side_predicate_pushes(plans):
     """The extra LEFT-JOIN-side predicate filters orders BEFORE the join
     (pushed to the orders scan), not after."""
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plans["tpch_q13"]
+
+
+def test_tfidf_per_doc_topk_uses_window_group_limit(plans):
+    """rank<=k per doc must push a group limit below the shuffle — each
+    map task forwards at most k candidate terms per doc it sees."""
+    assert "WindowGroupLimit" in plans["tfidf_top_terms"]
+
+
+def test_bm25_global_topk_is_take_ordered(plans):
+    """The global top-k must plan as TakeOrderedAndProject (per-partition
+    heads, tiny driver merge), never a single-partition Window over the
+    whole scored corpus."""
+    p = plans["bm25_search"]
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p  # dft/stats sides broadcast
