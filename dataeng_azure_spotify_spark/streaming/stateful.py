@@ -26,6 +26,10 @@ from typing import Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -152,4 +156,114 @@ def sessionize_batch(
 
     return df.select(key_col, ts_col).groupBy(key_col).applyInPandas(
         fold, schema=SESSION_OUTPUT_SCHEMA
+    )
+
+
+def transform_with_state_available() -> bool:
+    """True iff the ``transformWithStateInPandas`` Python worker can run.
+
+    The Spark 4.x arbitrary-state API drives its stateful worker over a
+    protobuf channel; the ``protobuf`` Python package is not installed in
+    this sandbox (no package index; installs prohibited — same situation
+    as delta-spark, see ``delta_support.py``), so the modern-API path is
+    probe-gated with an ``applyInPandasWithState`` fallback of identical
+    semantics.
+    """
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+        return False
+
+
+class _QuotaProcessor(StatefulProcessor):
+    """Per-key admission quota with a single ValueState counter — the
+    ``transformWithStateInPandas`` (Spark 4.x arbitrary-state API) twin
+    of the batch :func:`..operators.curation.cap_per_source`.
+
+    State per key is ONE long (admitted-so-far): bounded by key
+    cardinality, never by row volume — safe for unbounded 100 TB streams.
+    """
+
+    def __init__(self, order_col: str, max_per_key: int) -> None:
+        self._order_col = order_col
+        self._max = max_per_key
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._admitted = handle.getValueState("admitted", "n long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        used = self._admitted.get()[0] if self._admitted.exists() else 0
+        budget = self._max - used
+        if budget <= 0:
+            # quota exhausted in an earlier batch: drop everything
+            for _ in rows:
+                pass
+            return
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(self._order_col, kind="mergesort")
+        admit = batch.head(budget)
+        self._admitted.update((used + len(admit),))
+        if len(admit):
+            yield admit
+
+    def close(self) -> None:
+        pass
+
+
+def quota_admit_stream(
+    df: DataFrame,
+    key_col: str = "source",
+    order_col: str = "doc_id",
+    max_per_key: int = 10,
+    impl: str = "auto",
+) -> DataFrame:
+    """Streaming per-key admission quota: admit at most ``max_per_key``
+    rows per ``key_col`` over the stream's lifetime, ``order_col``-ordered
+    within each micro-batch, arrival-ordered across batches.
+
+    Single-batch output equals the batch :func:`cap_per_source`; across
+    batches the quota is enforced cumulatively through the checkpointed
+    state store (exactly-once with the file sink). Emitted rows are final
+    (admission never revokes), so the operator declares append mode.
+
+    ``impl``: ``"tws"`` uses ``transformWithStateInPandas`` (Spark 4.x
+    arbitrary-state API; needs the protobuf worker dependency and the
+    RocksDB state store provider), ``"applyInPandas"`` uses
+    ``applyInPandasWithState`` (works everywhere), ``"auto"`` picks tws
+    where its worker can run. Both carry the same one-long-per-key state
+    and admission semantics.
+    """
+    if impl == "auto":
+        impl = "tws" if transform_with_state_available() else "applyInPandas"
+    if impl == "tws":
+        return df.groupBy(key_col).transformWithStateInPandas(
+            _QuotaProcessor(order_col, max_per_key),
+            outputStructType=df.schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    if impl != "applyInPandas":
+        raise ValueError(f"unknown impl {impl!r}")
+    out_schema = df.schema
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        used = state.get[0] if state.exists else 0
+        budget = max_per_key - used
+        if budget <= 0:
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(order_col, kind="mergesort")
+        admit = batch.head(budget)
+        state.update((used + len(admit),))
+        if len(admit):
+            yield admit
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -108,3 +109,80 @@ def test_sessionize_batch_matches_session_window(spark):
         .collect()
     }
     assert ours == builtin
+
+
+from dataeng_azure_spotify_spark.streaming.stateful import (
+    quota_admit_stream,
+    transform_with_state_available,
+)
+
+#: Both quota implementations; the modern-API leg runs only where the
+#: transformWithState protobuf worker dependency is installed.
+QUOTA_IMPLS = [
+    "applyInPandas",
+    pytest.param(
+        "tws",
+        marks=pytest.mark.skipif(
+            not transform_with_state_available(),
+            reason="protobuf (transformWithState worker dep) not installed",
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("impl", QUOTA_IMPLS)
+def test_quota_admit_stream_enforces_cumulative_cap(spark, tmp_path, impl):
+    """Streaming per-key quota: at most k rows per key over the stream's
+    LIFETIME — the counter survives in the checkpointed state store
+    across bounded drains."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    if impl == "tws":  # transformWithState requires the RocksDB provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        def drain():
+            stream = spark.readStream.schema(
+                "doc_id long, source string"
+            ).parquet(src)
+            q = (
+                quota_admit_stream(stream, max_per_key=2, impl=impl)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", chk)
+                .option("path", sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        spark.createDataFrame(
+            [(3, "src0"), (1, "src0"), (2, "src0"), (10, "src1")],
+            "doc_id long, source string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()
+        got1 = {(r.doc_id, r.source) for r in spark.read.parquet(sink).collect()}
+        # order_col-ordered admission within the batch: lowest ids win
+        assert got1 == {(1, "src0"), (2, "src0"), (10, "src1")}
+
+        spark.createDataFrame(
+            [(4, "src0"), (11, "src1")], "doc_id long, source string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        drain()
+        got2 = {(r.doc_id, r.source) for r in spark.read.parquet(sink).collect()}
+        # src0's quota was exhausted in drain 1; src1 still had budget
+        assert got2 == got1 | {(11, "src1")}
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
