@@ -678,6 +678,22 @@ WINDOW wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
        wo AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
 """
 
+WINDOW_RANK_SUITE_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(DENSE_RANK() OVER wo AS BIGINT) AS price_rank,
+       CAST(PERCENT_RANK() OVER wo AS DOUBLE) AS price_pct_rank,
+       CAST(CUME_DIST() OVER wo AS DOUBLE) AS price_cume,
+       CAST(FIRST_VALUE(o_totalprice) OVER wo AS DOUBLE) AS cheapest_price,
+       CAST(LAST_VALUE(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS DOUBLE) AS priciest_price,
+       CAST(LEAD(o_totalprice, 1) OVER wo AS DOUBLE) AS next_price
+FROM orders
+WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
 # SCD2 oracle: each change row opens a version at its ts; the next change
 # for the same key (by ts, then event_id) closes it via LEAD().
 _SCD2_ORACLE_SQL = """
@@ -1154,6 +1170,16 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative/lag/ntile window suite per user over event time."""
     _cat(spark, sf_dir)
     return spark.sql(RUNNING_TOTALS_SQL)
+
+
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window suite per customer by price: dense_rank,
+    percent_rank, cume_dist, first/last_value (explicit full frame),
+    lead — complements running_totals' sum/lag/ntile coverage. All
+    outputs are rank-rational or moved values under a total order, so
+    they're deterministic across engines."""
+    _cat(spark, sf_dir)
+    return spark.sql(WINDOW_RANK_SUITE_SQL)
 
 
 def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
+        "window_rank_suite": q_window_rank_suite,
         "star_join_agg": q_star_join_agg,
         "pricing_summary": q_pricing_summary,
         "tpch_q3": q_tpch_q3,
@@ -2323,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": TPCH_Q19_SQL,
         "tpch_q20": TPCH_Q20_SQL,
         "tpch_q21": TPCH_Q21_SQL,
+        "window_rank_suite": WINDOW_RANK_SUITE_SQL,
         "rollup_agg": ROLLUP_SQL,
         "cube_agg": CUBE_SQL,
         "grouping_sets": GROUPING_SETS_SQL,
