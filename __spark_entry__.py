@@ -58,6 +58,7 @@ from dataeng_azure_spotify_spark.operators.ranking import (
     bm25_topk,
     tfidf_top_terms,
 )
+from dataeng_azure_spotify_spark.operators.similarity import quantize_embeddings
 from dataeng_azure_spotify_spark.operators.scd import (
     END_COL,
     START_COL,
@@ -1571,6 +1572,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(cat["documents"], BM25_QUERY_TERMS, k=20)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embeddings table."""
+    cat = _cat(spark, sf_dir)
+    return quantize_embeddings(cat["embeddings"])
+
+
 # --- DuckDB oracle SQL builders for the LLM-pipeline ops -------------------
 # These mirror the Spark implementations primitive-for-primitive:
 # tokens = whitespace split of trimmed text; hash60(x) = first 15 hex chars
@@ -2135,6 +2142,22 @@ FROM cells
 """
 
 
+_QUANTIZE_EMB_ORACLE = """
+SELECT vec_id,
+       CAST(maxabs / 127.0 AS DOUBLE) AS scale,
+       CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS INT))
+       END AS qvec
+FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS maxabs
+    FROM embeddings
+) t
+"""
+
+
 def _cap_per_source_oracle(k: int) -> str:
     return f"""
 SELECT doc_id, text, lang, source, n_chars FROM (
@@ -2320,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_max_watermark": q_scalar_max_watermark,
         "pivot_event_counts": q_pivot_event_counts,
         "unpivot_metrics": q_unpivot_metrics,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -2519,6 +2543,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mix": _SOURCE_MIX_ORACLE,
         "chunk_documents": _chunk_documents_oracle(chunk_size=64, overlap=8),
         "cap_per_source": _cap_per_source_oracle(k=10),
+        "quantize_embeddings": _QUANTIZE_EMB_ORACLE,
         "tfidf_top_terms": _tfidf_oracle(k=5),
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, k=20, k1=1.2, b=0.75),
     }
