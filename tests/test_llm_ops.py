@@ -351,3 +351,40 @@ def test_bm25_matching_docs_rank_by_hits(spark):
     assert by_id[1].rank == 1        # multi-term doc wins
     assert by_id[1].score > by_id[2].score > 0
     assert sorted(r.rank for r in out) == [1, 2]
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """int8 codes must reconstruct within half a quantization step
+    (|x - q*scale| <= scale/2), codes stay in [-127, 127], zero vectors
+    quantize to scale 0 + zero codes, and the plan has no shuffle."""
+    from dataeng_azure_spotify_spark.operators.similarity import quantize_embeddings
+
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    out = quantize_embeddings(emb)
+    joined = out.join(emb, "vec_id").select(
+        F.arrays_zip(
+            F.col("embedding").cast("array<double>").alias("x"),
+            F.col("qvec").cast("array<double>").alias("q"),
+        ).alias("z"),
+        "scale",
+    )
+    err = joined.select(
+        F.array_max(
+            F.transform("z", lambda p: F.abs(p["x"] - p["q"] * F.col("scale")))
+        ).alias("max_err"),
+        (F.col("scale") / 2 + F.lit(1e-12)).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+    codes = out.select(F.explode("qvec").alias("q"))
+    lo, hi = codes.agg(F.min("q"), F.max("q")).first()
+    assert -127 <= lo <= hi <= 127
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(zero).first()
+    assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
+
+    plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-parallel, scan-bound
