@@ -440,7 +440,22 @@ def ivf_topk(
     )
     assignment = ivf_assign(corpus, centroids, id_col, vec_col)
     bucketed = corpus.join(assignment, on=id_col)
+    return _probe_and_score(
+        queries, centroids, bucketed, id_col, vec_col, k, nprobe
+    )
 
+
+def _probe_and_score(
+    queries: DataFrame,
+    centroids: DataFrame,
+    bucketed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF query tail: route each query to its ``nprobe`` nearest
+    centroids, then exact-score only the probed buckets."""
     # probe list: nprobe nearest centroids per query (double arithmetic —
     # probing is approximate routing, not part of the exactness contract)
     probes = cosine_topk(
@@ -466,6 +481,103 @@ def ivf_topk(
         .withColumn("dot", _dot_double(F.col("q_vec"), F.col("c_vec")))
     )
     return _rank_topk(scored, k)
+
+
+class IvfIndex:
+    """Persisted IVF index: the amortization path for repeated ANN
+    queries that :func:`ivf_topk` (which re-runs k-means per call) only
+    documents.
+
+    ``build`` runs k-means + assignment ONCE and lands two artifacts
+    under ``path``:
+
+    - ``centroids/`` — the O(k) centroid table;
+    - ``buckets/`` — the corpus **partitioned by centroid_id**
+      (``partitionBy`` parquet), so at query time the broadcast probe
+      join triggers dynamic partition pruning and the scan touches
+      ~``nprobe/num_centroids`` of the files instead of the whole
+      corpus. At 100 TB this is the difference between an index probe
+      and a full-table pass.
+
+    ``query`` reuses the exact same probe/score tail as the on-the-fly
+    path, so recall characteristics are identical for a given centroid
+    set.
+    """
+
+    CENTROIDS = "centroids"
+    BUCKETS = "buckets"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._centroids_path = os.path.join(path, self.CENTROIDS)
+        self._buckets_path = os.path.join(path, self.BUCKETS)
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_centroids: int = 64,
+        kmeans_iters: int = 1,
+    ) -> "IvfIndex":
+        idx = cls(corpus.sparkSession, path, id_col, vec_col)
+        centroids = kmeans_centroids(
+            corpus, id_col, vec_col, k=num_centroids, iters=kmeans_iters
+        )
+        assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+        (
+            corpus.join(assignment, on=id_col)
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(idx._buckets_path)
+        )
+        centroids.write.mode("overwrite").parquet(idx._centroids_path)
+        return idx
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        return cls(spark, path, id_col, vec_col)
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self._centroids_path)
+
+    def buckets(self) -> DataFrame:
+        return self.spark.read.parquet(self._buckets_path)
+
+    def query(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 12
+    ) -> DataFrame:
+        bucketed = self.buckets().withColumn(
+            "centroid_id", F.col("centroid_id").cast("long")
+        )
+        return _probe_and_score(
+            queries,
+            self.centroids(),
+            bucketed,
+            self.id_col,
+            self.vec_col,
+            k,
+            nprobe,
+        )
 
 
 def quantize_embeddings(

@@ -388,3 +388,24 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
 
     plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # row-parallel, scan-bound
+
+
+def test_ivf_index_persists_and_prunes_partitions(spark, tmp_path):
+    """IvfIndex amortizes the k-means+assignment build: query() reads
+    the persisted centroid table and the centroid-partitioned bucket
+    table, and the broadcast probe join triggers dynamic partition
+    pruning so the scan touches only probed buckets."""
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    emb = Catalog(spark, SF).load("embeddings")
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), num_centroids=16)
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    res = IvfIndex.load(spark, str(tmp_path / "ivf")).query(qs, k=5, nprobe=8)
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(qs, emb, k=5).collect()}
+    assert len(exact & got) / len(exact) >= 0.45
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()  # probe prunes bucket partitions
+    assert idx.centroids().count() <= 16
