@@ -679,6 +679,35 @@ WINDOW wf AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
        wo AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
 """
 
+# Reference DimDate parity (spotify_initial_load.sql:36-43: date_key
+# yyyymmdd int, date, day/month/year decomposition, weekday): generate
+# the calendar dimension in-engine. Weekday is numeric (1=Sunday..7,
+# Spark dayofweek convention; the oracle shifts DuckDB's 0-based value)
+# because weekday NAMES are locale-dependent across engines. Dates cast
+# to TIMESTAMP so both engines canonicalize identically.
+DATE_DIM_SQL = """
+SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key,
+       CAST(d AS TIMESTAMP) AS date,
+       CAST(day(d) AS INT) AS day,
+       CAST(month(d) AS INT) AS month,
+       CAST(year(d) AS INT) AS year,
+       CAST(dayofweek(d) AS INT) AS weekday_num
+FROM (SELECT explode(sequence(DATE'1995-01-01', DATE'2001-12-31')) AS d)
+"""
+
+DATE_DIM_ORACLE_SQL = """
+SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key,
+       CAST(d AS TIMESTAMP) AS date,
+       CAST(day(d) AS INT) AS day,
+       CAST(month(d) AS INT) AS month,
+       CAST(year(d) AS INT) AS year,
+       CAST(dayofweek(d) + 1 AS INT) AS weekday_num
+FROM (
+    SELECT unnest(generate_series(
+        DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d
+) t
+"""
+
 WINDOW_RANK_SUITE_SQL = """
 SELECT o_orderkey,
        o_custkey,
@@ -1171,6 +1200,12 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative/lag/ntile window suite per user over event time."""
     _cat(spark, sf_dir)
     return spark.sql(RUNNING_TOTALS_SQL)
+
+
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension (reference DimDate parity: date_key
+    yyyymmdd, day/month/year decomposition, numeric weekday)."""
+    return spark.sql(DATE_DIM_SQL)
 
 
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2344,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "unpivot_metrics": q_unpivot_metrics,
         "quantize_embeddings": q_quantize_embeddings,
+        "date_dim": q_date_dim,
     }
 
 
@@ -2544,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_oracle(chunk_size=64, overlap=8),
         "cap_per_source": _cap_per_source_oracle(k=10),
         "quantize_embeddings": _QUANTIZE_EMB_ORACLE,
+        "date_dim": DATE_DIM_ORACLE_SQL,
         "tfidf_top_terms": _tfidf_oracle(k=5),
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, k=20, k1=1.2, b=0.75),
     }
