@@ -41,6 +41,7 @@ from dataeng_azure_spotify_spark.operators.dedup import (
 from dataeng_azure_spotify_spark.operators.asof import asof_join, range_join
 from dataeng_azure_spotify_spark.functions.pii import redact_pii
 from dataeng_azure_spotify_spark.operators.graph import (
+    component_representatives,
     component_sizes,
     connected_components,
 )
@@ -1486,6 +1487,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVOR selection: after clustering (same pair graph as
+    dedup_clusters), keep exactly one doc per near-dup cluster — the
+    longest by whitespace token count, ties to the smallest doc_id (the
+    keep-the-most-complete-copy curation policy)."""
+    from dataeng_azure_spotify_spark.functions.text import token_count
+
+    cat = _cat(spark, sf_dir)
+    docs = cat["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    scores = docs.select(
+        F.col("doc_id").alias("node"), token_count("text").alias("n_tokens")
+    )
+    reps = component_representatives(labels, scores, score_col="n_tokens")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return reps.join(sizes, "component").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.col("cluster_size"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup join (16 hashes, 8 bands), Jaccard-verified."""
     cat = _cat(spark, sf_dir)
@@ -1820,6 +1850,45 @@ SELECT CAST(comp.node AS BIGINT) AS doc_id,
        CAST(comp.cluster_id AS BIGINT) AS cluster_id,
        CAST(csize.cluster_size AS BIGINT) AS cluster_size
 FROM comp JOIN csize USING (cluster_id)
+"""
+
+
+def _dedup_keep_best_oracle(threshold: float) -> str:
+    """Clusters oracle + survivor window: longest doc (whitespace token
+    count) per cluster, ties to smallest doc_id."""
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+dup AS (
+    SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM dup
+), reach(node, r) AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT e.v AS node, reach.r AS r
+    FROM reach JOIN edges e ON e.u = reach.node
+), comp AS (
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+), csize AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+), toklen AS (
+    SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, cluster_id, cluster_size, n_tokens FROM (
+    SELECT CAST(comp.node AS BIGINT) AS doc_id,
+           CAST(comp.cluster_id AS BIGINT) AS cluster_id,
+           CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+           toklen.n_tokens,
+           row_number() OVER (
+               PARTITION BY comp.cluster_id
+               ORDER BY toklen.n_tokens DESC, comp.node
+           ) AS rn
+    FROM comp
+    JOIN csize USING (cluster_id)
+    JOIN toklen ON toklen.doc_id = comp.node
+) ranked WHERE rn = 1
 """
 
 
@@ -2380,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "quantize_embeddings": q_quantize_embeddings,
         "date_dim": q_date_dim,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -2581,6 +2651,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _cap_per_source_oracle(k=10),
         "quantize_embeddings": _QUANTIZE_EMB_ORACLE,
         "date_dim": DATE_DIM_ORACLE_SQL,
+        "dedup_keep_best": _dedup_keep_best_oracle(0.5),
         "tfidf_top_terms": _tfidf_oracle(k=5),
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, k=20, k1=1.2, b=0.75),
     }

@@ -49,7 +49,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -267,3 +267,30 @@ def component_sizes(labels: DataFrame, id_col: str = "node") -> DataFrame:
     """Attach per-component cardinality: (id_col, component, size)."""
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     return labels.join(sizes, "component").select(id_col, "component", "size")
+
+
+def component_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "node",
+    score_col: str = "score",
+) -> DataFrame:
+    """One survivor per component: the member with the highest score,
+    ties broken by smallest id — the keep-one selection a dedup pipeline
+    applies after clustering (detect → cluster → keep best).
+
+    ``scores``: (id_col, score_col). The ``rank()<=1`` filter plans as
+    ``WindowGroupLimit``, so each map task forwards one candidate per
+    component it sees before the shuffle. Returns
+    (id_col, component, score_col) — one row per component.
+    """
+    joined = labels.join(scores, id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(id_col, "component", score_col)
+    )

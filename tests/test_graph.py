@@ -101,3 +101,18 @@ def test_star_matches_propagation_on_random_graph(spark):
     a = _labels(connected_components(edges, nodes=nodes, method="propagation"))
     b = _labels(connected_components(edges, nodes=nodes, method="star"))
     assert a == b
+
+
+def test_component_representatives_picks_highest_score(spark):
+    from dataeng_azure_spotify_spark.operators.graph import component_representatives
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2)], "node long, score long"
+    )
+    out = {(r.component, r.node, r.score)
+           for r in component_representatives(labels, scores).collect()}
+    # component 1: score tie 9 between nodes 2 and 3 -> smallest id wins
+    assert out == {(1, 2, 9), (10, 10, 4)}
