@@ -47,6 +47,7 @@ from dataeng_azure_spotify_spark.operators.graph import (
 )
 from dataeng_azure_spotify_spark.operators.curation import (
     cap_per_source,
+    sample_exact_n,
     chunk_documents,
     contamination_check,
     length_quantile_filter,
@@ -1615,6 +1616,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(cat["documents"], chunk_size=64, overlap=8)
 
 
+def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-100 uniform sample of the documents table."""
+    cat = _cat(spark, sf_dir)
+    return sample_exact_n(cat["documents"], n=100)
+
+
 def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota: at most 10 docs per source in doc_id order."""
     cat = _cat(spark, sf_dir)
@@ -2262,6 +2269,14 @@ FROM (
 """
 
 
+_SAMPLE_EXACT_N_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+ORDER BY ('0x' || substr(md5('samp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         doc_id
+LIMIT 100
+"""
+
+
 def _cap_per_source_oracle(k: int) -> str:
     return f"""
 SELECT doc_id, text, lang, source, n_chars FROM (
@@ -2450,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "date_dim": q_date_dim,
         "dedup_keep_best": q_dedup_keep_best,
+        "sample_exact_n": q_sample_exact_n,
     }
 
 
@@ -2652,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _QUANTIZE_EMB_ORACLE,
         "date_dim": DATE_DIM_ORACLE_SQL,
         "dedup_keep_best": _dedup_keep_best_oracle(0.5),
+        "sample_exact_n": _SAMPLE_EXACT_N_ORACLE,
         "tfidf_top_terms": _tfidf_oracle(k=5),
         "bm25_search": _bm25_oracle(BM25_QUERY_TERMS, k=20, k1=1.2, b=0.75),
     }

@@ -328,3 +328,28 @@ def cap_per_source(
         .filter(F.col("__rn") <= max_per_key)
         .drop("__rn")
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Exactly-n uniform sample, deterministic on any engine.
+
+    Rows rank by ``hash60(salt || id)`` (ties by id) and the first n
+    win — a seeded shuffle without RNG state, so the same corpus gives
+    the same sample everywhere and re-runs are replay-safe.
+    :func:`stratified_sample` keeps a hash-gated *fraction* (no global
+    coordination); this keeps an exact *count*, and the sort+limit plans
+    as ``TakeOrderedAndProject`` (per-partition heads, tiny driver
+    merge) — never a full global sort.
+    """
+    rank = hash60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__rk", rank)
+        .orderBy("__rk", id_col)
+        .limit(n)
+        .drop("__rk")
+    )
