@@ -47,6 +47,7 @@ from dataeng_azure_spotify_spark.operators.graph import (
 )
 from dataeng_azure_spotify_spark.operators.curation import (
     cap_per_source,
+    decontaminate,
     sample_exact_n,
     chunk_documents,
     contamination_check,
@@ -1616,6 +1617,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(cat["documents"], chunk_size=64, overlap=8)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving training docs after exact 5-gram decontamination
+    against the id%97 held-out slice (remove step of the
+    contamination_check report)."""
+    cat = _cat(spark, sf_dir)
+    return decontaminate(cat["documents"], n=5, test_mod=97)
+
+
 def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-100 uniform sample of the documents table."""
     cat = _cat(spark, sf_dir)
@@ -2183,6 +2192,22 @@ GROUP BY 1
 """
 
 
+def _decontaminate_oracle(n: int, test_mod: int) -> str:
+    return f"""
+WITH {_word_grams_cte(n)}, g AS (
+    SELECT DISTINCT doc, {_duck_hash60('gram')} AS g FROM gramrows
+), test AS (SELECT DISTINCT g FROM g WHERE doc % {test_mod} = 0),
+bad AS (
+    SELECT DISTINCT g.doc FROM g JOIN test USING (g)
+    WHERE g.doc % {test_mod} <> 0
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % {test_mod} <> 0
+  AND d.doc_id NOT IN (SELECT doc FROM bad)
+"""
+
+
 def _repetition_oracle(n: int) -> str:
     return f"""
 WITH {_word_grams_cte(n)}, per AS (
@@ -2417,11 +2442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
-        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q22": q_tpch_q22,
+        "quantize_embeddings": q_quantize_embeddings,
+        "date_dim": q_date_dim,
+        "dedup_keep_best": q_dedup_keep_best,
+        "sample_exact_n": q_sample_exact_n,
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
@@ -2435,6 +2460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q22": q_tpch_q22,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -2462,10 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_max_watermark": q_scalar_max_watermark,
         "pivot_event_counts": q_pivot_event_counts,
         "unpivot_metrics": q_unpivot_metrics,
-        "quantize_embeddings": q_quantize_embeddings,
-        "date_dim": q_date_dim,
-        "dedup_keep_best": q_dedup_keep_best,
-        "sample_exact_n": q_sample_exact_n,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2659,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_ORACLE,
         "pack_sequences": _pack_sequences_oracle(budget=512, shards=32),
         "contamination_check": _contamination_oracle(n=5, test_mod=97),
+        "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
         "repetition_stats": _repetition_oracle(n=3),
         "stratified_sample": _stratified_sample_oracle(en_pct=40),
         "length_quantile_filter": _length_quantile_oracle(0.05, 0.95),

@@ -353,3 +353,32 @@ def sample_exact_n(
         .limit(n)
         .drop("__rk")
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    test_mod: int = 97,
+) -> DataFrame:
+    """The REMOVE step after :func:`contamination_check`: drop every
+    training document sharing at least one word n-gram with the held-out
+    slice, and return the surviving training corpus (the test slice is
+    excluded by definition — it is eval data, not training data).
+
+    Same gram-hash equi-join as the check; the kill set is distinct doc
+    ids, applied with a left-anti join — at 100 TB that is one 8-byte-key
+    shuffle plus an anti join on the id, no text moves twice.
+    """
+    grams = _gram_hashes(df, text_col, id_col, n)
+    is_test = F.pmod(F.col("doc"), F.lit(test_mod)) == 0
+    test_grams = grams.filter(is_test).select("g").distinct()
+    contaminated = (
+        grams.filter(~is_test)
+        .join(test_grams, "g")
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
+    train = df.filter(F.pmod(F.col(id_col), F.lit(test_mod)) != 0)
+    return train.join(contaminated, id_col, "left_anti")
