@@ -523,3 +523,65 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
+
+
+class IncrementalDedup:
+    """Cross-run exact dedup: admit only documents whose normalized-text
+    hash has never been seen in ANY previous run — the shape a
+    continuously-ingesting corpus needs (each crawl batch dedups against
+    the historical corpus, not just itself).
+
+    State = a parquet directory of seen hashes (8-byte md5-derived keys,
+    ~16 bytes/doc on disk): at 100 TB of corpus that is a few GB of
+    state, joined as an integer equi-join (AQE may elect broadcast while
+    small). ``admit`` is idempotent per batch content: re-admitting the
+    same rows yields zero new admissions, so replays under exactly-once
+    sinks are safe. Within a batch, duplicate groups keep the lowest id
+    (same policy as :func:`exact_dedup_groups`).
+    """
+
+    def __init__(self, spark, state_dir: str) -> None:
+        import os
+
+        self.spark = spark
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _seen(self) -> DataFrame:
+        import os
+
+        if not any(f.endswith(".parquet") for f in os.listdir(self.state_dir)):
+            return self.spark.createDataFrame([], "text_hash string")
+        return self.spark.read.parquet(self.state_dir)
+
+    def admit(
+        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Return the admitted slice of ``batch`` and record its hashes.
+
+        Two passes over the (small) batch, one anti join against state:
+        in-batch dedup keeps the lowest id per hash, then hashes already
+        in the historical state are dropped.
+        """
+        hashed = batch.withColumn(
+            "__h", F.md5(normalize_text(text_col))
+        )
+        w = Window.partitionBy("__h").orderBy(id_col)
+        in_batch = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        fresh = in_batch.join(
+            self._seen().withColumnRenamed("text_hash", "__h"),
+            "__h",
+            "left_anti",
+        )
+        # Materialize admissions BEFORE appending state, so the returned
+        # DataFrame doesn't re-plan against the grown state on a later
+        # action. localCheckpoint = executor-side, no driver collect.
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.select(F.col("__h").alias("text_hash")).write.mode(
+            "append"
+        ).parquet(self.state_dir)
+        return fresh.drop("__h")

@@ -409,3 +409,29 @@ def test_ivf_index_persists_and_prunes_partitions(spark, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()  # probe prunes bucket partitions
     assert idx.centroids().count() <= 16
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Cross-run exact dedup: batch 2 must not re-admit content already
+    admitted in batch 1 (even under a different doc_id), in-batch dup
+    groups keep the lowest id, and re-admitting a batch is a no-op."""
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalDedup
+
+    d = IncrementalDedup(spark, str(tmp_path / "seen"))
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    a1 = {r.doc_id for r in d.admit(b1).collect()}
+    assert a1 == {1, 3}  # in-batch dup 2 dropped, lowest id kept
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha  beta"), (11, "epsilon zeta")],  # 10 = seen (normalized)
+        "doc_id long, text string",
+    )
+    a2 = {r.doc_id for r in d.admit(b2).collect()}
+    assert a2 == {11}
+
+    # replay of batch 2 admits nothing (idempotent under retries)
+    assert d.admit(b2).count() == 0
