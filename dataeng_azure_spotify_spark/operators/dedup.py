@@ -343,6 +343,32 @@ def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
     return sh.select("doc", *mins)
 
 
+def _band_table(wide: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, band_sig) from a wide signature table — per-row
+    expressions only, no shuffle. band_sig is a STRUCT of the band's
+    minhash longs (struct equality joins on raw longs)."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.struct(
+                *[
+                    F.col(f"mh{i}").alias(f"s{i - j * rows_per_band}")
+                    for i in range(j * rows_per_band, (j + 1) * rows_per_band)
+                ]
+            ).alias("band_sig"),
+        )
+        for j in range(bands)
+    ]
+    return wide.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bv")
+    ).select(
+        "doc",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_sig").alias("band_sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -373,23 +399,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = _persist(_doc_shingle_hashes60(df, text_col, id_col, n))
     wide = _minhash_wide(sh, num_hashes)
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.struct(
-                *[
-                    F.col(f"mh{i}").alias(f"s{i - j * rows_per_band}")
-                    for i in range(j * rows_per_band, (j + 1) * rows_per_band)
-                ]
-            ).alias("band_sig"),
-        )
-        for j in range(bands)
-    ]
-    band_sigs = _persist(
-        wide.select(
-            "doc", F.explode(F.array(*band_cols)).alias("bv")
-        ).select("doc", F.col("bv.band").alias("band"), F.col("bv.band_sig").alias("band_sig"))
-    )
+    band_sigs = _persist(_band_table(wide, num_hashes, bands))
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     candidates = (
         a.join(
@@ -585,3 +595,117 @@ class IncrementalDedup:
             "append"
         ).parquet(self.state_dir)
         return fresh.drop("__h")
+
+
+class IncrementalLsh:
+    """Cross-run NEAR-dup admission: each new batch is checked against
+    the historical corpus with MinHash + banded LSH before admission —
+    the incremental twin of :func:`minhash_lsh_pairs`, for continuously
+    ingesting pipelines where re-running corpus-wide LSH per batch is
+    not an option.
+
+    State = a parquet table of wide MinHash signatures, ``8·num_hashes``
+    bytes per admitted doc (~128 B/doc at the default 16 hashes —
+    gigabytes, not terabytes, at 100 TB of corpus). Per batch:
+
+    1. signatures + band keys for the batch (per-row expressions);
+    2. candidates = batch bands ⋈ state bands on (band, band_sig) plus
+       the in-batch band self-join;
+    3. similarity estimate = fraction of matching minhashes over the
+       full signature (the standard unbiased MinHash Jaccard estimator
+       — exact text never needs to be stored or re-read);
+    4. docs whose estimate ≥ ``threshold`` against history (or against
+       an admitted in-batch earlier id) are rejected; survivors append
+       their signatures to state.
+
+    Deterministic end-to-end (md5-derived hashing, no RNG) and
+    idempotent: re-admitting a batch admits nothing.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        num_hashes: int = 16,
+        bands: int = 8,
+        n: int = 3,
+        threshold: float = 0.5,
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.threshold = threshold
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _sig_schema(self) -> str:
+        cols = ", ".join(f"mh{i} long" for i in range(self.num_hashes))
+        return f"doc long, {cols}"
+
+    def _state(self) -> DataFrame:
+        import os
+
+        if not any(f.endswith(".parquet") for f in os.listdir(self.state_dir)):
+            return self.spark.createDataFrame([], self._sig_schema())
+        return self.spark.read.parquet(self.state_dir)
+
+    def admit(
+        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Admit the near-dup-free slice of ``batch``; update state."""
+        sh = _doc_shingle_hashes60(batch, text_col, id_col, self.n)
+        wide = _minhash_wide(sh, self.num_hashes).localCheckpoint(eager=True)
+        new_bands = _band_table(wide, self.num_hashes, self.bands)
+        old = self._state()
+        old_bands = _band_table(old, self.num_hashes, self.bands)
+
+        # candidate pairs: vs history (any), vs in-batch (smaller id wins)
+        vs_old = (
+            new_bands.alias("nb")
+            .join(
+                old_bands.alias("ob"),
+                (F.col("nb.band") == F.col("ob.band"))
+                & (F.col("nb.band_sig") == F.col("ob.band_sig")),
+            )
+            .select(F.col("nb.doc").alias("cand"), F.col("ob.doc").alias("other"))
+        )
+        vs_new = (
+            new_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc") > F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("cand"), F.col("b.doc").alias("other"))
+        )
+        cands = vs_old.unionByName(vs_new).distinct()
+
+        # estimate Jaccard from full signatures for every candidate pair
+        both = wide.unionByName(old)
+        matches = sum(
+            F.when(F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1).otherwise(0)
+            for i in range(self.num_hashes)
+        )
+        est = (
+            cands.join(wide.alias("l"), cands["cand"] == F.col("l.doc"))
+            .join(both.alias("r"), cands["other"] == F.col("r.doc"))
+            .select(
+                "cand",
+                (matches / F.lit(float(self.num_hashes))).alias("est_j"),
+            )
+        )
+        rejected = (
+            est.filter(F.col("est_j") >= self.threshold)
+            .select(F.col("cand").alias("doc"))
+            .distinct()
+        )
+        admitted_ids = wide.select("doc").join(rejected, "doc", "left_anti")
+        admitted_sigs = wide.join(admitted_ids, "doc").localCheckpoint(eager=True)
+        admitted_sigs.write.mode("append").parquet(self.state_dir)
+        return batch.join(
+            admitted_ids.withColumnRenamed("doc", id_col), id_col
+        )

@@ -435,3 +435,37 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
 
     # replay of batch 2 admits nothing (idempotent under retries)
     assert d.admit(b2).count() == 0
+
+
+def test_incremental_lsh_rejects_near_dups_across_batches(spark, tmp_path):
+    """Cross-run NEAR-dup admission: batch 2's near-copy of a batch-1 doc
+    (one word changed) is rejected against the signature state; novel
+    text admits; replay admits nothing."""
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalLsh
+
+    lsh = IncrementalLsh(spark, str(tmp_path / "sigs"), threshold=0.5)
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark shuffle partitions and joins here")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in lsh.admit(b1).collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(10, base.replace("dog", "cat")),   # near-dup of historical doc 1
+         (11, "entirely novel content mentioning window functions and broadcast plans only")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in lsh.admit(b2).collect()} == {11}
+
+    # replay: doc 11 now near-dups ITSELF in state -> nothing admitted
+    assert lsh.admit(b2).count() == 0
+
+    # in-batch: two copies in one batch -> lowest id wins
+    b3 = spark.createDataFrame(
+        [(20, "fresh sentence with many unusual tokens forming plenty of shingles overall"),
+         (21, "fresh sentence with many unusual tokens forming plenty of shingles overall")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in lsh.admit(b3).collect()} == {20}
