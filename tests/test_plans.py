@@ -28,7 +28,7 @@ def plans(spark):
         "incremental_filter", "distinct_agg", "tpch_q3", "tpch_q18",
         "pack_sequences", "chunk_documents", "stratified_sample",
         "tpch_q6", "tpch_q13", "tpch_q19", "tpch_q21",
-        "tfidf_top_terms", "bm25_search",
+        "tfidf_top_terms", "bm25_search", "cap_per_source", "sample_exact_n",
     )}
 
 
@@ -165,3 +165,17 @@ def test_bm25_global_topk_is_take_ordered(plans):
     p = plans["bm25_search"]
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" not in p  # dft/stats sides broadcast
+
+
+def test_cap_per_source_uses_window_group_limit(plans):
+    """row_number()<=k must push a per-source group limit below the
+    shuffle — a hot source ships k rows per map task, not its count."""
+    assert "WindowGroupLimit" in plans["cap_per_source"]
+
+
+def test_sample_exact_n_is_take_ordered(plans):
+    """Hash-ranked exactly-n sampling must stay TakeOrderedAndProject —
+    never a full global sort of the corpus."""
+    p = plans["sample_exact_n"]
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
