@@ -557,11 +557,32 @@ class IvfIndex:
     ) -> "IvfIndex":
         return cls(spark, path, id_col, vec_col)
 
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._centroids_path)
+
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._centroids_path)
 
     def buckets(self) -> DataFrame:
         return self.spark.read.parquet(self._buckets_path)
+
+    def append(self, vectors: DataFrame) -> None:
+        """Assign new vectors to the EXISTING centroids and append their
+        bucket rows. Centroids stay fixed — the standard IVF ingest
+        trade (assignment drifts as the distribution moves; rebuild
+        periodically to re-balance). Append lands only the new rows'
+        partitions; committed buckets are untouched."""
+        assignment = ivf_assign(
+            vectors, self.centroids(), self.id_col, self.vec_col
+        )
+        (
+            vectors.join(assignment, on=self.id_col)
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(self._buckets_path)
+        )
 
     def query(
         self, queries: DataFrame, k: int = 5, nprobe: int = 12
@@ -618,3 +639,76 @@ def quantize_embeddings(
         (maxabs / F.lit(float(qmax))).alias("scale"),
         qvec.alias("qvec"),
     )
+
+
+class IncrementalEmbeddingDedup:
+    """Cross-run embedding near-dup admission over a persisted
+    :class:`IvfIndex` — the third incremental-admission variant
+    (exact: ``dedup.IncrementalDedup``; text near-dup:
+    ``dedup.IncrementalLsh``).
+
+    Per batch: (1) in-batch rejection — any vector cosine-similar to a
+    smaller-id batch vector is dropped (pairwise greedy, the
+    :func:`cosine_neardup_pairs` blocked GEMM); (2) history rejection —
+    survivors probe the index (top-1, ``nprobe`` buckets) and are
+    dropped when their best historical match clears the threshold;
+    (3) survivors append to the index under the FIXED centroid set.
+
+    Already-admitted ids are dropped outright (replay-safe under
+    exactly-once retries); distinct ids reject on similarity. Recall
+    against history is the IVF probe recall — raise ``nprobe`` for
+    stricter admission. Deterministic end-to-end.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        threshold: float = 0.9,
+        num_centroids: int = 64,
+        nprobe: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.index = IvfIndex(spark, state_dir, id_col, vec_col)
+        self.state_dir = state_dir
+        self.threshold = threshold
+        self.num_centroids = num_centroids
+        self.nprobe = nprobe
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def admit(self, batch: DataFrame) -> DataFrame:
+        """Admit the near-dup-free slice of ``batch``; update the index."""
+        pairs = cosine_neardup_pairs(
+            batch, self.id_col, self.vec_col, self.threshold
+        )
+        in_batch_reject = pairs.select(
+            F.col(f"{self.id_col}_b").alias(self.id_col)
+        ).distinct()
+        survivors = batch.join(in_batch_reject, self.id_col, "left_anti")
+        if not self.index.exists():
+            IvfIndex.build(
+                survivors,
+                self.state_dir,
+                self.id_col,
+                self.vec_col,
+                num_centroids=self.num_centroids,
+            )
+            return survivors
+        # replay guard: ids already admitted are dropped outright (the
+        # similarity probe excludes same-id matches, so an exact replay
+        # would otherwise sail past it)
+        survivors = survivors.join(
+            self.index.buckets().select(self.id_col), self.id_col, "left_anti"
+        )
+        hits = (
+            self.index.query(survivors, k=1, nprobe=self.nprobe)
+            .filter(F.col("cosine") >= self.threshold)
+            .select(F.col("query_id").alias(self.id_col))
+            .distinct()
+        )
+        survivors = survivors.join(hits, self.id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+        self.index.append(survivors)
+        return survivors

@@ -469,3 +469,40 @@ def test_incremental_lsh_rejects_near_dups_across_batches(spark, tmp_path):
         "doc_id long, text string",
     )
     assert {r.doc_id for r in lsh.admit(b3).collect()} == {20}
+
+
+def test_incremental_embedding_dedup_across_batches(spark, tmp_path):
+    """Embedding admission: batch-2 vectors cosine-similar to historical
+    ones are rejected against the persisted IVF state; novel directions
+    admit; in-batch near-dups keep the lowest id."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalEmbeddingDedup,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    d = IncrementalEmbeddingDedup(
+        spark, str(tmp_path / "emb"), threshold=0.95, num_centroids=2, nprobe=2
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, vec(1, 0, 0, 0)),
+            (2, vec(1, 0.01, 0, 0)),   # in-batch near-dup of 1
+            (3, vec(0, 1, 0, 0)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assert {r.vec_id for r in d.admit(b1).collect()} == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, vec(0.99, 0.01, 0, 0)),  # near-dup of historical 1
+            (11, vec(0, 0, 1, 0)),        # novel direction
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assert {r.vec_id for r in d.admit(b2).collect()} == {11}
+
+    # replay of batch 2: 11 now matches itself in state -> nothing admitted
+    assert d.admit(b2).count() == 0
