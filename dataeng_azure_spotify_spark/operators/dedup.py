@@ -703,9 +703,14 @@ class IncrementalLsh:
             .select(F.col("cand").alias("doc"))
             .distinct()
         )
-        admitted_ids = wide.select("doc").join(rejected, "doc", "left_anti")
-        admitted_sigs = wide.join(admitted_ids, "doc").localCheckpoint(eager=True)
+        admitted_sigs = wide.join(rejected, "doc", "left_anti").localCheckpoint(
+            eager=True
+        )
         admitted_sigs.write.mode("append").parquet(self.state_dir)
+        # anti-join against REJECTED ids, not inner-join with admitted
+        # signatures: documents too short to shingle (< n tokens) have no
+        # signature, carry no near-dup evidence, and must admit — they
+        # just go untracked, matching minhash_lsh_pairs' semantics.
         return batch.join(
-            admitted_ids.withColumnRenamed("doc", id_col), id_col
+            rejected.withColumnRenamed("doc", id_col), id_col, "left_anti"
         )

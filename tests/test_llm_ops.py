@@ -470,6 +470,11 @@ def test_incremental_lsh_rejects_near_dups_across_batches(spark, tmp_path):
     )
     assert {r.doc_id for r in lsh.admit(b3).collect()} == {20}
 
+    # docs too short to shingle (< 3 tokens) carry no near-dup evidence
+    # and must admit (untracked), not silently vanish
+    b4 = spark.createDataFrame([(30, "tiny doc")], "doc_id long, text string")
+    assert {r.doc_id for r in lsh.admit(b4).collect()} == {30}
+
 
 def test_incremental_embedding_dedup_across_batches(spark, tmp_path):
     """Embedding admission: batch-2 vectors cosine-similar to historical
