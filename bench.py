@@ -91,8 +91,11 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
         # dispersion: interquartile range of the warm samples — a
         # round-over-round delta smaller than the IQR is noise, not signal
-        q1, _, q3 = statistics.quantiles(samples, n=4)
-        spreads[name] = round(q3 - q1, 4)
+        if len(samples) >= 2:
+            q1, _, q3 = statistics.quantiles(samples, n=4)
+            spreads[name] = round(q3 - q1, 4)
+        else:  # single-sample runs have no measurable dispersion
+            spreads[name] = 0.0
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     print(
