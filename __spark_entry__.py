@@ -15,6 +15,7 @@ Determinism notes (hash-match contract):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -71,6 +72,7 @@ from dataeng_azure_spotify_spark.operators.scd import (
 )
 from dataeng_azure_spotify_spark.functions.text import kgram_fingerprints
 from dataeng_azure_spotify_spark.operators.similarity import (
+    IvfIndex,
     cosine_neardup_pairs,
     cosine_topk,
     ivf_topk,
@@ -1553,6 +1555,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries_df, emb, k=5)
 
 
+def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 ANN via the *persisted* :class:`IvfIndex` — the amortized
+    100 TB path (`ann_ivf_topk` re-runs k-means per call; this one
+    builds once and probes the centroid-partitioned parquet buckets with
+    dynamic partition pruning).
+
+    The index caches under the repo-local ``.ivf_cache/`` keyed by
+    sf_dir + build params, so repeated bench runs measure the probe, not
+    the build. Rows-only driver check (approximate by design); recall vs
+    brute force and the DPP plan shape are pinned in pytest
+    (tests/test_scale_ops.py, tests/test_plans.py).
+    """
+    import hashlib
+
+    cat = _cat(spark, sf_dir)
+    emb = cat["embeddings"]
+    params = f"{os.path.abspath(sf_dir)}|nc16|it1"
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".ivf_cache", tag
+    )
+    idx = IvfIndex.load(spark, path)
+    if not idx.exists():
+        idx = IvfIndex.build(emb, path, num_centroids=16, kmeans_iters=1)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return idx.query(probes, k=5, nprobe=4)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine ≥ 0.4) — dedup family tier 5."""
     cat = _cat(spark, sf_dir)
@@ -1654,9 +1684,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector symmetric int8 quantization of the embeddings table."""
+    """Per-vector symmetric int8 quantization of the embeddings table.
+
+    The raw operator returns ``qvec array<int>``; the driver's pandas
+    canonicalizer cannot hash list cells, so the query wrapper serializes
+    the codes to a comma-joined string (the oracle mirrors with
+    ``array_to_string``). Rule for every ``queries()`` entry: no raw
+    array/map columns in the output (enforced by tests/parity.py).
+    """
     cat = _cat(spark, sf_dir)
-    return quantize_embeddings(cat["embeddings"])
+    out = quantize_embeddings(cat["embeddings"])
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec"),
+    )
 
 
 # --- DuckDB oracle SQL builders for the LLM-pipeline ops -------------------
@@ -2281,10 +2325,11 @@ FROM cells
 _QUANTIZE_EMB_ORACLE = """
 SELECT vec_id,
        CAST(maxabs / 127.0 AS DOUBLE) AS scale,
-       CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding, x ->
-                 CAST(FLOOR(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS INT))
-       END AS qvec
+       array_to_string(
+           CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding, x ->
+                     CAST(FLOOR(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS INT))
+           END, ',') AS qvec
 FROM (
     SELECT vec_id, embedding,
            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
@@ -2401,12 +2446,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in dict order, so the window is spent on queries that have
     # never had a driver CORRECTNESS row plus the complex families worth
     # re-certifying each round (SCD, dedup/clusters, event windows).
-    # Positions 1-13: the LLM-pipeline tier (driver-unchecked before r4).
-    # Positions 14-29: round-4 additions (TPC-H completion + ranking).
-    # Positions 30-50: complex proven queries kept under regression watch.
-    # Positions 51+: cheap relational queries green in r1-r3 driver runs;
+    # Positions 1-3: never-certified / red-in-r4 (quantize_embeddings'
+    # array output is now serialized, decontaminate was outside the r4
+    # window, ann_ivf_index_topk is new this round — rows-only).
+    # Then: the LLM-pipeline tier + round-4 TPC-H/ranking additions and
+    # the complex proven families kept under regression watch.
+    # Positions 51+: cheap relational queries green in earlier driver
+    # rounds (incl. tpch_q14/q19, rotated out in r5 to make room);
     # still verified every round by the pytest oracle sweep at sf0.001.
     return {
+        "quantize_embeddings": q_quantize_embeddings,
+        "decontaminate": q_decontaminate,
+        "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2427,10 +2478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
         "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "cap_per_source": q_cap_per_source,
@@ -2460,6 +2509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
         "tpch_q4": q_tpch_q4,
         "tpch_q12": q_tpch_q12,
         "tpch_q16": q_tpch_q16,
@@ -2491,7 +2542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_max_watermark": q_scalar_max_watermark,
         "pivot_event_counts": q_pivot_event_counts,
         "unpivot_metrics": q_unpivot_metrics,
-        "decontaminate": q_decontaminate,
     }
 
 

@@ -98,21 +98,54 @@ def main() -> None:
             spreads[name] = 0.0
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": runs,
-                "heavy_runs": heavy_runs,
-                "agg": "median",
-                "iqr": spreads,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": runs,
+        "heavy_runs": heavy_runs,
+        "agg": "median",
+        "iqr": spreads,
+    }
+    # Complete per-query data lands in a repo file; the PRINTED line must
+    # parse from the driver's 2000-char stdout-tail capture (the r4 full
+    # map was ~2.2k chars -> BENCH_r04 recorded parsed: null). The line
+    # keeps the slowest queries individually (>= 10ms, and drops the
+    # fastest of those too if the line still exceeds the budget), folds
+    # everything else into the "folded" {n, total_sec} bucket, and
+    # carries IQR for the variance-prone heavy family only.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    slow = {n: t for n, t in timings.items() if t >= 0.01}
+    fast = {n: t for n, t in timings.items() if t < 0.01}
+    line = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "runs": runs,
+        "heavy_runs": heavy_runs,
+        "agg": "median",
+        "n_queries": len(timings),
+        "folded": {"n": len(fast), "total_sec": round(sum(fast.values()), 4)},
+        "iqr_heavy": {n: spreads[n] for n in sorted(heavy) if n in spreads},
+        "queries": dict(sorted(slow.items(), key=lambda kv: -kv[1])),
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1950:  # hard guard: drop the fastest entries until it fits
+        items = sorted(slow.items(), key=lambda kv: -kv[1])
+        while len(out) > 1950 and items:
+            dropped = items.pop()
+            line["folded"]["n"] += 1
+            line["folded"]["total_sec"] = round(
+                line["folded"]["total_sec"] + dropped[1], 4
+            )
+            line["queries"] = dict(items)
+            out = json.dumps(line, separators=(",", ":"))
+    print(out)
     spark.stop()
 
 

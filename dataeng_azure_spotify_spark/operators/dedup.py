@@ -23,8 +23,11 @@ normalize) so the DuckDB oracles mirror them symbol-for-symbol.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from pyspark import StorageLevel
 
@@ -254,40 +257,91 @@ def _mulmod_p61(a: int, x):
     return F.pmod(wh + F.shiftleft(wl, 31) + F.lit(a) * xl, F.lit(MINHASH_P))
 
 
-def _doc_shingle_hashes60(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _np_mulmod_p61(a: int, x):
+    """numpy-uint64 mirror of :func:`_mulmod_p61` — identical limb split,
+    identical bounds, bit-equal results. ``x`` is a uint64 ndarray (any
+    shape); ``a`` may also be a uint64 column vector for broadcasting."""
+    u = np.uint64
+    xh = x >> u(31)
+    xl = x & u((1 << 31) - 1)
+    w = a * xh  # a < 2^30, xh < 2^30 → < 2^60
+    wh = w >> u(30)
+    wl = w & u((1 << 30) - 1)
+    return (wh + (wl << u(31)) + a * xl) % u(MINHASH_P)
+
+
+def _np_horner_shingles(ht, n: int):
+    """Distinct Horner-composed shingle hashes of one doc's token-hash
+    array — vectorized over gram positions, first-occurrence order
+    (matches ``array_distinct`` over the expression form)."""
+    u = np.uint64
+    m = len(ht) - n + 1
+    acc = ht[:m].copy()
+    for j in range(1, n):
+        acc = (_np_mulmod_p61(u(SHINGLE_C), acc) + ht[j : m + j]) % u(MINHASH_P)
+    return pd.unique(acc)
+
+
+def _doc_shingle_hashes60(
+    df: DataFrame, text_col: str, id_col: str, n: int, impl: str = "arrow"
+) -> DataFrame:
     """(doc, hshingles: array<long>, n_sh) — md5-DERIVED shingle hashes
     the DuckDB oracle can mirror: hash60 each token ONCE, then compose a
     gram hash by Horner's rule mod p (``((h1·C + h2) mod p · C + h3) mod
     p``). No gram strings are ever built, and the heavy md5 count is one
     per token instead of one per (gram × hash-family) as in salted
-    MinHash. The wide products run through the long-limb Mersenne fold
-    (:func:`_mulmod_p61`) — bit-equal to the DECIMAL(38,0)/HUGEINT
-    formulation the DuckDB oracle keeps, ~4× cheaper inside the
-    interpreted transform lambda."""
+    MinHash.
+
+    Two value-identical physical paths for the Horner composition:
+
+    - ``impl='arrow'`` (default): an Arrow-batched pandas UDF running the
+      same limb arithmetic in numpy uint64. Higher-order ``transform``
+      lambdas are evaluated INTERPRETED in Spark (they never enter
+      whole-stage codegen), so at sf0.1 the expression form spent ~1s of
+      pure expression-tree walking; the vectorized batch form is the
+      sanctioned Pandas-UDF use — built-ins can't express this fast.
+    - ``impl='expr'``: pure Catalyst expressions through
+      :func:`_mulmod_p61` — zero Python dependency in the plan; kept as
+      the reference semantics and for environments with Arrow disabled.
+
+    ``tests/test_dedup.py`` pins bit-equality of the two paths; the md5
+    token hashing stays JVM-side in both."""
     ht = F.col("__ht")
-
-    def compose(i):
-        # first Horner term is a raw 60-bit token hash (< 2^60 < p)
-        acc = F.element_at(ht, i)
-        for j in range(1, n):
-            # C·acc mod p < 2^61 plus a 60-bit token hash stays < 2^62:
-            # one pmod per step, no overflow
-            acc = F.pmod(
-                _mulmod_p61(SHINGLE_C, acc) + F.element_at(ht, i + j),
-                F.lit(MINHASH_P),
-            )
-        return acc
-
-    idx = F.sequence(F.lit(1), F.size(ht) - n + 1)
-    grams = F.transform(idx, compose)
-    return (
+    base = (
         _spread(df)
         .select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
         .select("doc", F.transform("__toks", lambda t: hash60(t)).alias("__ht"))
         .filter(F.size(ht) >= n)
-        .select("doc", F.array_distinct(grams).alias("hshingles"))
-        .withColumn("n_sh", F.size("hshingles"))
     )
+    if impl == "arrow":
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def horner(ser: pd.Series) -> pd.Series:
+            return ser.map(
+                lambda toks: _np_horner_shingles(
+                    np.asarray(toks, dtype=np.uint64), n
+                ).astype(np.int64)
+            )
+
+        shingles = base.select("doc", horner("__ht").alias("hshingles"))
+    else:
+
+        def compose(i):
+            # first Horner term is a raw 60-bit token hash (< 2^60 < p)
+            acc = F.element_at(ht, i)
+            for j in range(1, n):
+                # C·acc mod p < 2^61 plus a 60-bit token hash stays
+                # < 2^62: one pmod per step, no overflow
+                acc = F.pmod(
+                    _mulmod_p61(SHINGLE_C, acc) + F.element_at(ht, i + j),
+                    F.lit(MINHASH_P),
+                )
+            return acc
+
+        idx = F.sequence(F.lit(1), F.size(ht) - n + 1)
+        grams = F.transform(idx, compose)
+        shingles = base.select("doc", F.array_distinct(grams).alias("hshingles"))
+    return shingles.withColumn("n_sh", F.size("hshingles"))
 
 
 def minhash_family(num_hashes: int) -> list[tuple[int, int]]:
@@ -328,9 +382,42 @@ def minhash_signatures(
     )
 
 
-def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """(doc, mh0..mh{k-1}) — no explode, no shuffle: k
-    ``array_min(transform(...))`` expressions over the shingle-hash array."""
+def _minhash_wide(sh: DataFrame, num_hashes: int, impl: str = "arrow") -> DataFrame:
+    """(doc, mh0..mh{k-1}) — no explode, no shuffle.
+
+    ``impl='arrow'`` (default): one Arrow-batched pandas UDF computes all
+    k affine mins per doc as a single (k × n_shingles) numpy uint64
+    broadcast — the k ``array_min(transform(...))`` expressions of the
+    ``'expr'`` path are each interpreted per-element (HOFs never enter
+    codegen), which made the signature build the dominant cost of
+    :func:`minhash_lsh_pairs` at sf0.1. Value-identical (pinned in
+    tests/test_dedup.py); unpacking to mh columns is JVM ``element_at``.
+    """
+    if impl == "arrow":
+        fam = minhash_family(num_hashes)
+        A = np.asarray([a for a, _ in fam], dtype=np.uint64)[:, None]
+        B = np.asarray([b for _, b in fam], dtype=np.uint64)[:, None]
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def sig(ser: pd.Series) -> pd.Series:
+            u = np.uint64
+
+            def one(shingles):
+                s = np.asarray(shingles, dtype=np.uint64)[None, :]
+                v = (_np_mulmod_p61(A, s) + B) % u(MINHASH_P)  # (k, m)
+                return v.min(axis=1).astype(np.int64)
+
+            return ser.map(one)
+
+        wide = sh.select("doc", sig("hshingles").alias("__mh"))
+        return wide.select(
+            "doc",
+            *[
+                F.element_at("__mh", i + 1).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ],
+        )
+
     def mk(a: int, b: int):
         # close over (a, b): defaulted lambda params would change the
         # arity Spark infers for the higher-order function

@@ -14,6 +14,7 @@ import sys
 import duckdb
 import numpy as np
 import pandas as pd
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -56,6 +57,23 @@ def compare_query(spark, name: str, fn, sql: str | None, sf_dir: str) -> list[st
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     sdf = fn(spark, sf_dir)
+    # The driver's canonicalizer (pandas sort_values over raw cells)
+    # crashes on list/dict cells — r4's quantize_embeddings red row. Any
+    # complex-typed output column is therefore a harness-level failure
+    # here too, even though canonicalize() below happens to stringify
+    # arrays: serialize (to_json / array_join) in the query wrapper.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        problems.append(
+            f"{name}: complex-typed output columns {complex_cols} — the "
+            "driver canonicalizer cannot hash these; serialize them in "
+            "the query wrapper"
+        )
+        return problems
     spark_pd = sdf.toPandas()
     if sql is None:
         if len(spark_pd) == 0 and name not in ():

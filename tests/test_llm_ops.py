@@ -60,6 +60,31 @@ def test_minhash_candidates_match_exact_on_high_sim(spark):
     assert exact == lsh == {(1, 2)}
 
 
+def test_minhash_arrow_and_expr_paths_bit_equal(spark):
+    """The Arrow/numpy signature build (default) and the pure-Catalyst
+    expression form must be BIT-equal — same limb arithmetic, same
+    Horner composition, same ``pd.unique``/``array_distinct`` ordering.
+    This is what keeps the DuckDB HUGEINT oracle valid for the fast
+    path."""
+    from dataeng_azure_spotify_spark.operators.dedup import (
+        _doc_shingle_hashes60,
+        _minhash_wide,
+    )
+
+    docs = _docs(spark)
+    sh_a = _doc_shingle_hashes60(docs, "text", "doc_id", 3, impl="arrow")
+    sh_e = _doc_shingle_hashes60(docs, "text", "doc_id", 3, impl="expr")
+    got_a = {r["doc"]: list(r["hshingles"]) for r in sh_a.collect()}
+    got_e = {r["doc"]: list(r["hshingles"]) for r in sh_e.collect()}
+    assert got_a == got_e and got_a  # order-preserving distinct too
+
+    wa = _minhash_wide(sh_a, 8, impl="arrow").collect()
+    we = _minhash_wide(sh_e, 8, impl="expr").collect()
+    sig_a = {r["doc"]: tuple(r[f"mh{i}"] for i in range(8)) for r in wa}
+    sig_e = {r["doc"]: tuple(r[f"mh{i}"] for i in range(8)) for r in we}
+    assert sig_a == sig_e
+
+
 def test_verify_jaccard_both_paths_agree(spark):
     """The two verify strategies must produce identical pairs: default
     (no broadcast hint anywhere — AQE sizes the candidate side at runtime
