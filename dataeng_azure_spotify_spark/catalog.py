@@ -155,7 +155,14 @@ def ensure_database(spark: SparkSession, table_name: str) -> None:
     """
     if "." in table_name:
         db = table_name.rsplit(".", 1)[0]
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        # backtick-quote each namespace level: unquoted interpolation
+        # turns catalog.db.table into CREATE DATABASE catalog.db (wrong
+        # namespace) and breaks on names needing quoting. CREATE
+        # NAMESPACE handles multi-level names where the catalog does.
+        quoted = ".".join(
+            "`" + part.replace("`", "``") + "`" for part in db.split(".")
+        )
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {quoted}")
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:

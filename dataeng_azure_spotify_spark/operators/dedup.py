@@ -706,7 +706,10 @@ class IncrementalLsh:
        their signatures to state.
 
     Deterministic end-to-end (md5-derived hashing, no RNG) and
-    idempotent: re-admitting a batch admits nothing.
+    idempotent: re-admitting a batch admits nothing. Idempotency covers
+    shingle-less docs (< n tokens) too — they admit with a NULL-signature
+    state row (id-tracked, similarity-inert), so a replayed micro-batch
+    under exactly-once retries is a full no-op.
     """
 
     def __init__(
@@ -743,6 +746,14 @@ class IncrementalLsh:
         self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
         """Admit the near-dup-free slice of ``batch``; update state."""
+        # replay guard: ids already in state (signatures AND the
+        # NULL-signature rows of shingle-less admits) drop outright, so
+        # re-running a committed micro-batch admits nothing
+        batch = batch.join(
+            self._state().select(F.col("doc").alias(id_col)),
+            id_col,
+            "left_anti",
+        )
         sh = _doc_shingle_hashes60(batch, text_col, id_col, self.n)
         wide = _minhash_wide(sh, self.num_hashes).localCheckpoint(eager=True)
         new_bands = _band_table(wide, self.num_hashes, self.bands)
@@ -790,14 +801,27 @@ class IncrementalLsh:
             .select(F.col("cand").alias("doc"))
             .distinct()
         )
-        admitted_sigs = wide.join(rejected, "doc", "left_anti").localCheckpoint(
+        admitted_sigs = wide.join(rejected, "doc", "left_anti")
+        # documents too short to shingle (< n tokens) carry no near-dup
+        # evidence and must admit (minhash_lsh_pairs' semantics) — but
+        # they are still id-tracked via NULL-signature rows so a replay
+        # is a no-op. NULL sigs are similarity-inert: band structs with
+        # nulls never equi-join and mh comparisons count 0 matches.
+        shingleless = (
+            batch.select(F.col(id_col).alias("doc"))
+            .join(wide.select("doc"), "doc", "left_anti")
+            .select(
+                "doc",
+                *[
+                    F.lit(None).cast("long").alias(f"mh{i}")
+                    for i in range(self.num_hashes)
+                ],
+            )
+        )
+        state_rows = admitted_sigs.unionByName(shingleless).localCheckpoint(
             eager=True
         )
-        admitted_sigs.write.mode("append").parquet(self.state_dir)
-        # anti-join against REJECTED ids, not inner-join with admitted
-        # signatures: documents too short to shingle (< n tokens) have no
-        # signature, carry no near-dup evidence, and must admit — they
-        # just go untracked, matching minhash_lsh_pairs' semantics.
+        state_rows.write.mode("append").parquet(self.state_dir)
         return batch.join(
             rejected.withColumnRenamed("doc", id_col), id_col, "left_anti"
         )

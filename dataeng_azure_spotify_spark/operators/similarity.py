@@ -140,6 +140,9 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cosine ≥ threshold — the embedding tier of the dedup family.
+    Output columns are ``{id_col}_a, {id_col}_b, cosine`` (so callers
+    with a non-default ``id_col`` — e.g. ``IncrementalEmbeddingDedup`` —
+    can reference them by name).
 
     Two phases, candidates then verification — all-pairs decimal scoring
     would be O(n²·d) in interpreted decimal arithmetic:
@@ -247,7 +250,11 @@ def cosine_neardup_pairs(
             "cosine", F.round(F.col("dot") / (F.col("q_norm") * F.col("c_norm")), 12)
         )
         .filter(F.col("cosine") >= threshold)
-        .select("vec_id_a", "vec_id_b", "cosine")
+        .select(
+            F.col("vec_id_a").alias(f"{id_col}_a"),
+            F.col("vec_id_b").alias(f"{id_col}_b"),
+            "cosine",
+        )
     )
 
 

@@ -159,22 +159,39 @@ def sessionize_batch(
     )
 
 
-def transform_with_state_available() -> bool:
-    """True iff the ``transformWithStateInPandas`` Python worker can run.
+def transform_with_state_available(spark=None) -> bool:
+    """True iff the ``transformWithStateInPandas`` path can actually run.
 
-    The Spark 4.x arbitrary-state API drives its stateful worker over a
-    protobuf channel; the ``protobuf`` Python package is not installed in
-    this sandbox (no package index; installs prohibited — same situation
-    as delta-spark, see ``delta_support.py``), so the modern-API path is
-    probe-gated with an ``applyInPandasWithState`` fallback of identical
-    semantics.
+    Two independent requirements, both probed:
+
+    - the ``protobuf`` Python package (the Spark 4.x arbitrary-state API
+      drives its stateful worker over a protobuf channel; not installed
+      in this sandbox — no package index, installs prohibited — same
+      situation as delta-spark, see ``delta_support.py``);
+    - the RocksDB state store provider (``transformWithState`` rejects
+      the default HDFS-backed provider at runtime). When a ``spark``
+      session is given, the configured
+      ``spark.sql.streaming.stateStore.providerClass`` is checked;
+      without one the protobuf probe alone decides (callers on the tws
+      path must configure RocksDB themselves — the test suite does).
+
+    Falls back to ``applyInPandasWithState`` of identical semantics when
+    either leg is missing.
     """
     import importlib.util
 
     try:
-        return importlib.util.find_spec("google.protobuf") is not None
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
     except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+        has_protobuf = False
+    if not has_protobuf:
         return False
+    if spark is not None:
+        provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", ""
+        )
+        return "RocksDB" in (provider or "")
+    return True
 
 
 class _QuotaProcessor(StatefulProcessor):
@@ -236,7 +253,14 @@ def quota_admit_stream(
     and admission semantics.
     """
     if impl == "auto":
-        impl = "tws" if transform_with_state_available() else "applyInPandas"
+        # gate on BOTH the protobuf worker and the configured RocksDB
+        # provider — a cluster with protobuf but the default HDFS store
+        # would pick a path that fails at runtime otherwise
+        impl = (
+            "tws"
+            if transform_with_state_available(df.sparkSession)
+            else "applyInPandas"
+        )
     if impl == "tws":
         return df.groupBy(key_col).transformWithStateInPandas(
             _QuotaProcessor(order_col, max_per_key),

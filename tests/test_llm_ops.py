@@ -496,9 +496,22 @@ def test_incremental_lsh_rejects_near_dups_across_batches(spark, tmp_path):
     assert {r.doc_id for r in lsh.admit(b3).collect()} == {20}
 
     # docs too short to shingle (< 3 tokens) carry no near-dup evidence
-    # and must admit (untracked), not silently vanish
+    # and must admit, not silently vanish
     b4 = spark.createDataFrame([(30, "tiny doc")], "doc_id long, text string")
     assert {r.doc_id for r in lsh.admit(b4).collect()} == {30}
+
+    # ...and they are id-tracked (NULL-signature state row), so a replay
+    # of the short-doc batch is a no-op too — full exactly-once
+    # idempotency, not just for sig-bearing docs
+    assert lsh.admit(b4).count() == 0
+
+    # the NULL-signature rows must stay similarity-inert: novel text
+    # still admits against a state containing them
+    b5 = spark.createDataFrame(
+        [(40, "yet another batch of unusual words regarding catalyst optimizer internals")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in lsh.admit(b5).collect()} == {40}
 
 
 def test_incremental_embedding_dedup_across_batches(spark, tmp_path):
@@ -536,3 +549,32 @@ def test_incremental_embedding_dedup_across_batches(spark, tmp_path):
 
     # replay of batch 2: 11 now matches itself in state -> nothing admitted
     assert d.admit(b2).count() == 0
+
+
+def test_embedding_dedup_custom_id_col(spark, tmp_path):
+    """cosine_neardup_pairs names its outputs from id_col, and
+    IncrementalEmbeddingDedup works end-to-end with a non-default id
+    column (regression: the pair columns were hardcoded vec_id_a/_b,
+    crashing any non-default id_col with an unresolved-column error)."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalEmbeddingDedup,
+        cosine_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "emb_id long, embedding array<float>",
+    )
+    pairs = cosine_neardup_pairs(df, id_col="emb_id", threshold=0.95)
+    assert pairs.columns == ["emb_id_a", "emb_id_b", "cosine"]
+    assert {(r.emb_id_a, r.emb_id_b) for r in pairs.collect()} == {(1, 2)}
+
+    d = IncrementalEmbeddingDedup(
+        spark,
+        str(tmp_path / "emb2"),
+        threshold=0.95,
+        num_centroids=2,
+        nprobe=2,
+        id_col="emb_id",
+    )
+    assert {r.emb_id for r in d.admit(df).collect()} == {1, 3}

@@ -28,6 +28,7 @@ def plans(spark):
         "incremental_filter", "distinct_agg", "tpch_q3", "tpch_q18",
         "pack_sequences", "chunk_documents", "stratified_sample",
         "tpch_q6", "tpch_q13", "tpch_q19", "tpch_q21",
+        "tpch_q2", "tpch_q17", "tpch_q20", "ann_ivf_index_topk",
         "tfidf_top_terms", "bm25_search", "cap_per_source", "sample_exact_n",
     )}
 
@@ -150,6 +151,42 @@ def test_tpch_q13_join_side_predicate_pushes(plans):
     """The extra LEFT-JOIN-side predicate filters orders BEFORE the join
     (pushed to the orders scan), not after."""
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plans["tpch_q13"]
+
+
+def test_tpch_q2_min_cost_subquery_plans_as_agg_join(plans):
+    """The correlated min-supplycost subquery must decorrelate into an
+    aggregate joined back on the key — per-row subquery re-execution or
+    a cartesian pairing is the 100 TB killer."""
+    p = plans["tpch_q2"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2  # min() as partial+final agg
+
+
+def test_tpch_q17_correlated_avg_plans_as_agg_join(plans):
+    """The per-part AVG(l_quantity) correlation must compute each part's
+    average ONCE (aggregate + equi-join), never re-scan lineitem per
+    outer row."""
+    p = plans["tpch_q17"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 3  # avg partial+final + outer sum
+
+
+def test_tpch_q20_nested_in_chain_plans_as_semi_joins(plans):
+    """Both nested IN subqueries must plan as LeftSemi joins (no dedup
+    of a full inner join, no cartesian)."""
+    p = plans["tpch_q20"]
+    assert "CartesianProduct" not in p
+    assert p.count("LeftSemi") >= 2
+
+
+def test_ann_ivf_index_probe_triggers_partition_pruning(plans):
+    """The persisted-index probe must carry dynamic partition pruning
+    into the centroid-partitioned bucket scan — that's the index story:
+    a probe touches ~nprobe/num_centroids of the files, never the whole
+    corpus. (The BroadcastNestedLoop pairs in this plan are the
+    single-row scalar / broadcast-probe replications of cosine_topk,
+    not corpus-sized cartesians.)"""
+    assert "dynamicpruning" in plans["ann_ivf_index_topk"].lower()
 
 
 def test_tfidf_per_doc_topk_uses_window_group_limit(plans):
