@@ -648,17 +648,34 @@ class IncrementalDedup:
         import os
 
         if not any(f.endswith(".parquet") for f in os.listdir(self.state_dir)):
-            return self.spark.createDataFrame([], "text_hash string")
-        return self.spark.read.parquet(self.state_dir)
+            return self.spark.createDataFrame([], "text_hash string, run_id string")
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.state_dir)
+        if "run_id" not in df.columns:  # state written before run tracking
+            df = df.withColumn("run_id", F.lit(None).cast("string"))
+        return df
 
     def admit(
-        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        run_id: str | None = None,
     ) -> DataFrame:
         """Return the admitted slice of ``batch`` and record its hashes.
 
-        Two passes over the (small) batch, one anti join against state:
+        Two passes over the (small) batch, one join against state:
         in-batch dedup keeps the lowest id per hash, then hashes already
         in the historical state are dropped.
+
+        ``run_id`` makes admission exactly-once for streaming replays:
+        each state row records the run that admitted it, and a replayed
+        batch RE-returns the rows this same ``run_id`` admitted before
+        the crash (without re-appending state). An epoch-keyed
+        idempotent sink (see :func:`...streaming.admission.
+        run_admission_stream`) can then overwrite its output partition
+        with an identical result instead of an empty one — without this,
+        a crash between the state append and the sink commit would mark
+        documents seen yet never deliver them.
         """
         hashed = batch.withColumn(
             "__h", F.md5(normalize_text(text_col))
@@ -669,19 +686,31 @@ class IncrementalDedup:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        fresh = in_batch.join(
-            self._seen().withColumnRenamed("text_hash", "__h"),
-            "__h",
-            "left_anti",
+        seen = self._seen().select(
+            F.col("text_hash").alias("__h"),
+            F.lit(True).alias("__seen"),
+            F.col("run_id").alias("__seen_run"),
         )
+        joined = in_batch.join(seen, "__h", "left")
+        fresh_pred = F.col("__seen").isNull()
+        if run_id is not None:
+            keep = fresh_pred | (F.col("__seen_run") == F.lit(run_id))
+        else:
+            keep = fresh_pred
         # Materialize admissions BEFORE appending state, so the returned
         # DataFrame doesn't re-plan against the grown state on a later
         # action. localCheckpoint = executor-side, no driver collect.
-        fresh = fresh.localCheckpoint(eager=True)
-        fresh.select(F.col("__h").alias("text_hash")).write.mode(
-            "append"
-        ).parquet(self.state_dir)
-        return fresh.drop("__h")
+        admitted = (
+            joined.filter(keep)
+            .withColumn("__fresh", fresh_pred)
+            .drop("__seen", "__seen_run")
+            .localCheckpoint(eager=True)
+        )
+        admitted.filter(F.col("__fresh")).select(
+            F.col("__h").alias("text_hash"),
+            F.lit(run_id).cast("string").alias("run_id"),
+        ).write.mode("append").parquet(self.state_dir)
+        return admitted.drop("__h", "__fresh")
 
 
 class IncrementalLsh:
@@ -733,31 +762,54 @@ class IncrementalLsh:
 
     def _sig_schema(self) -> str:
         cols = ", ".join(f"mh{i} long" for i in range(self.num_hashes))
-        return f"doc long, {cols}"
+        return f"doc long, {cols}, run_id string"
 
     def _state(self) -> DataFrame:
         import os
 
         if not any(f.endswith(".parquet") for f in os.listdir(self.state_dir)):
             return self.spark.createDataFrame([], self._sig_schema())
-        return self.spark.read.parquet(self.state_dir)
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.state_dir)
+        if "run_id" not in df.columns:  # state written before run tracking
+            df = df.withColumn("run_id", F.lit(None).cast("string"))
+        return df
 
     def admit(
-        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        run_id: str | None = None,
     ) -> DataFrame:
-        """Admit the near-dup-free slice of ``batch``; update state."""
+        """Admit the near-dup-free slice of ``batch``; update state.
+
+        ``run_id``: exactly-once replay support — state rows record the
+        admitting run, and a replayed batch re-returns the rows this
+        same ``run_id`` admitted (no state re-append), so an epoch-keyed
+        overwrite sink reproduces its output instead of losing it. See
+        :meth:`IncrementalDedup.admit`.
+        """
+        state0 = self._state()
+        if run_id is not None:
+            replayed = batch.join(
+                state0.filter(F.col("run_id") == F.lit(run_id)).select(
+                    F.col("doc").alias(id_col)
+                ),
+                id_col,
+                "left_semi",
+            )
         # replay guard: ids already in state (signatures AND the
         # NULL-signature rows of shingle-less admits) drop outright, so
-        # re-running a committed micro-batch admits nothing
+        # re-running a committed micro-batch admits nothing new
         batch = batch.join(
-            self._state().select(F.col("doc").alias(id_col)),
+            state0.select(F.col("doc").alias(id_col)),
             id_col,
             "left_anti",
         )
         sh = _doc_shingle_hashes60(batch, text_col, id_col, self.n)
         wide = _minhash_wide(sh, self.num_hashes).localCheckpoint(eager=True)
         new_bands = _band_table(wide, self.num_hashes, self.bands)
-        old = self._state()
+        old = state0.drop("run_id")
         old_bands = _band_table(old, self.num_hashes, self.bands)
 
         # candidate pairs: vs history (any), vs in-batch (smaller id wins)
@@ -818,10 +870,15 @@ class IncrementalLsh:
                 ],
             )
         )
-        state_rows = admitted_sigs.unionByName(shingleless).localCheckpoint(
-            eager=True
+        state_rows = (
+            admitted_sigs.unionByName(shingleless)
+            .withColumn("run_id", F.lit(run_id).cast("string"))
+            .localCheckpoint(eager=True)
         )
         state_rows.write.mode("append").parquet(self.state_dir)
-        return batch.join(
+        out = batch.join(
             rejected.withColumnRenamed("doc", id_col), id_col, "left_anti"
         )
+        if run_id is not None:
+            out = out.unionByName(replayed)
+        return out

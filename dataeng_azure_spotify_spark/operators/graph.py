@@ -41,16 +41,20 @@ Scale notes (100 TB):
 - Lineage is truncated each round with an eager ``localCheckpoint``
   (executor-side, no driver round-trip) — without it round k recomputes
   rounds 1..k-1 and the plan grows quadratically.
-- Convergence probes are one tiny aggregate action per round (count of
-  changed labels / changed edges), the standard driver-coordinated
-  fixpoint loop — the same shape as the k-means refinement in
-  :mod:`..operators.similarity`.
+- Convergence probes are fused into the per-round materialization via
+  ``observe`` (changed-label / fresh-edge counters collected by the
+  eager checkpoint job itself) — ONE Spark job per round, no separate
+  ``count``/``exceptAll`` re-scan of the round's output.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+
+#: Rounds taken by the most recent :func:`star_components` call —
+#: diagnostic only (read by the job-count regression test).
+_LAST_STAR_ROUNDS = 0
 
 
 def _large_star(directed: DataFrame) -> DataFrame:
@@ -102,7 +106,17 @@ def star_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     O(log² n) rounds regardless of diameter (Kiveris et al. SoCC'14);
     ``max_rounds=50`` is therefore unreachable for any realistic n and
     exists only as an infinite-loop guard.
+
+    Cost per round is exactly ONE Spark job: the eager
+    ``localCheckpoint`` that truncates lineage also carries an
+    ``observe`` metric (count + edges-not-in-previous-set via a fused
+    left join), so the fixpoint probe rides the materialization job
+    instead of re-scanning with separate ``count``/``exceptAll``
+    actions. Fixpoint ⟺ no fresh edge and same cardinality (both edge
+    sets are distinct, so ⊆ plus equal count ⟹ equality).
     """
+    global _LAST_STAR_ROUNDS
+    obs0 = Observation()
     e = (
         edges.select(
             F.greatest(F.col("src"), F.col("dst")).alias("src"),
@@ -110,15 +124,32 @@ def star_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # Exact fixpoint probe: same count and no edge outside the old set.
-        if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
-            e = nxt
-            break
+    prev_cnt = obs0.get["cnt"]
+    for rounds in range(1, max_rounds + 1):
+        obs = Observation()
+        nxt = (
+            _small_star(_large_star(e))
+            .join(e.withColumn("__old", F.lit(True)), ["src", "dst"], "left")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("__old").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("fresh"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .drop("__old")
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get
         e = nxt
+        if m["fresh"] == 0 and m["cnt"] == prev_cnt:
+            _LAST_STAR_ROUNDS = rounds
+            break
+        prev_cnt = m["cnt"]
     else:  # pragma: no cover - O(log² n) bound makes this unreachable
         raise RuntimeError(
             f"star_components did not converge in {max_rounds} rounds"
@@ -211,11 +242,22 @@ def connected_components(
                 .alias("__changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.agg(
-            F.sum(F.col("__changed").cast("long")).alias("n")
-        ).first()["n"]
-        labels = new_labels.drop("__changed")
+        # The eager checkpoint both truncates lineage and (via observe)
+        # reports the changed-label count — one job per round, no
+        # separate agg action.
+        obs = Observation()
+        new_labels = (
+            new_labels.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("__changed").cast("long")), F.lit(0)
+                ).alias("n"),
+            )
+            .drop("__changed")
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["n"]
+        labels = new_labels
         if not changed:
             return labels.withColumnRenamed("node", id_col)
     if method == "propagation":

@@ -1,0 +1,78 @@
+"""Streaming front-end for the cross-run admission tier.
+
+Wires an incremental admitter (:class:`...operators.dedup.
+IncrementalDedup`, :class:`...operators.dedup.IncrementalLsh`, or any
+object with the same ``admit(batch, text_col=, id_col=, run_id=)``
+shape) through a checkpointed ``foreachBatch`` stream — the same
+bounded-trigger shape :mod:`..streaming.gold` uses for CDC merges
+(reference parity: the reference's continuous ingestion loop is ADF
+trigger + Databricks job; here the stream IS the loop).
+
+Exactly-once story, end to end:
+
+- the **checkpoint** guarantees each source file lands in exactly one
+  epoch, and a crashed epoch is re-delivered with the SAME epoch id;
+- the admitter's **run-tracked state** makes a replayed epoch return
+  exactly the rows the crashed attempt admitted (state append happens
+  once; the replay reads it back instead of re-appending);
+- the **sink** writes each epoch to its own ``epoch=N`` partition with
+  ``overwrite`` mode, so a replay rewrites an identical partition
+  rather than appending duplicates.
+
+A plain ``append`` sink plus a merely state-idempotent admitter is NOT
+exactly-once: a crash after the state append but before the sink commit
+would mark documents as seen while never delivering them (the replay
+admits zero rows). The run-tracked re-admission closes exactly that
+window.
+
+At 100 TB this is the shape that matters: per-epoch work is
+O(batch × log state) — the admitters join against parquet state on
+8-byte keys / banded signatures — and the output is a partitioned
+parquet corpus any downstream reader consumes with partition pruning
+on ``epoch``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def run_admission_stream(
+    source: DataFrame,
+    admitter,
+    output_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Bounded (``availableNow``) checkpointed admission run.
+
+    ``source``: a streaming DataFrame of documents. Each micro-batch is
+    passed to ``admitter.admit(...)`` with ``run_id=f"epoch-{id}"`` and
+    the admitted slice lands in ``{output_dir}/epoch={id}/`` via
+    idempotent overwrite. Returns the finished query.
+    """
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        admitted = admitter.admit(
+            batch, text_col=text_col, id_col=id_col, run_id=f"epoch-{epoch_id}"
+        )
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        source.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_admitted(spark, output_dir: str) -> DataFrame:
+    """The admitted corpus across all epochs (partition column dropped)."""
+    return spark.read.parquet(output_dir).drop("epoch")

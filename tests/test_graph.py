@@ -116,3 +116,44 @@ def test_component_representatives_picks_highest_score(spark):
            for r in component_representatives(labels, scores).collect()}
     # component 1: score tie 9 between nodes 2 and 3 -> smallest id wins
     assert out == {(1, 2, 9), (10, 10, 4)}
+
+
+def test_star_components_one_job_per_round(spark):
+    """The fixpoint probe must ride the per-round checkpoint job.
+
+    Regression armor for the observe-fused probe: with separate
+    count()/exceptAll() actions a round cost 3-4 *actions*; fused, each
+    round is exactly one action (the eager localCheckpoint). AQE and
+    broadcast-build jobs fan one action into several Spark jobs, so the
+    test pins action==job by disabling both for its duration.
+    """
+    from dataeng_azure_spotify_spark.operators import graph as graph_mod
+    from dataeng_azure_spotify_spark.operators.graph import star_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)] + [(100, 101), (101, 102)],
+        "src long, dst long",
+    )
+    sc = spark.sparkContext
+    group = "star-job-probe"
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup(group, "star_components job-count probe")
+    try:
+        labeled = star_components(edges)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup(group)
+    rounds = graph_mod._LAST_STAR_ROUNDS
+    assert rounds >= 2  # chain of 17 nodes needs multiple star rounds
+    # 1 normalization job + 1 job per round, nothing else.
+    assert len(jobs) == rounds + 1, (len(jobs), rounds)
+    # and the answer is still right
+    got = {r.node: r.component for r in labeled.collect()}
+    assert set(got.values()) == {0, 100}
+    assert all(got[i] == 0 for i in range(17))

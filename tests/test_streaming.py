@@ -297,3 +297,109 @@ def test_watermarked_session_window_stream_matches_batch_twin(spark, tmp_path):
     assert (1, base, base + dt.timedelta(minutes=50), 3) in got
     # sentinel sessions stay inside the lateness horizon: never emitted
     assert not any(u == 99 for u, *_ in got)
+
+
+# ---------------------------------------------------------------------------
+# Cross-run admission tier through a checkpointed stream (§2.8 + LLM tier):
+# streaming end-state must equal the batch loop, including a replayed epoch.
+# ---------------------------------------------------------------------------
+
+_DOC_SCHEMA = "doc_id long, text string"
+
+_B1 = [
+    Row(doc_id=1, text="the quick brown fox"),
+    Row(doc_id=2, text="lorem ipsum dolor"),
+    Row(doc_id=3, text="The  quick BROWN fox"),  # in-batch dup of 1 (normalized)
+]
+_B2 = [
+    Row(doc_id=10, text="lorem ipsum dolor"),  # cross-epoch dup of 2
+    Row(doc_id=11, text="completely new text"),
+]
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_streaming_admission_matches_batch_loop(spark, tmp_path):
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalDedup
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        read_admitted,
+        run_admission_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    def drain():
+        src = spark.readStream.schema(_DOC_SCHEMA).parquet(inp)
+        admitter = IncrementalDedup(spark, str(tmp_path / "state_stream"))
+        run_admission_stream(src, admitter, out, chk)
+
+    _write_batch(spark, inp, _B1)
+    drain()
+    _write_batch(spark, inp, _B2)
+    drain()
+
+    # batch twin over the same micro-batches, separate state
+    twin = IncrementalDedup(spark, str(tmp_path / "state_batch"))
+    got_batch = _ids(twin.admit(spark.createDataFrame(_B1, _DOC_SCHEMA))) + _ids(
+        twin.admit(spark.createDataFrame(_B2, _DOC_SCHEMA))
+    )
+    assert _ids(read_admitted(spark, out)) == sorted(got_batch) == [1, 2, 11]
+
+    # state parity: same seen-hash set either way
+    h_stream = {
+        r.text_hash
+        for r in spark.read.parquet(str(tmp_path / "state_stream")).collect()
+    }
+    h_batch = {
+        r.text_hash
+        for r in spark.read.parquet(str(tmp_path / "state_batch")).collect()
+    }
+    assert h_stream == h_batch and len(h_stream) == 3
+
+
+def test_replayed_epoch_rewrites_identical_output(spark, tmp_path):
+    """Crash-replay: re-running a committed epoch's foreachBatch body
+    (same run_id) must reproduce the SAME admitted rows and leave state
+    untouched — the exactly-once contract of run-tracked admission."""
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalDedup
+
+    state = str(tmp_path / "state")
+    inc = IncrementalDedup(spark, state)
+    b1 = spark.createDataFrame(_B1, _DOC_SCHEMA)
+
+    first = _ids(inc.admit(b1, run_id="epoch-0"))
+    n_state = spark.read.parquet(state).count()
+    replay = _ids(inc.admit(b1, run_id="epoch-0"))
+    assert replay == first == [1, 2]
+    assert spark.read.parquet(state).count() == n_state  # no re-append
+
+    # a DIFFERENT run replaying the same content admits nothing
+    assert _ids(inc.admit(b1, run_id="epoch-9")) == []
+
+
+def test_incremental_lsh_replay_run_id(spark, tmp_path):
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalLsh
+
+    state = str(tmp_path / "lsh_state")
+    inc = IncrementalLsh(spark, state, threshold=0.5)
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="totally different words here now ok"),
+        Row(doc_id=3, text="hi"),  # shingle-less: admits, id-tracked
+    ]
+    b = spark.createDataFrame(rows, _DOC_SCHEMA)
+
+    first = _ids(inc.admit(b, run_id="epoch-0"))
+    n_state = spark.read.parquet(state).count()
+    replay = _ids(inc.admit(b, run_id="epoch-0"))
+    assert replay == first == [1, 2, 3]
+    assert spark.read.parquet(state).count() == n_state
+    # near-dup of doc 1 in a later epoch still rejects against history
+    later = spark.createDataFrame(
+        [Row(doc_id=20, text="alpha beta gamma delta epsilon zeta")], _DOC_SCHEMA
+    )
+    assert _ids(inc.admit(later, run_id="epoch-1")) == []
