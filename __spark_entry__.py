@@ -57,6 +57,7 @@ from dataeng_azure_spotify_spark.operators.curation import (
     repetition_stats,
     source_mix,
     stratified_sample,
+    strip_shared_boilerplate,
 )
 from dataeng_azure_spotify_spark.operators.ranking import (
     bm25_topk,
@@ -1655,6 +1656,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(cat["documents"], n=5, test_mod=97)
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate span removal: token positions covered
+    by any word 3-gram shared by ≥ 2 documents are stripped; returns
+    per-doc token counts and the cleaned text."""
+    cat = _cat(spark, sf_dir)
+    return strip_shared_boilerplate(cat["documents"], n=3, min_docs=2)
+
+
 def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-100 uniform sample of the documents table."""
     cat = _cat(spark, sf_dir)
@@ -2252,6 +2261,52 @@ WHERE d.doc_id % {test_mod} <> 0
 """
 
 
+def _strip_boilerplate_oracle(n: int, min_docs: int) -> str:
+    """Positional twin of the word-grams CTE: DuckDB zips the aligned
+    ``unnest`` calls, so (pos, gram) rows mirror Spark's
+    struct-transform + posexplode exactly (both 1-based here vs Spark's
+    0-based — positions never leave the query, only order matters)."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS doc, {_TOKS} AS t FROM documents
+), gramrows AS (
+    SELECT doc,
+           unnest(generate_series(1, len(t) - {n - 1})) AS pos,
+           unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                                 i -> {concat})) AS gram
+    FROM toks WHERE len(t) >= {n}
+), occ AS (
+    SELECT doc, pos, {_duck_hash60('gram')} AS g FROM gramrows
+), shared AS (
+    SELECT g FROM occ GROUP BY g HAVING COUNT(DISTINCT doc) >= {min_docs}
+), covered AS (
+    SELECT DISTINCT doc, tp FROM (
+        SELECT occ.doc, unnest(generate_series(occ.pos, occ.pos + {n - 1})) AS tp
+        FROM occ JOIN shared USING (g)
+    )
+), tokpos AS (
+    SELECT doc, unnest(generate_series(1, len(t))) AS tp, unnest(t) AS tok
+    FROM toks WHERE len(t) >= 1
+), kept AS (
+    SELECT tokpos.doc, tokpos.tp, tokpos.tok
+    FROM tokpos ANTI JOIN covered USING (doc, tp)
+), cleaned AS (
+    SELECT doc, string_agg(tok, ' ' ORDER BY tp) AS cleaned_text
+    FROM kept GROUP BY doc
+), boiler AS (
+    SELECT doc, CAST(COUNT(*) AS BIGINT) AS nb FROM covered GROUP BY doc
+)
+SELECT toks.doc AS doc_id,
+       CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(boiler.nb, 0) AS BIGINT) AS n_boilerplate_tokens,
+       COALESCE(cleaned.cleaned_text, '') AS cleaned_text
+FROM toks
+LEFT JOIN boiler USING (doc)
+LEFT JOIN cleaned USING (doc)
+"""
+
+
 def _repetition_oracle(n: int) -> str:
     return f"""
 WITH {_word_grams_cte(n)}, per AS (
@@ -2449,6 +2504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Positions 1-3: never-certified / red-in-r4 (quantize_embeddings'
     # array output is now serialized, decontaminate was outside the r4
     # window, ann_ivf_index_topk is new this round — rows-only).
+    # strip_boilerplate (cross-doc shared-span removal) is new in r5 and
+    # sits inside the window in the slot a duplicated dict key wasted.
     # Then: the LLM-pipeline tier + round-4 TPC-H/ranking additions and
     # the complex proven families kept under regression watch.
     # Positions 51+: cheap relational queries green in earlier driver
@@ -2492,7 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q18": q_tpch_q18,
         "tpch_q5": q_tpch_q5,
-        "quantize_embeddings": q_quantize_embeddings,
+        "strip_boilerplate": q_strip_boilerplate,
         "date_dim": q_date_dim,
         "dedup_keep_best": q_dedup_keep_best,
         "sample_exact_n": q_sample_exact_n,
@@ -2736,6 +2793,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(budget=512, shards=32),
         "contamination_check": _contamination_oracle(n=5, test_mod=97),
         "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
+        "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "repetition_stats": _repetition_oracle(n=3),
         "stratified_sample": _stratified_sample_oracle(en_pct=40),
         "length_quantile_filter": _length_quantile_oracle(0.05, 0.95),

@@ -382,3 +382,95 @@ def decontaminate(
     )
     train = df.filter(F.pmod(F.col(id_col), F.lit(test_mod)) != 0)
     return train.join(contaminated, id_col, "left_anti")
+
+
+def strip_shared_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate removal at n-gram-span granularity —
+    the substring-level dedup step (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") bounded to word n-grams so it
+    stays pure DataFrame algebra with an exact SQL twin.
+
+    A word n-gram is *shared* when it occurs in ≥ ``min_docs`` distinct
+    documents (headers, footers, license blurbs, templated navigation).
+    Every token position covered by ANY occurrence of a shared gram is
+    boilerplate; the cleaned text is the remaining tokens in original
+    order. Documents with < ``n`` tokens pass through untouched.
+
+    Returns (id_col, n_tokens, n_boilerplate_tokens, cleaned_text) for
+    every input document — deterministic, no RNG.
+
+    Scale (100 TB): the shared-gram table is tiny relative to the corpus
+    (grams crossing the ``min_docs`` bar) and joins on 60-bit hashes —
+    AQE elects broadcast when it fits. The heavy stages are the two
+    explodes (grams, token positions), both embarrassingly parallel and
+    partial-aggregated before their shuffles; the covered-position
+    ``distinct`` and the final per-doc groupBys shuffle on doc id only.
+    Nothing is quadratic and nothing collects to the driver.
+    """
+    toks = F.col("__toks")
+    base = df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(toks, i + 1, n), " ").alias("gram")
+        ),
+    )
+    grams = (
+        base.filter(F.size(toks) >= n)
+        .select("doc", F.explode(gram_structs).alias("pg"))
+        .select(
+            "doc",
+            F.col("pg.pos").alias("pos"),
+            hash60(F.col("pg.gram")).alias("g"),
+        )
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(shared, "g")
+        .select(
+            "doc",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "tp"
+            ),
+        )
+        .distinct()
+    )
+    tok_pos = base.select("doc", F.posexplode("__toks").alias("tp", "tok"))
+    kept = tok_pos.join(covered, ["doc", "tp"], "left_anti")
+    cleaned = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text")
+    )
+    boiler = covered.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boilerplate_tokens")
+    )
+    return (
+        base.select("doc", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(boiler, "doc", "left")
+        .join(cleaned, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_boilerplate_tokens", F.lit(0)).cast("long").alias(
+                "n_boilerplate_tokens"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

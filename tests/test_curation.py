@@ -163,3 +163,43 @@ def test_cap_per_source_caps_deterministically(spark):
                    ("src1", 1), ("src1", 3), ("src1", 5)}
     # cap above group size keeps everything
     assert cap_per_source(df, max_per_key=99).count() == 10
+
+
+def test_strip_shared_boilerplate_hand_computed(spark):
+    from dataeng_azure_spotify_spark.operators.curation import (
+        strip_shared_boilerplate,
+    )
+
+    rows = [
+        # docs 1 and 2 share the trigram "legal footer text"; doc 3 is clean
+        Row(doc_id=1, text="alpha beta legal footer text gamma"),
+        Row(doc_id=2, text="delta legal footer text"),
+        Row(doc_id=3, text="totally original content here"),
+        Row(doc_id=4, text="hi"),  # < n tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_boilerplate_tokens, r.cleaned_text)
+        for r in strip_shared_boilerplate(df, n=3, min_docs=2).collect()
+    }
+    assert out[1] == (6, 3, "alpha beta gamma")
+    assert out[2] == (4, 3, "delta")
+    assert out[3] == (4, 0, "totally original content here")
+    assert out[4] == (1, 0, "hi")
+
+
+def test_strip_shared_boilerplate_fully_covered_doc_empties(spark):
+    from dataeng_azure_spotify_spark.operators.curation import (
+        strip_shared_boilerplate,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the same exact text"),
+        Row(doc_id=2, text="the same exact text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_boilerplate_tokens, r.cleaned_text)
+        for r in strip_shared_boilerplate(df, n=4, min_docs=2).collect()
+    }
+    assert out == {1: (4, ""), 2: (4, "")}
