@@ -539,6 +539,7 @@ class IvfIndex:
         vec_col: str = "embedding",
         num_centroids: int = 64,
         kmeans_iters: int = 1,
+        run_id: str | None = None,
     ) -> "IvfIndex":
         idx = cls(corpus.sparkSession, path, id_col, vec_col)
         centroids = kmeans_centroids(
@@ -547,6 +548,7 @@ class IvfIndex:
         assignment = ivf_assign(corpus, centroids, id_col, vec_col)
         (
             corpus.join(assignment, on=id_col)
+            .withColumn("run_id", F.lit(run_id).cast("string"))
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(idx._buckets_path)
@@ -573,19 +575,27 @@ class IvfIndex:
         return self.spark.read.parquet(self._centroids_path)
 
     def buckets(self) -> DataFrame:
-        return self.spark.read.parquet(self._buckets_path)
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self._buckets_path
+        )
+        if "run_id" not in df.columns:  # index built before run tracking
+            df = df.withColumn("run_id", F.lit(None).cast("string"))
+        return df
 
-    def append(self, vectors: DataFrame) -> None:
+    def append(self, vectors: DataFrame, run_id: str | None = None) -> None:
         """Assign new vectors to the EXISTING centroids and append their
         bucket rows. Centroids stay fixed — the standard IVF ingest
         trade (assignment drifts as the distribution moves; rebuild
         periodically to re-balance). Append lands only the new rows'
-        partitions; committed buckets are untouched."""
+        partitions; committed buckets are untouched. ``run_id`` tags the
+        rows with the admitting run for exactly-once streaming replays
+        (see :class:`IncrementalEmbeddingDedup`)."""
         assignment = ivf_assign(
             vectors, self.centroids(), self.id_col, self.vec_col
         )
         (
             vectors.join(assignment, on=self.id_col)
+            .withColumn("run_id", F.lit(run_id).cast("string"))
             .write.mode("append")
             .partitionBy("centroid_id")
             .parquet(self._buckets_path)
@@ -685,8 +695,15 @@ class IncrementalEmbeddingDedup:
         self.id_col = id_col
         self.vec_col = vec_col
 
-    def admit(self, batch: DataFrame) -> DataFrame:
-        """Admit the near-dup-free slice of ``batch``; update the index."""
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        """Admit the near-dup-free slice of ``batch``; update the index.
+
+        ``run_id``: exactly-once replay support — bucket rows carry the
+        admitting run, and a replayed batch re-returns the rows this
+        same run admitted (no index re-append), so an epoch-keyed
+        overwrite sink reproduces its output. Same contract as
+        :meth:`...operators.dedup.IncrementalDedup.admit`.
+        """
         pairs = cosine_neardup_pairs(
             batch, self.id_col, self.vec_col, self.threshold
         )
@@ -701,13 +718,23 @@ class IncrementalEmbeddingDedup:
                 self.id_col,
                 self.vec_col,
                 num_centroids=self.num_centroids,
+                run_id=run_id,
             )
             return survivors
+        prior = self.index.buckets()
+        if run_id is not None:
+            replayed = batch.join(
+                prior.filter(F.col("run_id") == F.lit(run_id)).select(
+                    self.id_col
+                ),
+                self.id_col,
+                "left_semi",
+            )
         # replay guard: ids already admitted are dropped outright (the
         # similarity probe excludes same-id matches, so an exact replay
         # would otherwise sail past it)
         survivors = survivors.join(
-            self.index.buckets().select(self.id_col), self.id_col, "left_anti"
+            prior.select(self.id_col), self.id_col, "left_anti"
         )
         hits = (
             self.index.query(survivors, k=1, nprobe=self.nprobe)
@@ -717,5 +744,7 @@ class IncrementalEmbeddingDedup:
         )
         survivors = survivors.join(hits, self.id_col, "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
-        self.index.append(survivors)
+        self.index.append(survivors, run_id=run_id)
+        if run_id is not None:
+            return survivors.unionByName(replayed)
         return survivors

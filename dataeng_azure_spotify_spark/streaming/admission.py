@@ -55,10 +55,22 @@ def run_admission_stream(
     idempotent overwrite. Returns the finished query.
     """
 
-    def handle(batch: DataFrame, epoch_id: int) -> None:
-        admitted = admitter.admit(
-            batch, text_col=text_col, id_col=id_col, run_id=f"epoch-{epoch_id}"
+    import inspect
+
+    admit_params = set(inspect.signature(admitter.admit).parameters)
+    extra = {
+        k: v
+        for k, v in {"text_col": text_col, "id_col": id_col}.items()
+        if k in admit_params
+    }
+    if "run_id" not in admit_params:
+        raise TypeError(
+            f"{type(admitter).__name__}.admit lacks run_id support — "
+            "exactly-once epoch replay requires run-tracked admission"
         )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        admitted = admitter.admit(batch, run_id=f"epoch-{epoch_id}", **extra)
         admitted.write.mode("overwrite").parquet(
             os.path.join(output_dir, f"epoch={epoch_id}")
         )

@@ -403,3 +403,53 @@ def test_incremental_lsh_replay_run_id(spark, tmp_path):
         [Row(doc_id=20, text="alpha beta gamma delta epsilon zeta")], _DOC_SCHEMA
     )
     assert _ids(inc.admit(later, run_id="epoch-1")) == []
+
+
+def test_embedding_admission_stream_with_replay(spark, tmp_path):
+    """The third admitter (IncrementalEmbeddingDedup) through the same
+    checkpointed foreachBatch front-end: streamed end-state matches the
+    batch loop, and a replayed epoch (same run_id) re-returns identical
+    admissions without growing the index."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalEmbeddingDedup,
+    )
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        read_admitted,
+        run_admission_stream,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    schema = "vec_id long, embedding array<float>"
+    b1 = [(1, vec(1, 0, 0, 0)), (2, vec(1, 0.01, 0, 0)), (3, vec(0, 1, 0, 0))]
+    b2 = [(10, vec(0.99, 0.01, 0, 0)), (11, vec(0, 0, 1, 0))]
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(inp)
+        admitter = IncrementalEmbeddingDedup(
+            spark, str(tmp_path / "idx"), threshold=0.95,
+            num_centroids=2, nprobe=2,
+        )
+        run_admission_stream(
+            src, admitter, out, str(tmp_path / "chk"), id_col="vec_id"
+        )
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(inp)
+    drain()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(inp)
+    drain()
+    got = {r.vec_id for r in read_admitted(spark, out).collect()}
+    assert got == {1, 3, 11}
+
+    # crash-replay of epoch 1: same run_id re-returns {11}, index untouched
+    admitter = IncrementalEmbeddingDedup(
+        spark, str(tmp_path / "idx"), threshold=0.95, num_centroids=2, nprobe=2
+    )
+    n_rows = admitter.index.buckets().count()
+    replay = admitter.admit(spark.createDataFrame(b2, schema), run_id="epoch-1")
+    assert {r.vec_id for r in replay.collect()} == {11}
+    assert admitter.index.buckets().count() == n_rows
