@@ -474,3 +474,80 @@ def strip_shared_boilerplate(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Statistical quality score: how typical is each document under a
+    word-bigram language model trained on the corpus itself — the
+    shape of CCNet/Gopher's perplexity filter (docs scoring far below
+    the corpus norm are boilerplate soup, encoding garbage, or word
+    salad), with the LM reduced to bigram MLE so the whole thing is two
+    count aggregations and stays engine-exact.
+
+    Per document: ``lm_score = avg over bigram occurrences of
+    P(w2 | w1) = C(w1 w2) / C(w1 ·)`` where the counts are corpus-wide
+    bigram and bigram-context occurrences (every observed bigram has
+    C ≥ 1, so no smoothing is needed and scores are in (0, 1]).
+    Documents with < 2 tokens have no bigrams and are excluded.
+
+    Cross-engine determinism (module note + ranking.py): probabilities
+    are IEEE divisions of exact integers (identical everywhere), then
+    quantized to 1e-9 fixed point and summed as BIGINTs so per-doc
+    accumulation is exact and order-free; the final normalization is a
+    single double division with the same operation tree in the DuckDB
+    twin. The BIGINT sum bounds per-doc weighted mass at ~9e18 — fine
+    for any real document (a doc would need ~10^9 bigram occurrences to
+    overflow).
+
+    Returns (id_col, n_bigrams, lm_score).
+
+    Scale (100 TB): explode → three partial-aggregated groupBys (doc
+    grams, corpus bigram counts, corpus context counts) + two integer
+    equi-joins on 60-bit hashes. The count tables are vocab-sized
+    (≪ corpus) so AQE elects broadcast; nothing quadratic, nothing on
+    the driver. Train/score on different corpora by materializing the
+    count tables once and reusing them — the same amortization as
+    IvfIndex (here the one-shot self-scoring form keeps the exact
+    SQL-oracle twin).
+    """
+    toks = F.col("__toks")
+    base = df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigram_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.array_join(F.slice(toks, i + 1, 2), " ").alias("gram"),
+        ),
+    )
+    occ = (
+        base.filter(F.size(toks) >= 2)
+        .select("doc", F.explode(bigram_structs).alias("bg"))
+        .select(
+            "doc",
+            hash60(F.col("bg.w1")).alias("h1"),
+            hash60(F.col("bg.gram")).alias("g"),
+        )
+        .groupBy("doc", "h1", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    cb = occ.groupBy("g").agg(F.sum("o").cast("long").alias("cb"))
+    cu = occ.groupBy("h1").agg(F.sum("o").cast("long").alias("cu"))
+    p = F.col("cb").cast("double") / F.col("cu").cast("double")
+    q = F.floor(p * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per = (
+        occ.join(cb, "g")
+        .join(cu, "h1")
+        .select("doc", "o", q.alias("q"))
+    )
+    return per.groupBy("doc").agg(
+        F.sum("o").cast("long").alias("n_bigrams"),
+        (
+            F.sum(F.col("o") * F.col("q")).cast("double")
+            / (F.sum("o").cast("double") * F.lit(1e9))
+        ).alias("lm_score"),
+    ).withColumnRenamed("doc", id_col)

@@ -203,3 +203,28 @@ def test_strip_shared_boilerplate_fully_covered_doc_empties(spark):
         for r in strip_shared_boilerplate(df, n=4, min_docs=2).collect()
     }
     assert out == {1: (4, ""), 2: (4, "")}
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    from dataeng_azure_spotify_spark.operators.curation import ngram_lm_score
+
+    rows = [
+        Row(doc_id=1, text="a b c"),
+        Row(doc_id=2, text="a b x"),
+        Row(doc_id=3, text="z"),  # < 2 tokens: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.lm_score) for r in ngram_lm_score(df).collect()}
+    # corpus bigrams: "a b" x2, "b c" x1, "b x" x1; contexts: a->2, b->2
+    # doc1: P(b|a)=2/2=1, P(c|b)=1/2 -> avg 0.75; doc2 same shape
+    assert set(out) == {1, 2}
+    assert out[1][0] == 2 and abs(out[1][1] - 0.75) < 1e-9
+    assert out[2][0] == 2 and abs(out[2][1] - 0.75) < 1e-9
+
+    # a repetitive doc of one dominant bigram scores near 1
+    rep = spark.createDataFrame(
+        [Row(doc_id=1, text="spam spam spam spam"), Row(doc_id=2, text="spam spam")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lm_score for r in ngram_lm_score(rep).collect()}
+    assert got[1] == 1.0 and got[2] == 1.0
