@@ -64,7 +64,10 @@ from dataeng_azure_spotify_spark.operators.ranking import (
     bm25_topk,
     tfidf_top_terms,
 )
-from dataeng_azure_spotify_spark.operators.similarity import quantize_embeddings
+from dataeng_azure_spotify_spark.operators.similarity import (
+    jl_project,
+    quantize_embeddings,
+)
 from dataeng_azure_spotify_spark.operators.scd import (
     END_COL,
     START_COL,
@@ -1657,6 +1660,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(cat["documents"], n=5, test_mod=97)
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL sign projection of the embeddings to 8 dims
+    (hash-derived ±1 matrix, decimal-exact accumulation)."""
+    cat = _cat(spark, sf_dir)
+    return jl_project(cat["embeddings"], out_dim=8)
+
+
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram LM self-score per document (CCNet-style statistical
     quality filter, engine-exact fixed-point form)."""
@@ -2269,6 +2279,36 @@ WHERE d.doc_id % {test_mod} <> 0
 """
 
 
+def _jl_project_oracle(out_dim: int, salt: str = "jl") -> str:
+    """Twin of jl_project: unnest + grouped DECIMAL(38,20) sums (order-
+    free, bit-equal to Spark's decimal fold), i-1 aligning DuckDB's
+    1-based positions with Spark's 0-based transform index."""
+    def y(j: int) -> str:
+        h = (
+            f"('0x' || substr(md5('{salt}|' || CAST(i - 1 AS VARCHAR) "
+            f"|| '|{j}'), 1, 15))::BIGINT"
+        )
+        return (
+            f"round(CAST(SUM(CASE WHEN {h} % 2 = 0 "
+            f"THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(38,20)) "
+            f"ELSE CAST(-CAST(x AS DOUBLE) AS DECIMAL(38,20)) END) AS DOUBLE) "
+            f"/ sqrt({float(out_dim)}), 12) AS y{j}"
+        )
+
+    cols = ",\n       ".join(y(j) for j in range(out_dim))
+    return f"""
+WITH elems AS (
+    SELECT vec_id,
+           unnest(generate_series(1, len(embedding))) AS i,
+           unnest(embedding) AS x
+    FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM elems GROUP BY vec_id
+"""
+
+
 def _ngram_lm_oracle() -> str:
     return f"""
 WITH toks AS (
@@ -2543,11 +2583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Positions 1-3: never-certified / red-in-r4 (quantize_embeddings'
     # array output is now serialized, decontaminate was outside the r4
     # window, ann_ivf_index_topk is new this round — rows-only).
-    # strip_boilerplate (cross-doc shared-span removal) and
-    # ngram_lm_score (bigram-LM quality filter) are new in r5 and sit
-    # inside the window; to make room, the thrice-proven cheap filters
-    # source_mix / chunk_documents / length_quantile_filter rotated to
-    # 51+ (still in the pytest oracle sweep every round).
+    # strip_boilerplate (cross-doc shared-span removal), ngram_lm_score
+    # (bigram-LM quality filter) and jl_project (hash-derived JL sign
+    # projection) are new in r5 and sit inside the window; to make room,
+    # the proven cheap filters source_mix / chunk_documents /
+    # length_quantile_filter / stratified_sample rotated to 51+ (still
+    # in the pytest oracle sweep every round).
     # Then: the LLM-pipeline tier + round-4 TPC-H/ranking additions and
     # the complex proven families kept under regression watch.
     # Positions 51+: cheap relational queries green in earlier driver
@@ -2566,7 +2607,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
-        "stratified_sample": q_stratified_sample,
         "tpch_q2": q_tpch_q2,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -2590,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "strip_boilerplate": q_strip_boilerplate,
         "ngram_lm_score": q_ngram_lm_score,
+        "jl_project": q_jl_project,
         "date_dim": q_date_dim,
         "dedup_keep_best": q_dedup_keep_best,
         "sample_exact_n": q_sample_exact_n,
@@ -2607,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "chunk_documents": q_chunk_documents,
         "length_quantile_filter": q_length_quantile_filter,
+        "stratified_sample": q_stratified_sample,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
         "tpch_q14": q_tpch_q14,
@@ -2838,6 +2880,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
         "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "ngram_lm_score": _ngram_lm_oracle(),
+        "jl_project": _jl_project_oracle(out_dim=8),
         "repetition_stats": _repetition_oracle(n=3),
         "stratified_sample": _stratified_sample_oracle(en_pct=40),
         "length_quantile_filter": _length_quantile_oracle(0.05, 0.95),

@@ -748,3 +748,58 @@ class IncrementalEmbeddingDedup:
         if run_id is not None:
             return survivors.unionByName(replayed)
         return survivors
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 8,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: reduce ``vec_col`` to
+    ``out_dim`` dimensions with a deterministic ±1 projection matrix —
+    the cheap distance-preserving shrink a 100 TB pipeline runs before
+    brute-force rescoring or as the input to a coarser ANN index
+    (Achlioptas 2003: random signs preserve pairwise distances in
+    expectation like Gaussian projections).
+
+    The "random" matrix is hash-derived — ``sign(i, j) = ±1`` by the
+    parity of ``hash60(salt|i|j)`` — so the projection is reproducible
+    across engines and runs with no stored matrix at all. Outputs
+    ``y0..y{out_dim-1} = (Σ_i sign(i,j)·x_i) / sqrt(out_dim)``.
+
+    Cross-engine determinism: per-element terms are ±(float→double)
+    casts accumulated in DECIMAL (order-free, see :func:`_dot`); the
+    double→decimal cast itself rounds at the 20th decimal digit with an
+    engine-specific tie mode, so outputs are rounded to 12 dp (the
+    :func:`_rank_topk` convention) and hash-match the DuckDB twin.
+
+    Scale: pure per-row whole-stage-codegen expression — no shuffle, no
+    explode, no UDF; O(d·out_dim) decimal adds per row.
+    """
+    from dataeng_azure_spotify_spark.functions.text import hash60
+
+    def out_col(j: int):
+        def term(x, i):
+            parity = F.pmod(
+                hash60(
+                    F.concat_ws(
+                        "|", F.lit(salt), i.cast("string"), F.lit(str(j))
+                    )
+                ),
+                F.lit(2),
+            )
+            xd = x.cast("double")
+            return (
+                F.when(parity == 0, xd).otherwise(-xd).cast(DOT_DECIMAL)
+            )
+
+        s = F.aggregate(
+            F.transform(F.col(vec_col), term),
+            F.lit(0).cast(DOT_DECIMAL),
+            lambda acc, x: (acc + x).cast(DOT_DECIMAL),
+        ).cast("double")
+        return F.round(s / F.sqrt(F.lit(float(out_dim))), 12).alias(f"y{j}")
+
+    return df.select(F.col(id_col), *[out_col(j) for j in range(out_dim)])

@@ -578,3 +578,37 @@ def test_embedding_dedup_custom_id_col(spark, tmp_path):
         id_col="emb_id",
     )
     assert {r.emb_id for r in d.admit(df).collect()} == {1, 3}
+
+
+def test_jl_project_preserves_distances_and_is_deterministic(spark):
+    """JL sign projection: deterministic (hash-derived matrix), output
+    dims as requested, and pairwise distance ratios stay within the JL
+    distortion band for a sanity set of vectors."""
+    import math
+
+    from dataeng_azure_spotify_spark.operators.similarity import jl_project
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (4, [0.5, -0.5, 0.25, -0.25, 0.1, -0.1, 2.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = jl_project(df, out_dim=4)
+    assert out.columns == ["vec_id", "y0", "y1", "y2", "y3"]
+    a = {r.vec_id: [r.y0, r.y1, r.y2, r.y3] for r in out.collect()}
+    b = {r.vec_id: [r.y0, r.y1, r.y2, r.y3] for r in jl_project(df, out_dim=4).collect()}
+    assert a == b  # fully deterministic, no stored matrix
+
+    # norm preservation in expectation: E[||y||^2] = ||x||^2. With only
+    # 4 output dims the variance is large, so assert a loose band.
+    for vid, x in {r[0]: r[1] for r in rows}.items():
+        nx = sum(v * v for v in x)
+        ny = sum(v * v for v in a[vid])
+        assert 0.05 * nx < ny < 5.0 * nx, (vid, nx, ny)
+
+    # a different salt gives a different (still deterministic) projection
+    c = {r.vec_id: [r.y0, r.y1, r.y2, r.y3]
+         for r in jl_project(df, out_dim=4, salt="jl2").collect()}
+    assert c != a

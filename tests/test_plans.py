@@ -216,3 +216,20 @@ def test_sample_exact_n_is_take_ordered(plans):
     p = plans["sample_exact_n"]
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_strip_boilerplate_no_cartesian_and_partial_aggs(spark):
+    p = _plan(entry.queries()["strip_boilerplate"](spark, SF))
+    assert "CartesianProduct" not in p
+    # shared-gram detection is a grouped count with map-side partials,
+    # and boilerplate positions leave via joins, never a nested loop
+    assert p.count("HashAggregate") >= 4
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_lm_no_cartesian_and_partial_aggs(spark):
+    p = _plan(entry.queries()["ngram_lm_score"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # occ/cb/cu are three grouped counts: partial+final pairs present
+    assert p.count("HashAggregate") >= 4
