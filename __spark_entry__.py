@@ -64,6 +64,7 @@ from dataeng_azure_spotify_spark.operators.ranking import (
     bm25_topk,
     tfidf_top_terms,
 )
+from dataeng_azure_spotify_spark.operators.pca import pca_fit, pca_project
 from dataeng_azure_spotify_spark.operators.similarity import (
     jl_project,
     quantize_embeddings,
@@ -1660,6 +1661,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(cat["documents"], n=5, test_mod=97)
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: fit 4 components on the embeddings (one
+    mapInPandas moments pass, O(d²)-per-partition driver reduce) and
+    project — rows-only at the driver (float64 partition sums are
+    layout-dependent; properties pinned in tests/test_pca.py)."""
+    cat = _cat(spark, sf_dir)
+    emb = cat["embeddings"]
+    model = pca_fit(emb, k=4)
+    return pca_project(emb, model)
+
+
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic JL sign projection of the embeddings to 8 dims
     (hash-derived ±1 matrix, decimal-exact accumulation)."""
@@ -2631,9 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "ngram_lm_score": q_ngram_lm_score,
         "jl_project": q_jl_project,
+        "pca_project": q_pca_project,
         "date_dim": q_date_dim,
         "dedup_keep_best": q_dedup_keep_best,
-        "sample_exact_n": q_sample_exact_n,
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
@@ -2649,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "length_quantile_filter": q_length_quantile_filter,
         "stratified_sample": q_stratified_sample,
+        "sample_exact_n": q_sample_exact_n,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
         "tpch_q14": q_tpch_q14,

@@ -233,3 +233,11 @@ def test_ngram_lm_no_cartesian_and_partial_aggs(spark):
     assert "BroadcastNestedLoopJoin" not in p
     # occ/cb/cu are three grouped counts: partial+final pairs present
     assert p.count("HashAggregate") >= 4
+
+
+def test_pca_project_is_shuffle_free_and_jvm_only(spark):
+    p = _plan(entry.queries()["pca_project"](spark, SF))
+    # projection compiles to literal-array folds: scan -> project, no
+    # exchange and no Python in the scoring pass
+    assert "Exchange" not in p
+    assert "Python" not in p  # no BatchEvalPython / ArrowEvalPython
