@@ -39,7 +39,11 @@ from dataeng_azure_spotify_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
-from dataeng_azure_spotify_spark.operators.asof import asof_join, range_join
+from dataeng_azure_spotify_spark.operators.asof import (
+    asof_join,
+    interval_join,
+    range_join,
+)
 from dataeng_azure_spotify_spark.functions.pii import redact_pii
 from dataeng_azure_spotify_spark.operators.graph import (
     component_representatives,
@@ -1661,6 +1665,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(cat["documents"], n=5, test_mod=97)
 
 
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution: per user, clicks landing within 10
+    minutes after a view (binned interval join — the batch twin of the
+    stream-stream time-interval join)."""
+    cat = _cat(spark, sf_dir)
+    ev = cat["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    out = interval_join(views, clicks, ["user_id"], "view_ts", "click_ts", 0, 600)
+    return out.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).cast("long").alias("micros_between"),
+    )
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA: fit 4 components on the embeddings (one
     mapInPandas moments pass, O(d²)-per-partition driver reduce) and
@@ -2614,7 +2642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "pack_sequences": q_pack_sequences,
         "contamination_check": q_contamination_check,
@@ -2644,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": q_ngram_lm_score,
         "jl_project": q_jl_project,
         "pca_project": q_pca_project,
+        "event_attribution": q_event_attribution,
         "date_dim": q_date_dim,
         "dedup_keep_best": q_dedup_keep_best,
         "scd1_upsert": q_scd1_upsert,
@@ -2662,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantile_filter": q_length_quantile_filter,
         "stratified_sample": q_stratified_sample,
         "sample_exact_n": q_sample_exact_n,
+        "doc_fingerprints": q_doc_fingerprints,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
         "tpch_q14": q_tpch_q14,
@@ -2894,6 +2923,23 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "ngram_lm_score": _ngram_lm_oracle(),
         "jl_project": _jl_project_oracle(out_dim=8),
+        "event_attribution": """
+            WITH v AS (
+                SELECT event_id AS view_id, user_id,
+                       CAST(ts AS TIMESTAMP) AS vts
+                FROM events WHERE event_type = 'view'
+            ), c AS (
+                SELECT event_id AS click_id, user_id,
+                       CAST(ts AS TIMESTAMP) AS cts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT v.view_id, c.click_id, v.user_id AS user_id,
+                   CAST(epoch_us(c.cts) - epoch_us(v.vts) AS BIGINT)
+                       AS micros_between
+            FROM v JOIN c ON v.user_id = c.user_id
+            WHERE epoch_us(c.cts) > epoch_us(v.vts)
+              AND epoch_us(c.cts) <= epoch_us(v.vts) + 600000000
+        """,
         "repetition_stats": _repetition_oracle(n=3),
         "stratified_sample": _stratified_sample_oracle(en_pct=40),
         "length_quantile_filter": _length_quantile_oracle(0.05, 0.95),

@@ -146,3 +146,61 @@ def range_join(
     for c in right_only:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
     return matched.unionByName(unmatched).drop(_RID)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """Event-to-event interval join: pairs sharing the ``on`` keys with
+    ``right_ts ∈ (left_ts + lower_seconds, left_ts + upper_seconds]`` —
+    the attribution shape (view→click within 10 minutes), and the batch
+    twin of Spark's stream-stream time-interval join (where the same
+    range predicate rides the state store + watermarks instead; parity
+    pinned in tests/test_streaming.py).
+
+    Like :func:`range_join`, a raw range predicate would plan as a
+    per-key cross product, so the window is binned: bin width = window
+    length, each LEFT row explodes into the ≤ 2 bins its window
+    overlaps, the join is an equi-join on (keys, bin), and the exact
+    predicate is re-checked in integer microseconds (no boundary loss —
+    everything is exact int64 arithmetic). Shuffle is by (key, bin);
+    per-key skew is bounded by the window length.
+
+    ``left_ts``/``right_ts`` must be distinct column names (both survive
+    into the output row).
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    def _us(c: str):
+        # NTZ-safe: unix_micros needs TIMESTAMP; the session-tz shift of
+        # the cast cancels out — joins/differences only ever compare the
+        # two sides, both shifted identically.
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    lo_us = _us(left_ts) + F.lit(lower_seconds * 1_000_000)
+    hi_us = _us(left_ts) + F.lit(upper_seconds * 1_000_000)
+    r_us = _us(right_ts)
+    bin_us = max(upper_seconds - lower_seconds, 1) * 1_000_000
+    l = left.withColumn(
+        _BIN,
+        F.explode(
+            F.sequence(
+                F.floor(lo_us / bin_us).cast("long"),
+                F.floor(hi_us / bin_us).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn(_BIN, F.floor(r_us / bin_us).cast("long"))
+    return (
+        l.join(r, on + [_BIN], "inner")
+        .filter((r_us > lo_us) & (r_us <= hi_us))
+        .drop(_BIN)
+    )

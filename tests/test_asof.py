@@ -166,3 +166,35 @@ def test_asof_join_matches_naive_definition_randomized(spark):
             ).collect()
         }
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_interval_join_window_semantics(spark):
+    import datetime as dt
+
+    from dataeng_azure_spotify_spark.operators.asof import interval_join
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def t(seconds):
+        return base + dt.timedelta(seconds=seconds)
+
+    views = spark.createDataFrame(
+        [(1, 100, t(0)), (2, 100, t(1000)), (3, 200, t(0))],
+        "view_id long, user_id long, view_ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (10, 100, t(0)),     # exactly at view 1: EXCLUDED (lower open)
+            (11, 100, t(300)),   # within 600s of view 1
+            (12, 100, t(600)),   # exactly at +600: INCLUDED (upper closed)
+            (13, 100, t(601)),   # just past: excluded
+            (14, 200, t(599)),   # other user, within view 3's window
+            (15, 999, t(10)),    # no matching view user
+        ],
+        "click_id long, user_id long, click_ts timestamp",
+    )
+    out = interval_join(views, clicks, ["user_id"], "view_ts", "click_ts", 0, 600)
+    got = {(r.view_id, r.click_id) for r in out.collect()}
+    # view 1 (0,600]: clicks 11, 12 (600 inclusive; 0 excluded; 601 out)
+    # view 2 (1000,1600]: none; view 3 (user 200): click 14
+    assert got == {(1, 11), (1, 12), (3, 14)}

@@ -453,3 +453,78 @@ def test_embedding_admission_stream_with_replay(spark, tmp_path):
     replay = admitter.admit(spark.createDataFrame(b2, schema), run_id="epoch-1")
     assert {r.vec_id for r in replay.collect()} == {11}
     assert admitter.index.buckets().count() == n_rows
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """Stream-stream time-interval join (views ⋈ clicks within 10 min,
+    watermarked both sides) converges to the batch interval_join over
+    the same data — SURVEY §2.8 beyond-reference surface: the reference
+    has no stream-stream joins at all."""
+    import datetime as dt
+
+    from dataeng_azure_spotify_spark.operators.asof import interval_join
+
+    base = dt.datetime(2024, 6, 1, 9, 0, 0)
+
+    def t(seconds):
+        return base + dt.timedelta(seconds=seconds)
+
+    views = [(1, 100, t(0)), (2, 100, t(2000)), (3, 200, t(50))]
+    clicks = [
+        (10, 100, t(300)),   # matches view 1
+        (11, 100, t(2300)),  # matches view 2
+        (12, 200, t(700)),   # outside view 3's 600s window
+        (13, 200, t(100)),   # matches view 3
+    ]
+    v_schema = "view_id long, user_id long, view_ts timestamp"
+    c_schema = "click_id long, user_id long, click_ts timestamp"
+    v_dir, c_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(views, v_schema).write.parquet(v_dir)
+    spark.createDataFrame(clicks, c_schema).write.parquet(c_dir)
+
+    vs = (
+        spark.readStream.schema(v_schema).parquet(v_dir)
+        .withWatermark("view_ts", "10 minutes")
+        .withColumnRenamed("user_id", "v_user")
+    )
+    cs = (
+        spark.readStream.schema(c_schema).parquet(c_dir)
+        .withWatermark("click_ts", "10 minutes")
+    )
+    from pyspark.sql import functions as F
+
+    joined = vs.join(
+        cs,
+        F.expr(
+            "v_user = user_id AND "
+            "click_ts > view_ts AND "
+            "click_ts <= view_ts + interval 600 seconds"
+        ),
+    ).select("view_id", "click_id", F.col("v_user").alias("user_id"))
+    sink = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.view_id, r.click_id, r.user_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = interval_join(
+        spark.createDataFrame(views, v_schema),
+        spark.createDataFrame(clicks, c_schema),
+        ["user_id"],
+        "view_ts",
+        "click_ts",
+        0,
+        600,
+    )
+    expected = {
+        (r.view_id, r.click_id, r.user_id) for r in batch.collect()
+    }
+    assert streamed == expected == {(1, 10, 100), (2, 11, 100), (3, 13, 200)}
