@@ -1665,6 +1665,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(cat["documents"], n=5, test_mod=97)
 
 
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering codes over (l_partkey, l_suppkey) —
+    the multi-dimensional data-skipping layout key (write path:
+    sources/layout.py write_zordered)."""
+    from dataeng_azure_spotify_spark.sources.layout import with_zorder_code
+
+    cat = _cat(spark, sf_dir)
+    li = cat["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_zorder_code(li, ["l_partkey", "l_suppkey"], bits=16)
+
+
 def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→click attribution: per user, clicks landing within 10
     minutes after a view (binned interval join — the batch twin of the
@@ -2642,7 +2655,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "multimodal_features": q_multimodal_features,
         "pack_sequences": q_pack_sequences,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
@@ -2672,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": q_jl_project,
         "pca_project": q_pca_project,
         "event_attribution": q_event_attribution,
+        "zorder_code": q_zorder_code,
         "date_dim": q_date_dim,
         "dedup_keep_best": q_dedup_keep_best,
         "scd1_upsert": q_scd1_upsert,
@@ -2691,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_exact_n": q_sample_exact_n,
         "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
         "tpch_q14": q_tpch_q14,
@@ -2923,6 +2937,19 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "ngram_lm_score": _ngram_lm_oracle(),
         "jl_project": _jl_project_oracle(out_dim=8),
+        "zorder_code": """
+            WITH s1 AS (SELECT MIN(l_partkey) mn, MAX(l_partkey) mx FROM lineitem),
+                 s2 AS (SELECT MIN(l_suppkey) mn, MAX(l_suppkey) mx FROM lineitem),
+                 b AS (
+                SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                       CAST(floor(CAST((l_partkey - s1.mn) AS DOUBLE) * 65535.0 / CAST(greatest(s1.mx - s1.mn, 1) AS DOUBLE)) AS BIGINT) AS b1,
+                       CAST(floor(CAST((l_suppkey - s2.mn) AS DOUBLE) * 65535.0 / CAST(greatest(s2.mx - s2.mn, 1) AS DOUBLE)) AS BIGINT) AS b2
+                FROM lineitem, s1, s2
+            )
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST((((b1 >> 0) & 1) << 0) + (((b1 >> 1) & 1) << 2) + (((b1 >> 2) & 1) << 4) + (((b1 >> 3) & 1) << 6) + (((b1 >> 4) & 1) << 8) + (((b1 >> 5) & 1) << 10) + (((b1 >> 6) & 1) << 12) + (((b1 >> 7) & 1) << 14) + (((b1 >> 8) & 1) << 16) + (((b1 >> 9) & 1) << 18) + (((b1 >> 10) & 1) << 20) + (((b1 >> 11) & 1) << 22) + (((b1 >> 12) & 1) << 24) + (((b1 >> 13) & 1) << 26) + (((b1 >> 14) & 1) << 28) + (((b1 >> 15) & 1) << 30) + (((b2 >> 0) & 1) << 1) + (((b2 >> 1) & 1) << 3) + (((b2 >> 2) & 1) << 5) + (((b2 >> 3) & 1) << 7) + (((b2 >> 4) & 1) << 9) + (((b2 >> 5) & 1) << 11) + (((b2 >> 6) & 1) << 13) + (((b2 >> 7) & 1) << 15) + (((b2 >> 8) & 1) << 17) + (((b2 >> 9) & 1) << 19) + (((b2 >> 10) & 1) << 21) + (((b2 >> 11) & 1) << 23) + (((b2 >> 12) & 1) << 25) + (((b2 >> 13) & 1) << 27) + (((b2 >> 14) & 1) << 29) + (((b2 >> 15) & 1) << 31) AS BIGINT) AS zcode
+            FROM b
+        """,
         "event_attribution": """
             WITH v AS (
                 SELECT event_id AS view_id, user_id,

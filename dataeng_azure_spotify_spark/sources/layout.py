@@ -24,6 +24,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -69,3 +70,73 @@ def compact_partition(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return len(before)
+
+
+def with_zorder_code(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    code_col: str = "zcode",
+) -> DataFrame:
+    """Attach a Morton (Z-order) code interleaving the rank-scaled bits
+    of ``cols`` — the multi-dimensional clustering key behind
+    ``OPTIMIZE ZORDER BY``-style layout: sorting by the code co-locates
+    rows that are close in EVERY listed column, so parquet min/max
+    stats prune multi-predicate scans that a single-column sort can
+    only prune on its leading column.
+
+    Each (numeric) column is linearly mapped to ``[0, 2^bits)`` using
+    its global min/max (one O(|cols|) scalar aggregate — the only
+    action), then bits interleave round-robin. The map is the same
+    IEEE double expression tree as the DuckDB twin, so codes are
+    engine-identical and the query oracle hash-matches.
+
+    2 columns × 16 bits is the practical default; beyond ~3-4 columns
+    Z-order locality washes out (the curse of interleaving) — prefer
+    partitioning on the extra columns instead.
+    """
+    if not (1 <= bits * len(cols) <= 63):
+        raise ValueError("bits * len(cols) must fit a positive BIGINT")
+    row = df.agg(
+        *[F.min(F.col(c)).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c)).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << bits) - 1
+    code = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        rng = max(int(mx) - int(mn), 1)
+        bucket = F.floor(
+            (F.col(c) - F.lit(int(mn))).cast("double")
+            * F.lit(float(top))
+            / F.lit(float(rng))
+        ).cast("long")
+        for j in range(bits):
+            code = code + F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                j * len(cols) + i,
+            )
+    return df.withColumn(code_col, code)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Land ``df`` clustered by the Z-order code of ``cols``:
+    range-partitioned on the code (contiguous code ranges per file) and
+    sorted within files, then the helper column dropped. Readers get
+    tight per-file min/max on every listed column — the data-skipping
+    layout for multi-dimensional filters at 100 TB."""
+    coded = with_zorder_code(df, cols, bits=bits, code_col="__z")
+    (
+        coded.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

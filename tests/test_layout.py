@@ -155,3 +155,58 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     assert got == {
         (1, dt.datetime(2024, 1, 1, 9, 0), dt.datetime(2024, 1, 1, 9, 30))
     }
+
+
+def test_zorder_write_tightens_per_file_ranges(spark, tmp_path):
+    """write_zordered: per-file (min,max) spans of BOTH clustered
+    columns must shrink vs an unsorted layout — the data-skipping
+    property multi-dimensional clustering exists for."""
+    from pyspark.sql import functions as F
+
+    from dataeng_azure_spotify_spark.sources.layout import (
+        with_zorder_code,
+        write_zordered,
+    )
+
+    n = 4096
+    # two independent dimensions (decorrelated by multiplicative hashing)
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % 4096).alias("a"),
+        ((F.col("id") * 16807) % 4096).alias("b"),
+    )
+
+    def avg_spans(path):
+        g = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            )
+            .agg(F.avg("sa").alias("sa"), F.avg("sb").alias("sb"))
+            .first()
+        )
+        return g["sa"], g["sb"]
+
+    base = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(base)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["a", "b"], bits=12, num_files=16)
+
+    sa0, sb0 = avg_spans(base)
+    sa1, sb1 = avg_spans(zpath)
+    # random layout spans ~ full range (4095); 16 z-ordered files give
+    # 4 bits of prefix -> each dimension's span shrinks ~4x
+    assert sa1 < sa0 * 0.5 and sb1 < sb0 * 0.5, (sa0, sb0, sa1, sb1)
+    # same rows either way
+    assert spark.read.parquet(zpath).count() == n
+
+    # code determinism + bit budget guard
+    c1 = with_zorder_code(df, ["a", "b"], bits=12).agg(F.sum("zcode")).first()[0]
+    c2 = with_zorder_code(df, ["a", "b"], bits=12).agg(F.sum("zcode")).first()[0]
+    assert c1 == c2
+    import pytest
+
+    with pytest.raises(ValueError, match="BIGINT"):
+        with_zorder_code(df, ["a", "b"], bits=32)
