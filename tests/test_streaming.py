@@ -528,3 +528,117 @@ def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
         (r.view_id, r.click_id, r.user_id) for r in batch.collect()
     }
     assert streamed == expected == {(1, 10, 100), (2, 11, 100), (3, 13, 200)}
+
+
+def test_lsh_admission_stream_end_to_end(spark, tmp_path):
+    """IncrementalLsh through the checkpointed stream front-end — the
+    third admitter wired e2e (exact + embedding covered above): near-dup
+    of an earlier epoch is rejected, novel text admits, end state
+    matches the batch loop."""
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalLsh
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        read_admitted,
+        run_admission_stream,
+    )
+
+    b1 = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=2, text="one two three four five six seven eight"),
+    ]
+    b2 = [
+        Row(doc_id=10, text="alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+        Row(doc_id=11, text="completely different vocabulary in this row here"),
+    ]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+
+    def drain():
+        src = spark.readStream.schema(_DOC_SCHEMA).parquet(inp)
+        adm = IncrementalLsh(spark, str(tmp_path / "state_s"), threshold=0.5)
+        run_admission_stream(src, adm, out, str(tmp_path / "chk"))
+
+    _write_batch(spark, inp, b1)
+    drain()
+    _write_batch(spark, inp, b2)
+    drain()
+    got = _ids(read_admitted(spark, out))
+
+    twin = IncrementalLsh(spark, str(tmp_path / "state_b"), threshold=0.5)
+    exp = _ids(twin.admit(spark.createDataFrame(b1, _DOC_SCHEMA))) + _ids(
+        twin.admit(spark.createDataFrame(b2, _DOC_SCHEMA))
+    )
+    assert got == sorted(exp) == [1, 2, 11]
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched view emits (view,
+    NULL) only once the watermark passes its join window — pinned
+    because the emit-on-expiry semantics are the subtle half of
+    stream-stream joins."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 6, 2, 8, 0, 0)
+
+    def t(seconds):
+        return base + dt.timedelta(seconds=seconds)
+
+    v_schema = "view_id long, user_id long, view_ts timestamp"
+    c_schema = "click_id long, c_user long, click_ts timestamp"
+    v_dir, c_dir = str(tmp_path / "v"), str(tmp_path / "c")
+    sink, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def drain():
+        vs = (
+            spark.readStream.schema(v_schema).parquet(v_dir)
+            .withWatermark("view_ts", "0 seconds")
+        )
+        cs = (
+            spark.readStream.schema(c_schema).parquet(c_dir)
+            .withWatermark("click_ts", "0 seconds")
+        )
+        j = vs.join(
+            cs,
+            F.expr(
+                "user_id = c_user AND click_ts > view_ts "
+                "AND click_ts <= view_ts + interval 600 seconds"
+            ),
+            "leftOuter",
+        ).select("view_id", "click_id")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # epoch 1: view 1 (will match), view 2 (never matches); one click
+    spark.createDataFrame(
+        [(1, 100, t(0)), (2, 200, t(0))], v_schema
+    ).write.mode("append").parquet(v_dir)
+    spark.createDataFrame(
+        [(10, 100, t(100))], c_schema
+    ).write.mode("append").parquet(c_dir)
+    drain()
+    # epoch 2: far-future events on BOTH sides — the global watermark is
+    # the MIN across watermarked inputs, so a stale view stream would
+    # pin it at t(0) forever and the NULL row could never emit
+    spark.createDataFrame(
+        [(98, 998, t(10_000))], v_schema
+    ).write.mode("append").parquet(v_dir)
+    spark.createDataFrame(
+        [(99, 999, t(10_000))], c_schema
+    ).write.mode("append").parquet(c_dir)
+    drain()
+    # epoch 3: one more micro-batch so the advanced watermark (computed
+    # at the END of epoch 2's batch) is applied to evict view 2's state
+    spark.createDataFrame(
+        [(97, 997, t(10_001))], c_schema
+    ).write.mode("append").parquet(c_dir)
+    drain()
+
+    rows = {(r.view_id, r.click_id) for r in spark.read.parquet(sink).collect()}
+    assert (1, 10) in rows
+    assert (2, None) in rows
