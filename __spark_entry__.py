@@ -1690,15 +1690,16 @@ def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
     )
+    from dataeng_azure_spotify_spark.operators.asof import wall_micros
+
     out = interval_join(views, clicks, ["user_id"], "view_ts", "click_ts", 0, 600)
     return out.select(
         "view_id",
         "click_id",
         "user_id",
-        (
-            F.unix_micros(F.col("click_ts").cast("timestamp"))
-            - F.unix_micros(F.col("view_ts").cast("timestamp"))
-        ).cast("long").alias("micros_between"),
+        (wall_micros(out, "click_ts") - wall_micros(out, "view_ts"))
+        .cast("long")
+        .alias("micros_between"),
     )
 
 

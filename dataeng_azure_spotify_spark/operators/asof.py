@@ -148,6 +148,44 @@ def range_join(
     return matched.unionByName(unmatched).drop(_RID)
 
 
+def _wall_seconds(df: DataFrame, c: str):
+    """Monotone seconds-since-epoch for binning, per timestamp type.
+
+    TIMESTAMP → ``unix_seconds`` (instant-based, exact). TIMESTAMP_NTZ →
+    wall-clock seconds from tz-free field extraction: casting NTZ to
+    TIMESTAMP would route through the session zone, whose DST shift is
+    VALUE-dependent (two NTZ values straddling a spring-forward gap move
+    by different amounts, corrupting window membership near the
+    transition)."""
+    t = dict(df.dtypes)[c]
+    col = F.col(c)
+    if t == "timestamp":
+        return F.unix_seconds(col)
+    if t == "timestamp_ntz":
+        return (
+            F.unix_date(F.to_date(col)).cast("long") * 86400
+            + F.hour(col).cast("long") * 3600
+            + F.minute(col).cast("long") * 60
+            + F.second(col).cast("long")
+        )
+    raise TypeError(f"{c!r} must be TIMESTAMP or TIMESTAMP_NTZ, got {t}")
+
+
+def wall_micros(df: DataFrame, c: str):
+    """Microseconds-since-epoch in the column's OWN semantics: instant
+    micros for TIMESTAMP, wall-clock micros for TIMESTAMP_NTZ (tz-free
+    fields + the ``SSSSSS`` fraction — never a session-zone cast, which
+    is DST-unsafe; see :func:`_wall_seconds`). Differences of two values
+    of the same type are therefore exact and engine-portable (DuckDB's
+    ``epoch_us`` on its NTZ-like TIMESTAMP agrees)."""
+    t = dict(df.dtypes)[c]
+    if t == "timestamp":
+        return F.unix_micros(F.col(c))
+    return _wall_seconds(df, c) * F.lit(1_000_000) + F.date_format(
+        F.col(c), "SSSSSS"
+    ).cast("long")
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -166,41 +204,44 @@ def interval_join(
 
     Like :func:`range_join`, a raw range predicate would plan as a
     per-key cross product, so the window is binned: bin width = window
-    length, each LEFT row explodes into the ≤ 2 bins its window
+    length, each LEFT row explodes into the bins its (±1-padded) window
     overlaps, the join is an equi-join on (keys, bin), and the exact
-    predicate is re-checked in integer microseconds (no boundary loss —
-    everything is exact int64 arithmetic). Shuffle is by (key, bin);
-    per-key skew is bounded by the window length.
+    predicate is re-checked with NATIVE timestamp comparisons (interval
+    arithmetic in the columns' own type — wall-clock for NTZ,
+    instant-based for TIMESTAMP — never a cross-type cast, so DST
+    transitions in the session zone cannot flip membership). Shuffle is
+    by (key, bin); per-key skew is bounded by the window length.
 
     ``left_ts``/``right_ts`` must be distinct column names (both survive
-    into the output row).
+    into the output row); both sides must share one timestamp type.
     """
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
-    def _us(c: str):
-        # NTZ-safe: unix_micros needs TIMESTAMP; the session-tz shift of
-        # the cast cancels out — joins/differences only ever compare the
-        # two sides, both shifted identically.
-        return F.unix_micros(F.col(c).cast("timestamp"))
-
-    lo_us = _us(left_ts) + F.lit(lower_seconds * 1_000_000)
-    hi_us = _us(left_ts) + F.lit(upper_seconds * 1_000_000)
-    r_us = _us(right_ts)
-    bin_us = max(upper_seconds - lower_seconds, 1) * 1_000_000
+    lo_s = _wall_seconds(left, left_ts) + F.lit(int(lower_seconds))
+    hi_s = _wall_seconds(left, left_ts) + F.lit(int(upper_seconds))
+    r_s = _wall_seconds(right, right_ts)
+    bin_s = max(upper_seconds - lower_seconds, 1)
+    # ±1-bin padding: the bin key is second-truncated, the exact check
+    # below is not — padding keeps the bin cover a strict superset.
     l = left.withColumn(
         _BIN,
         F.explode(
             F.sequence(
-                F.floor(lo_us / bin_us).cast("long"),
-                F.floor(hi_us / bin_us).cast("long"),
+                (F.floor(lo_s / bin_s) - 1).cast("long"),
+                (F.floor(hi_s / bin_s) + 1).cast("long"),
             )
         ),
     )
-    r = right.withColumn(_BIN, F.floor(r_us / bin_us).cast("long"))
+    r = right.withColumn(_BIN, F.floor(r_s / bin_s).cast("long"))
+    lower_iv = F.make_dt_interval(secs=F.lit(int(lower_seconds)))
+    upper_iv = F.make_dt_interval(secs=F.lit(int(upper_seconds)))
     return (
         l.join(r, on + [_BIN], "inner")
-        .filter((r_us > lo_us) & (r_us <= hi_us))
+        .filter(
+            (F.col(right_ts) > F.col(left_ts) + lower_iv)
+            & (F.col(right_ts) <= F.col(left_ts) + upper_iv)
+        )
         .drop(_BIN)
     )

@@ -147,14 +147,21 @@ def pca_project(
 
     def out_col(j: int):
         comp = F.array(*[F.lit(float(c)) for c in model.components[j]])
-        centered = F.zip_with(
-            F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
-        )
-        prods = F.zip_with(centered, comp, lambda x, c: x * c)
+        prods = F.zip_with(F.col("__centered"), comp, lambda x, c: x * c)
         s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         if whiten:
             ev = max(model.explained_variance[j], 1e-300)
             s = s / F.lit(float(ev) ** 0.5)
         return s.alias(f"pc{j}")
 
-    return df.select(F.col(id_col), *[out_col(j) for j in range(model.k)])
+    # center ONCE in a prior projection — codegen does not CSE across
+    # select expressions, so inlining the centering into each component
+    # would redo k×d subtractions (and embed k copies of the mean
+    # literal in the plan)
+    centered = df.withColumn(
+        "__centered",
+        F.zip_with(F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m),
+    )
+    return centered.select(
+        F.col(id_col), *[out_col(j) for j in range(model.k)]
+    )

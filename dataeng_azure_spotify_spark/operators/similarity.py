@@ -802,4 +802,9 @@ def jl_project(
         ).cast("double")
         return F.round(s / F.sqrt(F.lit(float(out_dim))), 12).alias(f"y{j}")
 
-    return df.select(F.col(id_col), *[out_col(j) for j in range(out_dim)])
+    # empty/NULL vectors are excluded (symmetric with the unnest-based
+    # SQL twin, which has no rows to group for them — an unfiltered
+    # Spark side would emit all-zero rows the oracle lacks)
+    return df.filter(F.size(F.col(vec_col)) > 0).select(
+        F.col(id_col), *[out_col(j) for j in range(out_dim)]
+    )

@@ -105,6 +105,11 @@ def with_zorder_code(
     code = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"with_zorder_code: column {c!r} has no non-NULL values "
+                "(empty input or all-NULL column)"
+            )
         rng = max(int(mx) - int(mn), 1)
         bucket = F.floor(
             (F.col(c) - F.lit(int(mn))).cast("double")

@@ -1,12 +1,13 @@
 """Streaming front-end for the cross-run admission tier.
 
 Wires an incremental admitter (:class:`...operators.dedup.
-IncrementalDedup`, :class:`...operators.dedup.IncrementalLsh`, or any
-object with the same ``admit(batch, text_col=, id_col=, run_id=)``
-shape) through a checkpointed ``foreachBatch`` stream — the same
-bounded-trigger shape :mod:`..streaming.gold` uses for CDC merges
-(reference parity: the reference's continuous ingestion loop is ADF
-trigger + Databricks job; here the stream IS the loop).
+IncrementalDedup`, :class:`...operators.dedup.IncrementalLsh`,
+:class:`...operators.similarity.IncrementalEmbeddingDedup`, or any
+object with the same ``admit(batch, ..., run_id=)`` shape) through a
+checkpointed ``foreachBatch`` stream — the same bounded-trigger shape
+:mod:`..streaming.gold` uses for CDC merges (reference parity: the
+reference's continuous ingestion loop is ADF trigger + Databricks job;
+here the stream IS the loop).
 
 Exactly-once story, end to end:
 
@@ -18,6 +19,14 @@ Exactly-once story, end to end:
 - the **sink** writes each epoch to its own ``epoch=N`` partition with
   ``overwrite`` mode, so a replay rewrites an identical partition
   rather than appending duplicates.
+
+The ``run_id`` handed to the admitter is namespaced by a hash of the
+checkpoint location, not the bare epoch number: admitter state is
+long-lived and may outlive any one checkpoint, and epoch ids restart at
+0 for every new checkpoint — an un-namespaced ``epoch-0`` from a later
+pipeline would alias the first pipeline's ``epoch-0`` state rows and be
+mis-read as a crash replay (re-admitting duplicates and overwriting the
+earlier run's output partition).
 
 A plain ``append`` sink plus a merely state-idempotent admitter is NOT
 exactly-once: a crash after the state append but before the sink commit
@@ -34,9 +43,13 @@ on ``epoch``.
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import os
 
 from pyspark.sql import DataFrame
+
+_UNSET = object()
 
 
 def run_admission_stream(
@@ -44,33 +57,45 @@ def run_admission_stream(
     admitter,
     output_dir: str,
     checkpoint: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    text_col=_UNSET,
+    id_col=_UNSET,
 ):
     """Bounded (``availableNow``) checkpointed admission run.
 
     ``source``: a streaming DataFrame of documents. Each micro-batch is
-    passed to ``admitter.admit(...)`` with ``run_id=f"epoch-{id}"`` and
-    the admitted slice lands in ``{output_dir}/epoch={id}/`` via
-    idempotent overwrite. Returns the finished query.
+    passed to ``admitter.admit(...)`` with
+    ``run_id=f"{checkpoint_hash}-epoch-{id}"`` and the admitted slice
+    lands in ``{output_dir}/epoch={id}/`` via idempotent overwrite.
+    Returns the finished query.
+
+    ``text_col``/``id_col`` forward to ``admit`` only when given;
+    passing one the admitter's ``admit`` does not accept raises (the
+    embedding admitter, for example, fixes its id column at
+    construction — silently dropping an explicit override would run the
+    stream against the wrong column with no pointer to the cause).
     """
-
-    import inspect
-
     admit_params = set(inspect.signature(admitter.admit).parameters)
-    extra = {
-        k: v
-        for k, v in {"text_col": text_col, "id_col": id_col}.items()
-        if k in admit_params
-    }
     if "run_id" not in admit_params:
         raise TypeError(
             f"{type(admitter).__name__}.admit lacks run_id support — "
             "exactly-once epoch replay requires run-tracked admission"
         )
+    extra = {}
+    for name, val in (("text_col", text_col), ("id_col", id_col)):
+        if val is _UNSET:
+            continue
+        if name not in admit_params:
+            raise TypeError(
+                f"{type(admitter).__name__}.admit does not accept "
+                f"{name!r} — configure it on the admitter instead"
+            )
+        extra[name] = val
+    ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        admitted = admitter.admit(batch, run_id=f"epoch-{epoch_id}", **extra)
+        admitted = admitter.admit(
+            batch, run_id=f"{ns}-epoch-{epoch_id}", **extra
+        )
         admitted.write.mode("overwrite").parquet(
             os.path.join(output_dir, f"epoch={epoch_id}")
         )

@@ -13,7 +13,6 @@ import importlib
 import inspect
 import io
 import pkgutil
-import re
 import sys
 
 
@@ -52,13 +51,14 @@ def main() -> None:
     rows = []
     for qname, fn in qs.items():
         try:
-            src, line = inspect.getsourcelines(fn)
+            line = inspect.getsourcelines(fn)[1]
         except (OSError, TypeError):
-            src, line = [], 0
-        body = "".join(src)
-        called = sorted(
-            {w for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", body) if w in funcs}
-        )
+            line = 0
+        # co_names = names the compiled body actually references —
+        # docstrings/comments can't contribute (a regex source scan
+        # credited write_zordered to zorder_code off a docstring mention)
+        names = set(getattr(fn, "__code__", None).co_names if callable(fn) else [])
+        called = sorted(names & set(funcs))
         impl = ", ".join(f"{c} ({funcs[c]})" for c in called) or "inline DataFrame/SQL"
         oracle = "DuckDB SQL" if qname in oracles else "rows-only"
         rows.append((qname, f"`__spark_entry__.py:{line}`", impl, oracle))

@@ -198,3 +198,39 @@ def test_interval_join_window_semantics(spark):
     # view 1 (0,600]: clicks 11, 12 (600 inclusive; 0 excluded; 601 out)
     # view 2 (1000,1600]: none; view 3 (user 200): click 14
     assert got == {(1, 11), (1, 12), (3, 14)}
+
+
+def test_interval_join_ntz_immune_to_session_dst(spark):
+    """NTZ timestamps straddling a spring-forward gap: the wall-clock
+    gap is 66 min (> 600 s window) and must NOT join, even with the
+    session zone set to one where a naive cast would compress the
+    nonexistent 02:00-03:00 hour into a 6-min absolute gap."""
+    import datetime as dt
+
+    from dataeng_azure_spotify_spark.operators.asof import interval_join
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        views = spark.createDataFrame(
+            [(1, 100, dt.datetime(2024, 3, 10, 1, 59, 0))],
+            "view_id long, user_id long, view_ts timestamp_ntz",
+        )
+        clicks = spark.createDataFrame(
+            [(10, 100, dt.datetime(2024, 3, 10, 3, 5, 0))],
+            "click_id long, user_id long, click_ts timestamp_ntz",
+        )
+        out = interval_join(
+            views, clicks, ["user_id"], "view_ts", "click_ts", 0, 600
+        )
+        assert out.count() == 0
+        # and a genuinely-in-window NTZ pair still joins under the same tz
+        clicks2 = spark.createDataFrame(
+            [(11, 100, dt.datetime(2024, 3, 10, 2, 4, 0))],
+            "click_id long, user_id long, click_ts timestamp_ntz",
+        )
+        assert interval_join(
+            views, clicks2, ["user_id"], "view_ts", "click_ts", 0, 600
+        ).count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

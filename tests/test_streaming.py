@@ -434,9 +434,9 @@ def test_embedding_admission_stream_with_replay(spark, tmp_path):
             spark, str(tmp_path / "idx"), threshold=0.95,
             num_centroids=2, nprobe=2,
         )
-        run_admission_stream(
-            src, admitter, out, str(tmp_path / "chk"), id_col="vec_id"
-        )
+        # no id_col kwarg: the embedding admitter fixes it at
+        # construction, and the helper rejects unsupported overrides
+        run_admission_stream(src, admitter, out, str(tmp_path / "chk"))
 
     spark.createDataFrame(b1, schema).write.mode("append").parquet(inp)
     drain()
@@ -450,7 +450,15 @@ def test_embedding_admission_stream_with_replay(spark, tmp_path):
         spark, str(tmp_path / "idx"), threshold=0.95, num_centroids=2, nprobe=2
     )
     n_rows = admitter.index.buckets().count()
-    replay = admitter.admit(spark.createDataFrame(b2, schema), run_id="epoch-1")
+    import hashlib
+    import os as _os
+
+    ns = hashlib.md5(
+        _os.path.abspath(str(tmp_path / "chk")).encode()
+    ).hexdigest()[:12]
+    replay = admitter.admit(
+        spark.createDataFrame(b2, schema), run_id=f"{ns}-epoch-1"
+    )
     assert {r.vec_id for r in replay.collect()} == {11}
     assert admitter.index.buckets().count() == n_rows
 
