@@ -44,6 +44,12 @@ from dataeng_azure_spotify_spark.operators.asof import (
     interval_join,
     range_join,
 )
+from dataeng_azure_spotify_spark.operators.analytics import (
+    cohort_retention,
+    daily_metric_anomalies,
+    funnel,
+    gap_fill,
+)
 from dataeng_azure_spotify_spark.functions.pii import redact_pii
 from dataeng_azure_spotify_spark.operators.graph import (
     component_representatives,
@@ -1391,6 +1397,146 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion funnel (operators/
+    analytics.py funnel): step N counts users whose step-N event came
+    strictly after their earliest qualifying step-N-1 event."""
+    cat = _cat(spark, sf_dir)
+    return funnel(cat["events"], steps=["view", "click", "purchase"])
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id AS u, MIN(ts) AS step_t
+    FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS step_t
+    FROM events e JOIN s1 ON e.user_id = s1.u
+    WHERE e.event_type = 'click' AND e.ts > s1.step_t GROUP BY 1
+), s3 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS step_t
+    FROM events e JOIN s2 ON e.user_id = s2.u
+    WHERE e.event_type = 'purchase' AND e.ts > s2.step_t GROUP BY 1
+)
+SELECT 'view' AS step, CAST(1 AS INTEGER) AS step_idx, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT 'click', CAST(2 AS INTEGER), COUNT(*) FROM s2
+UNION ALL
+SELECT 'purchase', CAST(3 AS INTEGER), COUNT(*) FROM s3
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix (operators/analytics.py
+    cohort_retention)."""
+    cat = _cat(spark, sf_dir)
+    # DATE → TIMESTAMP at the boundary (house rule, cf. DATE_DIM_SQL:
+    # the driver's pandas bridge widens DuckDB DATEs to midnight
+    # timestamps, so both sides ship timestamps)
+    return cohort_retention(cat["events"]).withColumn(
+        "cohort_week", F.col("cohort_week").cast("timestamp")
+    )
+
+
+_COHORT_RETENTION_ORACLE = """
+WITH c AS (
+    SELECT user_id AS u,
+           CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY 1
+), a AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(date_trunc('week', ts) AS DATE) AS active_week
+    FROM events
+)
+SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(datediff('day', c.cohort_week, a.active_week) // 7 AS INTEGER)
+           AS week_offset,
+       COUNT(DISTINCT a.u) AS n_users
+FROM a JOIN c ON a.u = c.u
+GROUP BY 1, 2
+"""
+
+
+def q_metric_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-event-type metric totals with trailing-7-day z-score
+    anomaly flags (operators/analytics.py daily_metric_anomalies).
+    Decimal Σx/Σx² window accumulators + one fixed double formula keep
+    the z bit-identical across engines."""
+    cat = _cat(spark, sf_dir)
+    return daily_metric_anomalies(
+        cat["events"], trailing_days=7, z_thresh=2.0
+    ).withColumn("day", F.col("day").cast("timestamp"))
+
+
+_METRIC_ANOMALIES_ORACLE = """
+WITH daily AS (
+    SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS day_total
+    FROM events GROUP BY 1, 2
+), st AS (
+    SELECT grp, day, day_total,
+           COUNT(day_total) OVER w AS n_prev,
+           SUM(day_total) OVER w AS s1,
+           SUM(day_total * day_total) OVER w AS s2
+    FROM daily
+    WINDOW w AS (PARTITION BY grp ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), z AS (
+    SELECT grp, day,
+           CAST(day_total AS DOUBLE) AS day_total,
+           n_prev,
+           (CAST(s2 AS DOUBLE)
+            - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / CAST(n_prev AS DOUBLE))
+           / (CAST(n_prev AS DOUBLE) - 1.0) AS var,
+           CAST(day_total AS DOUBLE)
+           - CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE) AS dev
+    FROM st
+)
+SELECT grp, CAST(day AS TIMESTAMP) AS day, day_total,
+       CASE WHEN n_prev >= 2 AND var > 0
+            THEN dev / sqrt(var) END AS z_score,
+       CASE WHEN n_prev >= 2 AND var > 0
+            THEN abs(dev / sqrt(var)) > 2.0 ELSE FALSE END AS is_anomaly
+FROM z
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample: sequence() date spine, zero-filled event
+    counts, forward-filled daily value (operators/analytics.py
+    gap_fill)."""
+    cat = _cat(spark, sf_dir)
+    return gap_fill(cat["events"]).withColumn(
+        "day", F.col("day").cast("timestamp")
+    )
+
+
+_GAP_FILL_ORACLE = """
+WITH ev AS (
+    SELECT user_id AS k, CAST(ts AS DATE) AS day,
+           CAST(value AS DECIMAL(18,4)) AS v
+    FROM events
+), daily AS (
+    SELECT k, day, COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS day_value
+    FROM ev GROUP BY 1, 2
+), spine AS (
+    SELECT k, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+    FROM (SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1)
+)
+SELECT s.k, CAST(s.day AS TIMESTAMP) AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       last_value(d.day_value IGNORE NULLS)
+           OVER (PARTITION BY s.k ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_filled
+FROM spine s LEFT JOIN daily d USING (k, day)
+"""
+
+
 # --- LLM training-data pipeline operators (documents / embeddings) --------
 
 
@@ -2652,6 +2798,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "decontaminate": q_decontaminate,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
+        # New in r5 (never driver-certified): event-analytics family.
+        # To keep the window at 50, tpch_q3/q5/q10/q18 (green r4,
+        # q3/q18 plan-pinned) rotated to 51+.
+        "funnel_analysis": q_funnel_analysis,
+        "cohort_retention": q_cohort_retention,
+        "metric_anomalies": q_metric_anomalies,
+        "gap_fill": q_gap_fill,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2676,10 +2829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": q_window_rank_suite,
         "star_join_agg": q_star_join_agg,
         "pricing_summary": q_pricing_summary,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q5": q_tpch_q5,
         "strip_boilerplate": q_strip_boilerplate,
         "ngram_lm_score": q_ngram_lm_score,
         "jl_project": q_jl_project,
@@ -2710,6 +2859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_wide": q_star_join_wide,
         "tpch_q14": q_tpch_q14,
         "tpch_q19": q_tpch_q19,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q5": q_tpch_q5,
         "tpch_q4": q_tpch_q4,
         "tpch_q12": q_tpch_q12,
         "tpch_q16": q_tpch_q16,
@@ -2746,6 +2899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "funnel_analysis": _FUNNEL_ORACLE,
+        "cohort_retention": _COHORT_RETENTION_ORACLE,
+        "metric_anomalies": _METRIC_ANOMALIES_ORACLE,
+        "gap_fill": _GAP_FILL_ORACLE,
         "star_join": render_star_sql(STAR_SPECS),
         "star_join_wide": render_star_sql(STAR_SPECS_WIDE),
         "star_join_agg": STAR_AGG_SQL,

@@ -1,0 +1,251 @@
+"""Event-analytics operators: funnels, cohort retention, anomaly
+detection, and time-series gap filling.
+
+The reference's exploration notebooks stop at static star-schema SQL
+(SURVEY.md §2.10); a production events pipeline on the same data always
+grows these four shapes next, so they're part of the engine surface:
+
+- ``funnel``: ordered multi-step conversion funnel (step N counts only
+  users whose step-N event happened *after* their step-N-1 event).
+- ``cohort_retention``: classic signup-cohort × period-offset retention
+  matrix.
+- ``daily_metric_anomalies``: per-group daily metric with a trailing
+  z-score flag — the batch twin of a streaming alert rule
+  (observability.py holds the monitoring analogue).
+- ``gap_fill``: per-key daily resample with zero-fill for counts and
+  forward-fill (last non-null) for values.
+
+Scale notes (100 TB): every shape here is one-or-two shuffles on the
+natural key. The funnel's per-step joins are all on the SAME user key,
+so the exchange from the first per-user aggregation is reused by every
+subsequent step join (no re-shuffle per step); reached-user sets shrink
+monotonically, and AQE downgrades the later joins to broadcast once a
+step's survivors fit. Cohort/gap-fill group by (key, day) — partial
+aggregation makes the map side absorb the per-day fan-in before the
+shuffle. Nothing collects to the driver; the date spine in ``gap_fill``
+is generated per-key with ``sequence()`` (no driver-side calendar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dec(col: Column | str, scale: int = 4) -> Column:
+    """Exact decimal accumulator cast — makes SUMs order-independent so
+    results hash-match a single-threaded oracle (see STAR_AGG_SQL note in
+    __spark_entry__.py)."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel over an event log.
+
+    A user counts for step ``i`` iff they performed ``steps[i]`` strictly
+    AFTER their (earliest qualifying) ``steps[i-1]`` event; the reported
+    per-user time for step ``i`` is the EARLIEST such qualifying event.
+    Returns one row per step: ``(step, step_idx, n_users)``.
+
+    Each step is: filter events to that type, join to the survivors of
+    the previous step (equi-join on ``user_col``), keep events after the
+    previous step's time, and take the per-user minimum. All joins share
+    the user-key partitioning, and the survivor set only shrinks.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    )
+    reached = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("step_t"))
+    )
+    counts = [reached.select(F.count(F.lit(1)).cast("long").alias("n_users"),
+                             F.lit(steps[0]).alias("step"),
+                             F.lit(1).alias("step_idx"))]
+    for i, step in enumerate(steps[1:], start=2):
+        reached = (
+            ev.filter(F.col("et") == step)
+            .join(reached, on="u")
+            .filter(F.col("t") > F.col("step_t"))
+            .groupBy("u")
+            .agg(F.min("t").alias("step_t"))
+        )
+        counts.append(
+            reached.select(F.count(F.lit(1)).cast("long").alias("n_users"),
+                           F.lit(step).alias("step"),
+                           F.lit(i).alias("step_idx"))
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select("step", F.col("step_idx").cast("int"), "n_users")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    Cohort = Monday of the week of each user's first event; for every
+    (cohort, week-offset) cell, the number of distinct cohort users
+    active in that week. Returns
+    ``(cohort_week date, week_offset int, n_users long)``.
+
+    Two shuffles: per-user MIN (cohort assignment) and the final
+    (cohort, offset) distinct-count; the cohort join back onto activity
+    is on the user key. ``date_trunc('week', …)`` is Monday-start in
+    both Spark and ISO SQL engines.
+    """
+    ev = events.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"))
+    cohorts = ev.groupBy("u").agg(
+        F.date_trunc("week", F.min("t")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "u", F.date_trunc("week", F.col("t")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, on="u")
+        .select(
+            "u",
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )
+
+
+def daily_metric_anomalies(
+    events: DataFrame,
+    metric_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    trailing_days: int = 7,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Per-group daily metric totals with a trailing z-score anomaly flag.
+
+    For each (group, day): the day's metric total, the mean/stddev of the
+    previous ``trailing_days`` observed day-totals, and
+    ``is_anomaly = |z| > z_thresh``. Days with fewer than 2 trailing
+    observations (or zero variance) get a NULL z and ``false`` flag.
+
+    Cross-engine determinism: the day totals and the trailing window's
+    Σx / Σx² accumulate in DECIMAL (exact, order-independent); the
+    mean/variance/z arithmetic then runs in DOUBLE with one fixed
+    formula, so identical exact inputs give bit-identical IEEE results
+    in any engine — no rounding slop in the comparison.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.col(ts_col).cast("date").alias("day"),
+            _dec(metric_col).alias("v"),
+        )
+        .groupBy("grp", "day")
+        # Narrow the SUM back to (18,4): (18,4)×(18,4) → (37,8) fits the
+        # 38-digit decimal cap EXACTLY in every engine, so the windowed
+        # Σx² below stays order-independent (a (28,4) square would force
+        # lossy precision reduction in Spark and overflow in DuckDB).
+        .agg(F.sum("v").cast("decimal(18,4)").alias("day_total"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(-trailing_days, -1)
+    )
+    stats = daily.select(
+        "grp",
+        "day",
+        "day_total",
+        F.count("day_total").over(w).alias("n_prev"),
+        F.sum("day_total").over(w).alias("s1"),
+        F.sum(F.col("day_total") * F.col("day_total")).over(w).alias("s2"),
+    )
+    n = F.col("n_prev").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
+    std = F.sqrt(var)
+    x = F.col("day_total").cast("double")
+    z = (x - mean) / std
+    usable = (F.col("n_prev") >= 2) & (var > 0)
+    return stats.select(
+        "grp",
+        "day",
+        x.alias("day_total"),
+        F.when(usable, z).alias("z_score"),
+        F.when(usable, F.abs(z) > F.lit(z_thresh)).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    metric_col: str = "value",
+) -> DataFrame:
+    """Daily resample per key: zero-fill missing days' counts and
+    forward-fill the last observed daily mean.
+
+    Builds each key's date spine with ``sequence(min_day, max_day)``
+    (generated executor-side per key — no driver calendar), left-joins
+    the observed daily aggregates, then ``last(..., ignorenulls=True)``
+    over an ordered window carries values across gaps. Returns
+    ``(key, day, n_events long, value_filled double)``.
+    """
+    from pyspark.sql import Window
+
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("date").alias("day"),
+        _dec(metric_col).alias("v"),
+    )
+    daily = ev.groupBy("k", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        # daily TOTAL, not mean: the decimal sum is exact and casts to
+        # double losslessly at these magnitudes, while a mean's decimal
+        # division rounds on engine-specific scales (half-up vs
+        # half-even at the .00005 boundary would break the oracle hash)
+        F.sum("v").cast("double").alias("day_value"),
+    )
+    spine = (
+        ev.groupBy("k")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("k", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, on=["k", "day"], how="left")
+        .select(
+            "k",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
+        )
+    )
