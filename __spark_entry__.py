@@ -1537,6 +1537,26 @@ FROM spine s LEFT JOIN daily d USING (k, day)
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with ≥ 850 occurrences) via the
+    two-pass Misra-Gries candidate filter (operators/sketch.py
+    heavy_hitters): pass 1 bounds memory with per-partition k-counter
+    summaries, pass 2 exact-counts only the certified candidate set, so
+    the vocabulary tail never enters a shuffle."""
+    from dataeng_azure_spotify_spark.operators.sketch import heavy_hitters
+
+    cat = _cat(spark, sf_dir)
+    return heavy_hitters(cat["documents"], min_count=850)
+
+
+def _heavy_hitters_oracle(min_count: int) -> str:
+    return f"""
+WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents)
+SELECT token, COUNT(*) AS n
+FROM t GROUP BY 1 HAVING COUNT(*) >= {min_count}
+"""
+
+
 # --- LLM training-data pipeline operators (documents / embeddings) --------
 
 
@@ -2805,6 +2825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "metric_anomalies": q_metric_anomalies,
         "gap_fill": q_gap_fill,
+        # also new in r5 (tpch_q11, green r4, rotated to 51+ for room)
+        "heavy_hitters": q_heavy_hitters,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2817,7 +2839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
@@ -2867,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q16": q_tpch_q16,
         "tpch_q22": q_tpch_q22,
+        "tpch_q11": q_tpch_q11,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -2899,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heavy_hitters": _heavy_hitters_oracle(min_count=850),
         "funnel_analysis": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_RETENTION_ORACLE,
         "metric_anomalies": _METRIC_ANOMALIES_ORACLE,
