@@ -145,3 +145,59 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def build_file_stats(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+) -> DataFrame:
+    """Per-file min/max manifest for ``cols`` — the table-format-free
+    data-skipping index (what Delta/Iceberg keep in their metadata
+    layer). One distributed pass; output is O(#files) rows:
+    ``(file, <c>_min, <c>_max, n_rows)``.
+
+    Pairs with :func:`write_zordered`: clustering makes per-file ranges
+    tight, the manifest makes them queryable WITHOUT opening footers at
+    plan time. Persist it next to the table and refresh on compaction.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_read(
+    spark: SparkSession,
+    stats: DataFrame,
+    predicates: dict[str, tuple],
+) -> DataFrame:
+    """Manifest-pruned scan: read ONLY files whose [min, max] envelope
+    overlaps every ``col: (lo, hi)`` predicate, then apply the exact
+    filter to the surviving rows.
+
+    The manifest collect is driver-side but bounded at O(#files) — the
+    same planning cost every table format pays; the data plane touches
+    only surviving files. Returns an empty (filtered) frame when no
+    file qualifies.
+    """
+    cond = F.lit(True)
+    exact = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & (F.col(f"{c}_max") >= F.lit(lo)) & (
+            F.col(f"{c}_min") <= F.lit(hi)
+        )
+        exact = exact & F.col(c).between(F.lit(lo), F.lit(hi))
+    files = [r["file"] for r in stats.filter(cond).select("file").collect()]
+    if not files:
+        # preserve schema: scan nothing by filtering an all-false read
+        any_file = [r["file"] for r in stats.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError("pruned_read: empty stats manifest")
+        return spark.read.parquet(*any_file).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(exact)

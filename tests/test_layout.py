@@ -210,3 +210,50 @@ def test_zorder_write_tightens_per_file_ranges(spark, tmp_path):
 
     with pytest.raises(ValueError, match="BIGINT"):
         with_zorder_code(df, ["a", "b"], bits=32)
+
+
+def test_file_stats_manifest_prunes_zordered_reads(spark, tmp_path):
+    """build_file_stats + pruned_read: on a z-ordered layout, a narrow
+    two-column predicate must touch a strict subset of files and return
+    exactly the full-scan answer."""
+    from dataeng_azure_spotify_spark.sources.layout import (
+        build_file_stats,
+        pruned_read,
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "li_z")
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], num_files=8)
+
+    stats = build_file_stats(spark, path, ["l_partkey", "l_suppkey"])
+    n_files = stats.count()
+    assert n_files >= 4  # layout actually split into multiple files
+
+    preds = {"l_partkey": (10, 40), "l_suppkey": (1, 5)}
+    pruned = pruned_read(spark, stats, preds)
+    touched = {f for (f,) in pruned.select(F.input_file_name()).distinct().collect()}
+    assert 0 < len(touched) < n_files  # skipping really skipped files
+
+    full = li.filter(
+        F.col("l_partkey").between(10, 40) & F.col("l_suppkey").between(1, 5)
+    )
+    got = sorted(pruned.select("l_orderkey", "l_linenumber").collect())
+    want = sorted(full.select("l_orderkey", "l_linenumber").collect())
+    assert got == want and len(got) > 0
+
+
+def test_pruned_read_empty_envelope_keeps_schema(spark, tmp_path):
+    from dataeng_azure_spotify_spark.sources.layout import (
+        build_file_stats,
+        pruned_read,
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "li_z2")
+    write_zordered(li, path, ["l_partkey"], num_files=4)
+    stats = build_file_stats(spark, path, ["l_partkey"])
+    out = pruned_read(spark, stats, {"l_partkey": (-100, -50)})
+    assert out.count() == 0
+    assert out.schema == spark.read.parquet(path).schema

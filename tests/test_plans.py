@@ -241,3 +241,34 @@ def test_pca_project_is_shuffle_free_and_jvm_only(spark):
     # exchange and no Python in the scoring pass
     assert "Exchange" not in p
     assert "Python" not in p  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """AQE runtime bloom-filter pruning: a selective dimension-side
+    filter must inject might_contain on the fact side's scan branch so
+    the fact shuffle carries only candidate keys. The session default
+    thresholds (creation 10MB / application 10GB) are sized for clusters
+    — at sf0.001 we drop the application floor to 0 to pin the behavior
+    that engages automatically at the 100 TB target."""
+    from pyspark.sql import functions as F
+
+    bf_app = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bf_create = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    abt = "spark.sql.autoBroadcastJoinThreshold"
+    prev = {k: spark.conf.get(k) for k in (bf_app, bf_create, abt)}
+    try:
+        spark.conf.set(abt, "-1")  # bloom injection targets shuffle joins
+        spark.conf.set(bf_app, "0")
+        spark.conf.set(bf_create, "10GB")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
