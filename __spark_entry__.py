@@ -1537,6 +1537,72 @@ FROM spine s LEFT JOIN daily d USING (k, day)
 """
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via the codegen'd array path (functions/
+    sentences.py split_sentences). The synthetic corpus carries no
+    punctuation, so the wrapper first injects deterministic boundaries
+    (' the ' → '. ') — same non-overlapping regexp_replace scan in both
+    engines — giving real multi-sentence documents to segment."""
+    from dataeng_azure_spotify_spark.functions.sentences import split_sentences
+
+    cat = _cat(spark, sf_dir)
+    docs = cat["documents"].withColumn(
+        "text", F.regexp_replace("text", " the ", ". ")
+    )
+    return split_sentences(docs)
+
+
+_SENTENCE_SPLIT_ORACLE = """
+WITH d AS (
+    SELECT doc_id, regexp_replace(text, ' the ', '. ', 'g') AS text
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              x -> trim(x)),
+               x -> x <> '') AS sents
+    FROM d
+), e AS (
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(sents) - 1)) AS INTEGER)
+               AS sentence_idx,
+           unnest(sents) AS sentence
+    FROM s
+)
+SELECT doc_id, sentence_idx, sentence,
+       CAST(len(string_split_regex(sentence, '\\s+')) AS BIGINT) AS n_tokens
+FROM e
+"""
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted without-replacement sample (operators/
+    curation.py sample_weighted_n): 50 documents drawn with probability
+    proportional to n_chars via the Efraimidis-Spirakis race on seeded
+    hash uniforms."""
+    from dataeng_azure_spotify_spark.operators.curation import sample_weighted_n
+
+    cat = _cat(spark, sf_dir)
+    return sample_weighted_n(
+        cat["documents"], n=50, weight_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
+_SAMPLE_WEIGHTED_ORACLE = """
+WITH w AS (
+    SELECT doc_id, source, n_chars,
+           -ln( (('0x' || substr(md5('samp|w|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT + 1.0)
+                / 1152921504606846976.0 )
+           / CAST(n_chars AS DOUBLE) AS k
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, source, n_chars FROM w ORDER BY k, doc_id LIMIT 50
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (tokens with ≥ 850 occurrences) via the
     two-pass Misra-Gries candidate filter (operators/sketch.py
@@ -2827,6 +2893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         # also new in r5 (tpch_q11, green r4, rotated to 51+ for room)
         "heavy_hitters": q_heavy_hitters,
+        "sentence_split": q_sentence_split,
+        "sample_weighted": q_sample_weighted,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2839,8 +2907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
@@ -2889,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q22": q_tpch_q22,
         "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -2922,6 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _heavy_hitters_oracle(min_count=850),
+        "sentence_split": _SENTENCE_SPLIT_ORACLE,
+        "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
         "funnel_analysis": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_RETENTION_ORACLE,
         "metric_anomalies": _METRIC_ANOMALIES_ORACLE,

@@ -355,6 +355,45 @@ def sample_exact_n(
     )
 
 
+def sample_weighted_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Exactly-n weighted sample without replacement (deterministic A-ES).
+
+    Efraimidis-Spirakis priority sampling: each row draws a pseudo-
+    uniform ``u`` from the seeded 60-bit id hash (no RNG state — same
+    corpus, same sample, replay-safe) and ranks by the exponential race
+    key ``-ln(u) / w``; the n smallest win, which selects without
+    replacement with probability proportional to ``weight_col`` at each
+    draw. One pass, and the sort+limit plans as
+    ``TakeOrderedAndProject`` (per-partition heads, tiny driver merge) —
+    the weighted counterpart of :func:`sample_exact_n`.
+
+    Non-positive/NULL weights are excluded (they'd break the race).
+    The rank key is double math including ``ln`` — cross-engine libm
+    may differ in the last ulp, which could only flip the selection on
+    a near-exact rank tie (measure-zero for hash-derived keys); ties
+    break by id either way.
+    """
+    u = (
+        hash60(F.concat(F.lit(salt + "|w|"), F.col(id_col).cast("string")))
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__rk", key)
+        .orderBy("__rk", id_col)
+        .limit(n)
+        .drop("__rk")
+    )
+
+
 def decontaminate(
     df: DataFrame,
     text_col: str = "text",

@@ -228,3 +228,49 @@ def test_ngram_lm_score_hand_computed(spark):
     )
     got = {r.doc_id: r.lm_score for r in ngram_lm_score(rep).collect()}
     assert got[1] == 1.0 and got[2] == 1.0
+
+
+def test_sample_weighted_n_deterministic_and_weight_biased(spark):
+    from dataeng_azure_spotify_spark.operators.curation import sample_weighted_n
+    from pyspark.sql import Row
+
+    # 200 light rows (w=1) + 20 heavy rows (w=100): heavies should be
+    # strongly over-represented in a 40-row draw
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=1) for i in range(200)]
+        + [Row(doc_id=1000 + i, w=100) for i in range(20)]
+    )
+    a = {r["doc_id"] for r in sample_weighted_n(df, 40, "w").collect()}
+    b = {r["doc_id"] for r in sample_weighted_n(df, 40, "w").collect()}
+    assert a == b and len(a) == 40  # deterministic, exact n
+    n_heavy = sum(1 for d in a if d >= 1000)
+    # expected ≈ all 20 heavies present; even a weak draw keeps most
+    assert n_heavy >= 15
+
+
+def test_sample_weighted_n_excludes_nonpositive_weights(spark):
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.curation import sample_weighted_n
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=0), Row(doc_id=2, w=-3), Row(doc_id=3, w=None),
+         Row(doc_id=4, w=7)],
+        "doc_id long, w int",
+    )
+    got = [r["doc_id"] for r in sample_weighted_n(df, 10, "w").collect()]
+    assert got == [4]
+
+
+def test_sample_weighted_n_plans_as_top_k(spark):
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.curation import sample_weighted_n
+
+    df = spark.createDataFrame([Row(doc_id=i, w=i + 1) for i in range(50)])
+    plan = (
+        sample_weighted_n(df, 5, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
