@@ -131,30 +131,19 @@ def cohort_retention(
     )
 
 
-def daily_metric_anomalies(
+def daily_totals(
     events: DataFrame,
     metric_col: str = "value",
     group_col: str = "event_type",
     ts_col: str = "ts",
-    trailing_days: int = 7,
-    z_thresh: float = 2.0,
 ) -> DataFrame:
-    """Per-group daily metric totals with a trailing z-score anomaly flag.
-
-    For each (group, day): the day's metric total, the mean/stddev of the
-    previous ``trailing_days`` observed day-totals, and
-    ``is_anomaly = |z| > z_thresh``. Days with fewer than 2 trailing
-    observations (or zero variance) get a NULL z and ``false`` flag.
-
-    Cross-engine determinism: the day totals and the trailing window's
-    Σx / Σx² accumulate in DECIMAL (exact, order-independent); the
-    mean/variance/z arithmetic then runs in DOUBLE with one fixed
-    formula, so identical exact inputs give bit-identical IEEE results
-    in any engine — no rounding slop in the comparison.
+    """Exact per-(group, day) decimal metric totals —
+    ``(grp, day, day_total decimal(18,4))``. Decimal sums are
+    order-independent AND re-aggregable: partial day totals from
+    separate batches sum to the same value as one pass over the union,
+    which is what lets the streaming monitor keep per-epoch partials.
     """
-    from pyspark.sql import Window
-
-    daily = (
+    return (
         events.select(
             F.col(group_col).alias("grp"),
             F.col(ts_col).cast("date").alias("day"),
@@ -167,6 +156,17 @@ def daily_metric_anomalies(
         # lossy precision reduction in Spark and overflow in DuckDB).
         .agg(F.sum("v").cast("decimal(18,4)").alias("day_total"))
     )
+
+
+def zscores_from_daily(
+    daily: DataFrame,
+    trailing_days: int = 7,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Trailing z-score stage over ``(grp, day, day_total)`` rows (the
+    output of :func:`daily_totals`, or re-aggregated partials of it)."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("grp")
         .orderBy("day")
@@ -197,6 +197,37 @@ def daily_metric_anomalies(
         F.when(usable, F.abs(z) > F.lit(z_thresh)).otherwise(F.lit(False)).alias(
             "is_anomaly"
         ),
+    )
+
+
+def daily_metric_anomalies(
+    events: DataFrame,
+    metric_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    trailing_days: int = 7,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Per-group daily metric totals with a trailing z-score anomaly flag.
+
+    For each (group, day): the day's metric total, the mean/stddev of the
+    previous ``trailing_days`` observed day-totals, and
+    ``is_anomaly = |z| > z_thresh``. Days with fewer than 2 trailing
+    observations (or zero variance) get a NULL z and ``false`` flag.
+
+    Cross-engine determinism: the day totals and the trailing window's
+    Σx / Σx² accumulate in DECIMAL (exact, order-independent); the
+    mean/variance/z arithmetic then runs in DOUBLE with one fixed
+    formula, so identical exact inputs give bit-identical IEEE results
+    in any engine — no rounding slop in the comparison.
+    ``streaming.anomaly.AnomalyMonitor`` is the incremental twin: it
+    re-aggregates per-epoch partials of :func:`daily_totals` and runs
+    the same :func:`zscores_from_daily` stage.
+    """
+    return zscores_from_daily(
+        daily_totals(events, metric_col, group_col, ts_col),
+        trailing_days=trailing_days,
+        z_thresh=z_thresh,
     )
 
 
