@@ -1537,6 +1537,64 @@ FROM spine s LEFT JOIN daily d USING (k, day)
 """
 
 
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the documents table (operators/profile.py
+    profile_table): nulls, exact distincts, min/max per column in ONE
+    scan (explode-of-structs unpivot, never a per-column job)."""
+    from dataeng_azure_spotify_spark.operators.profile import profile_table
+
+    cat = _cat(spark, sf_dir)
+    return profile_table(cat["documents"])
+
+
+def _profile_docs_oracle() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""
+SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sharding for training-data delivery
+    (operators/curation.py shard_corpus): per-shard document and token
+    totals over 16 shards — membership is seeded-hash-derived, so every
+    engine and every re-run produces the same layout."""
+    from dataeng_azure_spotify_spark.functions.text import token_count
+    from dataeng_azure_spotify_spark.operators.curation import shard_corpus
+
+    cat = _cat(spark, sf_dir)
+    return (
+        shard_corpus(cat["documents"], n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _shard_corpus_oracle(n_shards: int) -> str:
+    return f"""
+WITH s AS (
+    SELECT CAST(('0x' || substr(md5('samp|shard|' || CAST(doc_id AS VARCHAR)),
+                                1, 15))::BIGINT % {n_shards} AS INTEGER)
+               AS shard,
+           CAST(len({_TOKS}) AS BIGINT) AS n_toks
+    FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1
+"""
+
+
 def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation via the codegen'd array path (functions/
     sentences.py split_sentences). The synthetic corpus carries no
@@ -2895,6 +2953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "sentence_split": q_sentence_split,
         "sample_weighted": q_sample_weighted,
+        "profile_docs": q_profile_docs,
+        "shard_corpus": q_shard_corpus,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2907,8 +2967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "cap_per_source": q_cap_per_source,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2957,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -2991,6 +3051,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _heavy_hitters_oracle(min_count=850),
         "sentence_split": _SENTENCE_SPLIT_ORACLE,
+        "profile_docs": _profile_docs_oracle(),
+        "shard_corpus": _shard_corpus_oracle(n_shards=16),
         "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
         "funnel_analysis": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_RETENTION_ORACLE,

@@ -355,6 +355,48 @@ def sample_exact_n(
     )
 
 
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Deterministic hash sharding: adds ``shard int`` in ``[0, n_shards)``.
+
+    Shard = seeded 60-bit id hash mod n_shards — a stateless global
+    shuffle for training-data delivery: every engine (and every re-run)
+    places each document in the same shard, shards are balanced in
+    expectation with no coordination, and downstream writers emit one
+    file per shard (``write_sharded``). Contrast with ``repartition``,
+    whose assignment depends on the partitioner instance and is neither
+    portable nor replay-stable.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    rk = hash60(F.col(id_col).cast("string"), salt=salt + "|shard")
+    return df.withColumn("shard", F.pmod(rk, F.lit(n_shards)).cast("int"))
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Land the corpus as ``shard=K`` directories, one file per shard
+    (each shard repartitioned to a single writer task). Readers stream
+    shard-by-shard with partition pruning; a re-run writes byte-stable
+    content per shard because membership is hash-derived."""
+    (
+        shard_corpus(df, n_shards, id_col=id_col)
+        .repartition(n_shards, F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def sample_weighted_n(
     df: DataFrame,
     n: int,
