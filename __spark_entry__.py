@@ -1537,6 +1537,30 @@ FROM spine s LEFT JOIN daily d USING (k, day)
 """
 
 
+def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the SimHash near-dup graph (operators/graph.py
+    pagerank): rank orders documents by how centrally duplicated they
+    are — the 20 most central make the survivor-selection shortlist.
+    Rows-only: iterative float power iteration has no SQL twin (the
+    property suite pins it against a dense reference implementation in
+    tests/test_graph.py)."""
+    from dataeng_azure_spotify_spark.operators.graph import pagerank
+
+    cat = _cat(spark, sf_dir)
+    pairs = simhash_neardup_pairs(cat["documents"], max_hamming=8)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=8)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
 def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of the documents table (operators/profile.py
     profile_table): nulls, exact distincts, min/max per column in ONE
@@ -2955,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "profile_docs": q_profile_docs,
         "shard_corpus": q_shard_corpus,
+        "pagerank_central_docs": q_pagerank_central_docs,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2967,7 +2992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
-        "tpch_q21": q_tpch_q21,
         "cap_per_source": q_cap_per_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
@@ -3017,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,

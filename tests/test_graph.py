@@ -157,3 +157,54 @@ def test_star_components_one_job_per_round(spark):
     got = {r.node: r.component for r in labeled.collect()}
     assert set(got.values()) == {0, 100}
     assert all(got[i] == 0 for i in range(17))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.graph import pagerank
+
+    # directed graph with a dangling node (3) and a hub (0)
+    E = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 1), (4, 0), (4, 3), (1, 3)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in E])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=12).collect()}
+
+    n, d = 5, 0.85
+    out = {u: [v for (s, v) in E if s == u] for u in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[u] for u in range(n) if not out[u])
+        nxt += d * dangling / n
+        for u in range(n):
+            for v in out[u]:
+                nxt[v] += d * r[u] / len(out[u])
+        r = nxt
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.graph import pagerank
+
+    # star: everyone points at 0
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=0) for i in range(1, 8)]
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=8).collect()}
+    assert got[0] == max(got.values())
+    leaf_ranks = [got[i] for i in range(1, 8)]
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
+
+
+def test_pagerank_empty_graph(spark):
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([Row(src=1, dst=2)]).filter("src > 99")
+    assert pagerank(edges).count() == 0
