@@ -1,0 +1,164 @@
+"""Incrementally-maintained materialized aggregates (IVM).
+
+A grouped SUM/COUNT view over a 100 TB fact table should never be
+recomputed from scratch because a day's worth of rows arrived — the
+view is maintainable from the *delta* alone when every aggregate is an
+abelian-group fold (DBSP / Materialize's core observation): inserts add
+``(+1, +x)``, deletes add ``(-1, -x)``, and the view is the group-wise
+sum of all deltas with empty groups (multiplicity 0) dropped.
+
+:class:`MaterializedAggregate` implements exactly that contract on
+parquet state, with the repo's exactly-once discipline:
+
+- each ``apply_delta(delta, run_id=…)`` writes the delta's per-group
+  signed partials to ``run=<run_id>/`` with idempotent overwrite — a
+  replayed run rewrites an identical directory instead of
+  double-counting (same epoch-partition pattern as
+  ``streaming/admission.py`` / ``streaming/anomaly.py``);
+- ``current()`` re-aggregates the partials: O(groups × runs) rows, not
+  O(facts), and DECIMAL accumulators make the result bit-equal to a
+  from-scratch aggregation of the surviving rows;
+- ``compact(keep_zero=False)`` folds run partials into one baseline.
+
+Only invertible aggregates are offered (``count``, ``sum``; ``avg`` is
+their quotient at read time). MIN/MAX are deliberately absent: they are
+not invertible under deletes — maintaining them incrementally requires
+per-group recomputation on retraction, which is a different (and much
+more expensive) maintenance plan; run :mod:`.profile` or a plain
+aggregate for those.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: multiplicity column carried in state partials
+_MULT = "__mult"
+
+
+def _safe_run_dir(run_id: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", run_id):
+        raise ValueError(
+            "run_id must be 1-128 chars of [A-Za-z0-9._-] — it names a "
+            f"state directory (got {run_id!r})"
+        )
+    return f"run={run_id}"
+
+
+class MaterializedAggregate:
+    """A grouped COUNT/SUM view maintained from signed deltas.
+
+    ``sums`` maps output column → source column; every source column is
+    accumulated as DECIMAL(18,4) (exact, order-independent,
+    re-aggregable). The view always carries ``n_rows`` (the live
+    multiplicity) and drops groups whose multiplicity reaches 0.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        keys: list[str],
+        sums: dict[str, str] | None = None,
+    ) -> None:
+        if not keys:
+            raise ValueError("at least one grouping key is required")
+        self.state_dir = state_dir
+        self.keys = list(keys)
+        self.sums = dict(sums or {})
+        bad = set(self.sums) & set(self.keys) | {"n_rows"} & set(self.sums)
+        if bad:
+            raise ValueError(f"output columns collide with keys/n_rows: {bad}")
+
+    # -- write side --------------------------------------------------------
+
+    def apply_delta(
+        self,
+        delta: DataFrame,
+        run_id: str,
+        op_col: str | None = None,
+    ) -> None:
+        """Fold one batch of changes into state.
+
+        ``op_col`` (when given) holds +1 for inserts and -1 for deletes;
+        omitted means insert-only. The batch's per-group partial lands
+        in its own ``run=<run_id>`` directory — replays overwrite it
+        byte-identically, so at-least-once delivery yields exactly-once
+        state.
+        """
+        mult = (
+            F.col(op_col).cast("long") if op_col else F.lit(1).cast("long")
+        )
+        aggs = [F.sum(_MULT).alias(_MULT)]
+        for out, srccol in self.sums.items():
+            aggs.append(
+                F.sum(
+                    F.col(srccol).cast("decimal(18,4)") * F.col(_MULT)
+                ).cast("decimal(18,4)").alias(out)
+            )
+        partial = (
+            delta.withColumn(_MULT, mult)
+            .groupBy(*self.keys)
+            .agg(*aggs)
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, _safe_run_dir(run_id))
+        )
+
+    # -- read side ---------------------------------------------------------
+
+    def _folded(self, spark: SparkSession) -> DataFrame:
+        partials = spark.read.parquet(self.state_dir).drop("run")
+        aggs = [F.sum(_MULT).alias(_MULT)]
+        for out in self.sums:
+            aggs.append(F.sum(out).cast("decimal(18,4)").alias(out))
+        return partials.groupBy(*self.keys).agg(*aggs)
+
+    def current(self, spark: SparkSession) -> DataFrame:
+        """The maintained view: keys, live sums, ``n_rows``; groups with
+        zero surviving rows are dropped (their sums are 0 by
+        construction, not just hidden)."""
+        folded = self._folded(spark)
+        cols = [*self.keys, *self.sums, F.col(_MULT).alias("n_rows")]
+        return folded.filter(F.col(_MULT) > 0).select(*cols)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold all run partials into a single baseline run. Not safe
+        concurrently with a writer (same caveat as
+        ``streaming.anomaly.AnomalyMonitor.compact_state``)."""
+        folded = self._folded(spark).filter(F.col(_MULT) != 0)
+        tmp = f"{self.state_dir}__compact_{uuid.uuid4().hex[:8]}"
+        folded.write.mode("overwrite").parquet(
+            os.path.join(tmp, "run=baseline")
+        )
+        old = f"{self.state_dir}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.state_dir, old)
+        os.rename(tmp, self.state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # -- streaming front-end ----------------------------------------------
+
+    def process_stream(self, source: DataFrame, checkpoint: str, op_col=None):
+        """Drain a streaming DataFrame of change rows into state under
+        an ``availableNow`` trigger; epoch ids namespace by checkpoint
+        (the admission.py rationale: bare epochs alias across
+        checkpoints)."""
+        import hashlib
+
+        ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+        def handle(batch: DataFrame, epoch_id: int) -> None:
+            self.apply_delta(batch, run_id=f"{ns}-{epoch_id}", op_col=op_col)
+
+        q = (
+            source.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q

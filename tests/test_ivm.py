@@ -1,0 +1,125 @@
+"""Incremental materialized aggregates: delta maintenance must equal a
+from-scratch aggregation of surviving rows, survive replays and
+compaction, and drop fully-retracted groups."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dataeng_azure_spotify_spark.operators.ivm import MaterializedAggregate
+
+SCHEMA = "k string, v double, op int"
+
+
+def _view(spark, mat):
+    return {
+        r["k"]: (r["n_rows"], float(r["total"]))
+        for r in mat.current(spark).collect()
+    }
+
+
+def _scratch(spark, rows):
+    """Ground truth: aggregate the multiset of surviving rows."""
+    live: dict = {}
+    for k, v, op in rows:
+        live.setdefault(k, []).append((v, op))
+    out = {}
+    for k, vs in live.items():
+        n = sum(op for _, op in vs)
+        if n > 0:
+            out[k] = (n, round(sum(v * op for v, op in vs), 4))
+    return out
+
+
+def test_delta_maintenance_matches_scratch(spark, tmp_path):
+    rng = random.Random(3)
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    history = []
+    inserted = []
+    for run in range(4):
+        batch = []
+        for _ in range(60):
+            if inserted and rng.random() < 0.3:
+                k, v = inserted.pop(rng.randrange(len(inserted)))
+                batch.append((k, v, -1))  # retract an existing row
+            else:
+                k, v = f"g{rng.randrange(6)}", round(rng.uniform(0, 99), 2)
+                inserted.append((k, v))
+                batch.append((k, v, 1))
+        history.extend(batch)
+        mat.apply_delta(
+            spark.createDataFrame(batch, SCHEMA), run_id=f"r{run}", op_col="op"
+        )
+    got = _view(spark, mat)
+    want = _scratch(spark, history)
+    assert got == want
+
+    # replaying an already-applied run must not change the view
+    replay = [h for h in history[-60:]]
+    mat.apply_delta(spark.createDataFrame(replay, SCHEMA), run_id="r3", op_col="op")
+    assert _view(spark, mat) == want
+
+    # compaction folds runs but preserves the answer
+    mat.compact(spark)
+    assert _view(spark, mat) == want
+
+
+def test_fully_retracted_group_disappears(spark, tmp_path):
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    mat.apply_delta(
+        spark.createDataFrame([("a", 5.0, 1), ("b", 1.0, 1)], SCHEMA),
+        run_id="r0", op_col="op",
+    )
+    mat.apply_delta(
+        spark.createDataFrame([("a", 5.0, -1)], SCHEMA),
+        run_id="r1", op_col="op",
+    )
+    assert _view(spark, mat) == {"b": (1, 1.0)}
+
+
+def test_insert_only_default_and_validation(spark, tmp_path):
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    mat.apply_delta(
+        spark.createDataFrame([Row(k="a", v=2.0), Row(k="a", v=3.0)]),
+        run_id="only",
+    )
+    assert _view(spark, mat) == {"a": (2, 5.0)}
+    with pytest.raises(ValueError):
+        mat.apply_delta(
+            spark.createDataFrame([Row(k="a", v=1.0)]), run_id="../evil"
+        )
+    with pytest.raises(ValueError):
+        MaterializedAggregate(str(tmp_path / "s2"), keys=[])
+    with pytest.raises(ValueError):
+        MaterializedAggregate(
+            str(tmp_path / "s3"), keys=["k"], sums={"k": "v"}
+        )
+
+
+def test_streaming_front_end_matches_batch(spark, tmp_path):
+    src, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    rows = [("a", 1.5, 1), ("a", 2.5, 1), ("b", 4.0, 1), ("a", 1.5, -1)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    mat.process_stream(
+        spark.readStream.schema(SCHEMA).parquet(src), chk, op_col="op"
+    )
+    assert _view(spark, mat) == {"a": (1, 2.5), "b": (1, 4.0)}
+    # draining again with no new files is a no-op
+    mat.process_stream(
+        spark.readStream.schema(SCHEMA).parquet(src), chk, op_col="op"
+    )
+    assert _view(spark, mat) == {"a": (1, 2.5), "b": (1, 4.0)}
