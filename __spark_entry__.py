@@ -48,6 +48,7 @@ from dataeng_azure_spotify_spark.operators.analytics import (
     cohort_retention,
     daily_metric_anomalies,
     funnel,
+    funnel_one_pass,
     gap_fill,
 )
 from dataeng_azure_spotify_spark.functions.pii import redact_pii
@@ -1424,6 +1425,18 @@ SELECT 'click', CAST(2 AS INTEGER), COUNT(*) FROM s2
 UNION ALL
 SELECT 'purchase', CAST(3 AS INTEGER), COUNT(*) FROM s3
 """
+
+
+def q_funnel_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same funnel, single-pass physical plan (operators/analytics.py
+    funnel_one_pass): one pushed-filter scan + one user-key shuffle +
+    a struct fold over the time-sorted per-user event array, instead of
+    one scan/join per step — the plan that wins when the event log is
+    the 100 TB side. Shares q_funnel_analysis' oracle (same semantics,
+    same output)."""
+    return funnel_one_pass(
+        _cat(spark, sf_dir)["events"], steps=["view", "click", "purchase"]
+    )
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2970,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # To keep the window at 50, tpch_q3/q5/q10/q18 (green r4,
         # q3/q18 plan-pinned) rotated to 51+.
         "funnel_analysis": q_funnel_analysis,
+        "funnel_one_pass": q_funnel_one_pass,
         "cohort_retention": q_cohort_retention,
         "metric_anomalies": q_metric_anomalies,
         "gap_fill": q_gap_fill,
@@ -2995,7 +3009,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
-        "window_rank_suite": q_window_rank_suite,
         "star_join_agg": q_star_join_agg,
         "pricing_summary": q_pricing_summary,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3042,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "window_rank_suite": q_window_rank_suite,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -3080,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_corpus": _shard_corpus_oracle(n_shards=16),
         "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
         "funnel_analysis": _FUNNEL_ORACLE,
+        "funnel_one_pass": _FUNNEL_ORACLE,
         "cohort_retention": _COHORT_RETENTION_ORACLE,
         "metric_anomalies": _METRIC_ANOMALIES_ORACLE,
         "gap_fill": _GAP_FILL_ORACLE,

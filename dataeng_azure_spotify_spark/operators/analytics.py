@@ -280,3 +280,80 @@ def gap_fill(
             F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
         )
     )
+
+
+def funnel_one_pass(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Single-pass funnel — same semantics and output as :func:`funnel`,
+    different physical plan.
+
+    :func:`funnel` re-joins the event log once per step (k scans, k
+    shuffles — fine when the optimizer can prune each step's filter,
+    costly when the fact is 100 TB). This variant computes every
+    user's stage times in ONE pass: filter to step-typed events, one
+    groupBy(user) building the time-sorted event array, then a
+    ``F.aggregate`` fold whose state is a k-field struct of earliest
+    qualifying stage timestamps (stage i fills at the first event of
+    type steps[i] strictly after stage i-1's time; within one event the
+    fold reads the PRE-event state, so an event can't cascade two
+    stages). Per-user memory is O(events-of-step-types per user), and
+    the plan is 1 scan + 1 user-key exchange + a scalar aggregate.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_one_pass requires distinct step names")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    ).filter(F.col(type_col).isin(list(steps)))
+    per_user = ev.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("t", "et"))).alias("evs")
+    )
+    k = len(steps)
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"s{i}") for i in range(k)]
+    )
+
+    def update(acc, x):
+        fields = []
+        for i, step in enumerate(steps):
+            cur = acc[f"s{i}"]
+            if i == 0:
+                fill = F.when(x["et"] == step, x["t"])
+            else:
+                prev = acc[f"s{i-1}"]
+                fill = F.when(
+                    (x["et"] == step) & prev.isNotNull() & (x["t"] > prev),
+                    x["t"],
+                )
+            fields.append(F.coalesce(cur, fill).alias(f"s{i}"))
+        return F.struct(*fields)
+
+    stages = per_user.select(F.aggregate("evs", init, update).alias("st"))
+    counts = stages.agg(
+        *[
+            F.count(F.col("st")[f"s{i}"]).cast("long").alias(f"n{i}")
+            for i in range(k)
+        ]
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(step).alias("step"),
+                        F.lit(i + 1).cast("int").alias("step_idx"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i, step in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")

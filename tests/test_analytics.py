@@ -150,3 +150,56 @@ def test_funnel_plan_reuses_user_key_no_cartesian(ev):
         ev, ["view", "click", "purchase"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_one_pass_matches_join_funnel(ev, spark):
+    from dataeng_azure_spotify_spark.operators.analytics import funnel_one_pass
+
+    a = sorted(map(tuple, funnel(ev, ["view", "click", "purchase"]).collect()))
+    b = sorted(map(tuple, funnel_one_pass(ev, ["view", "click", "purchase"]).collect()))
+    assert a == b
+    # corpus-scale cross-check too
+    docs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = docs.withColumn("ts", F.col("ts").cast("timestamp"))
+    a = sorted(map(tuple, funnel(docs, ["view", "click", "purchase"]).collect()))
+    b = sorted(map(tuple, funnel_one_pass(docs, ["view", "click", "purchase"]).collect()))
+    assert a == b
+
+
+def test_funnel_one_pass_no_cascade_on_equal_ts(spark):
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.analytics import funnel_one_pass
+
+    rows = [
+        Row(user_id=1, ts=_ts("2024-01-01 10:00:00"), event_type="a", value=0.0),
+        Row(user_id=1, ts=_ts("2024-01-01 10:00:00"), event_type="b", value=0.0),
+    ]
+    out = {r["step"]: r["n_users"] for r in funnel_one_pass(
+        spark.createDataFrame(rows), ["a", "b"]).collect()}
+    assert out == {"a": 1, "b": 0}
+
+
+def test_funnel_one_pass_plan_single_scan_single_user_shuffle(spark):
+    from dataeng_azure_spotify_spark.operators.analytics import funnel_one_pass
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = (
+        funnel_one_pass(docs, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("FileScan parquet") == 1
+    # user-key exchange + the final scalar agg's single-partition
+    # exchange - never one per step
+    assert p.count("Exchange ") <= 2
+    # the step-type filter must reach the scan
+    assert "PushedFilters: [In(event_type" in p or "isin" in p.lower()
+
+
+def test_funnel_one_pass_rejects_duplicate_steps(ev):
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark.operators.analytics import funnel_one_pass
+
+    with _pytest.raises(ValueError):
+        funnel_one_pass(ev, ["a", "a"])
