@@ -362,7 +362,12 @@ def pagerank(
     feed the undirected pair list both ways (u→v and v→u) and the rank
     orders documents by how centrally duplicated they are.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # one materialization of the (possibly expensive) edge lineage —
+    # nodes/degrees/rounds all derive from this checkpoint, so upstream
+    # pair generation never re-executes
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -373,21 +378,23 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    # edges annotated once with out-degree; reused every round
-    ed = e.join(deg, on="s").localCheckpoint(eager=True)
+    ed = e.join(deg, on="s")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             ed.join(ranks, ed["s"] == ranks["node"])
             .select("d", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling nodes (no out-edges) spread their rank uniformly
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # dangling mass in closed form: total mass is exactly 1 every
+        # round (base·n + damping·(Σcontrib + dm) telescopes to 1 from
+        # S₀ = 1), and Σ_dst contrib = Σ_{non-dangling} rank, so
+        # dm = 1 − Σcontrib — one tiny aggregate over the contrib
+        # table instead of a per-round anti-join against the rank table
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dm")
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["d"], "left")
@@ -400,6 +407,10 @@ def pagerank(
                     * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # periodic (not per-round) lineage truncation: checkpointing
+        # every round costs a materialization job per iteration; every
+        # 3rd keeps lineage depth bounded at a fraction of that price
+        if it % 3 == 2 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
