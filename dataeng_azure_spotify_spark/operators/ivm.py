@@ -18,7 +18,7 @@ parquet state, with the repo's exactly-once discipline:
 - ``current()`` re-aggregates the partials: O(groups × runs) rows, not
   O(facts), and DECIMAL accumulators make the result bit-equal to a
   from-scratch aggregation of the surviving rows;
-- ``compact(keep_zero=False)`` folds run partials into one baseline.
+- ``compact()`` folds run partials into one baseline.
 
 Only invertible aggregates are offered (``count``, ``sum``; ``avg`` is
 their quotient at read time). MIN/MAX are deliberately absent: they are
@@ -32,8 +32,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -70,9 +68,17 @@ class MaterializedAggregate:
         self.state_dir = state_dir
         self.keys = list(keys)
         self.sums = dict(sums or {})
-        bad = set(self.sums) & set(self.keys) | {"n_rows"} & set(self.sums)
+        reserved = {"n_rows", "run", _MULT}
+        bad = (set(self.sums) & set(self.keys)) | (
+            reserved & (set(self.sums) | set(self.keys))
+        )
         if bad:
-            raise ValueError(f"output columns collide with keys/n_rows: {bad}")
+            # "run" is the state partition column and __mult the
+            # multiplicity accumulator — a key or sum with either name
+            # would collide with the parquet partition schema / state
+            raise ValueError(
+                f"output columns collide with keys/reserved names: {bad}"
+            )
 
     # -- write side --------------------------------------------------------
 
@@ -130,15 +136,15 @@ class MaterializedAggregate:
         """Fold all run partials into a single baseline run. Not safe
         concurrently with a writer (same caveat as
         ``streaming.anomaly.AnomalyMonitor.compact_state``)."""
+        from dataeng_azure_spotify_spark.sources.layout import atomic_swap_dir
+
         folded = self._folded(spark).filter(F.col(_MULT) != 0)
-        tmp = f"{self.state_dir}__compact_{uuid.uuid4().hex[:8]}"
-        folded.write.mode("overwrite").parquet(
-            os.path.join(tmp, "run=baseline")
+        atomic_swap_dir(
+            self.state_dir,
+            lambda tmp: folded.write.mode("overwrite").parquet(
+                os.path.join(tmp, "run=baseline")
+            ),
         )
-        old = f"{self.state_dir}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.state_dir, old)
-        os.rename(tmp, self.state_dir)
-        shutil.rmtree(old, ignore_errors=True)
 
     # -- streaming front-end ----------------------------------------------
 

@@ -144,7 +144,13 @@ def heavy_hitters(
         .agg(F.sum("cnt").alias("mg"))
         .filter(F.col("mg") + F.lit(d_total) >= F.lit(min_count))
         .select("token")
+        .persist()
     )
+    # materialize candidates (tiny, ≤ the certified set) off the cached
+    # summary, then drop the summary pin — otherwise every sketch-path
+    # call would leak k × partitions cached rows for the session's life
+    candidates.count()
+    summary.unpersist()
     return (
         tokens.join(F.broadcast(candidates), on="token", how="leftsemi")
         .groupBy("token")

@@ -63,12 +63,12 @@ def compact_partition(
     if len(before) <= target_files:
         return len(before)
     df = spark.read.parquet(path)
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_swap_dir(
+        path,
+        lambda tmp: df.coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     return len(before)
 
 
@@ -201,3 +201,18 @@ def pruned_read(
             raise ValueError("pruned_read: empty stats manifest")
         return spark.read.parquet(*any_file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(exact)
+
+
+def atomic_swap_dir(path: str, write_tmp) -> None:
+    """Write-then-rename directory swap: ``write_tmp(tmp_path)`` builds
+    the replacement next to ``path``, then two renames publish it.
+    Readers list either the old tree or the new one, never a mix; NOT
+    safe against a concurrent WRITER appending into ``path`` mid-swap.
+    Shared by parquet compaction and the streaming state compactors
+    (one copy of the discipline, not three drifting ones)."""
+    tmp = f"{path}__swap_{uuid.uuid4().hex[:8]}"
+    write_tmp(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -27,8 +27,6 @@ old or new layout, never half of each).
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -61,14 +59,25 @@ class AnomalyMonitor:
 
     def process_stream(self, source: DataFrame, checkpoint: str):
         """Drain ``source`` (a streaming DataFrame of events) into the
-        partial-totals state under an ``availableNow`` trigger."""
+        partial-totals state under an ``availableNow`` trigger.
+
+        Epoch partitions are namespaced by a hash of the checkpoint
+        location (the admission.py rationale): state outlives any one
+        checkpoint, and a NEW checkpoint restarts epoch ids at 0 — a
+        bare ``epoch=0`` from a later pipeline would silently overwrite
+        the first pipeline's partials (or a compacted baseline) while
+        older epochs keep double-counting.
+        """
+        import hashlib
+
+        ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
 
         def handle(batch: DataFrame, epoch_id: int) -> None:
             partial = daily_totals(
                 batch, self.metric_col, self.group_col, self.ts_col
             )
             partial.write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, f"epoch={epoch_id}")
+                os.path.join(self.state_dir, f"epoch={ns}-{epoch_id}")
             )
 
         q = (
@@ -99,16 +108,19 @@ class AnomalyMonitor:
         )
 
     def compact_state(self, spark: SparkSession) -> None:
-        """Fold all epoch partitions into a single ``epoch=0`` partial.
+        """Fold all epoch partitions into one ``epoch=baseline`` partial.
 
         NOTE: run only while no stream is writing the same state dir;
         the swap is atomic for readers (old or new listing), not for a
         concurrent writer appending a new epoch mid-swap.
         """
+        from dataeng_azure_spotify_spark.sources.layout import atomic_swap_dir
+
         folded = self._totals(spark)
-        tmp = f"{self.state_dir}__compact_{uuid.uuid4().hex[:8]}"
-        folded.write.mode("overwrite").parquet(os.path.join(tmp, "epoch=0"))
-        old = f"{self.state_dir}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.state_dir, old)
-        os.rename(tmp, self.state_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        # "baseline" can never collide with the namespaced epoch ids
+        atomic_swap_dir(
+            self.state_dir,
+            lambda tmp: folded.write.mode("overwrite").parquet(
+                os.path.join(tmp, "epoch=baseline")
+            ),
+        )

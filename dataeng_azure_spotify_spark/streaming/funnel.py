@@ -38,6 +38,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+#: output schema for the DEFAULT key column (long user_id); the actual
+#: schema is derived per call from the input's key column name/type
 FUNNEL_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -46,6 +48,17 @@ FUNNEL_OUTPUT_SCHEMA = StructType(
         StructField("step_ts", TimestampType()),
     ]
 )
+
+
+def _output_schema(df: DataFrame, user_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(user_col, df.schema[user_col].dataType),
+            StructField("step", StringType()),
+            StructField("step_idx", IntegerType()),
+            StructField("step_ts", TimestampType()),
+        ]
+    )
 
 #: (stage reached so far, timestamp of the latest completed stage)
 FUNNEL_STATE_SCHEMA = StructType(
@@ -86,7 +99,7 @@ def funnel_stage_stream(
             state.update((int(stage), stage_ts.to_pydatetime()))
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]] * len(out),
+                    user_col: [key[0]] * len(out),
                     "step": [o[0] for o in out],
                     "step_idx": [o[1] for o in out],
                     "step_ts": [o[2] for o in out],
@@ -95,7 +108,7 @@ def funnel_stage_stream(
 
     return df.groupBy(user_col).applyInPandasWithState(
         fold,
-        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        outputStructType=_output_schema(df, user_col),
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
