@@ -1550,6 +1550,94 @@ FROM spine s LEFT JOIN daily d USING (k, day)
 """
 
 
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the SimHash near-dup graph (Hamming
+    ≤ 6): triples of mutually-near documents — the densest dedup
+    structures, i.e. where survivor selection pays off most. The a<b<c
+    edge orientation from the pair generator makes each triangle appear
+    exactly once, so the two self-joins are the standard oriented
+    triangle join (no post-dedup, no double counting)."""
+    cat = _cat(spark, sf_dir)
+    p = simhash_neardup_pairs(cat["documents"], max_hamming=6).select(
+        "doc_a", "doc_b"
+    )
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("doc_a"),
+            F.col("e1.doc_b").alias("doc_b"),
+            F.col("e2.doc_b").alias("doc_c"),
+        )
+    )
+
+
+def _neardup_triangles_oracle(max_hamming: int) -> str:
+    return f"""
+WITH {_simhash_fp_cte()},
+pairs AS (
+    SELECT a.doc AS a, b.doc AS b
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+)
+SELECT p1.a AS doc_a, p1.b AS doc_b, p2.b AS doc_c
+FROM pairs p1
+JOIN pairs p2 ON p2.a = p1.b
+JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+"""
+
+
+def q_user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics — exact to the microsecond:
+    gaps are long microsecond differences between consecutive events
+    (ordered by ts, event_id for a deterministic total order), so sums
+    and maxima are integer arithmetic with no float drift."""
+    from pyspark.sql import Window
+
+    cat = _cat(spark, sf_dir)
+    ev = cat["events"].select(
+        "user_id",
+        "event_id",
+        # the catalog reads ts as TIMESTAMP_NTZ (nanos handling);
+        # session TZ is pinned UTC so the cast is an identity relabel
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    gaps = ev.select(
+        "user_id",
+        (F.col("us") - F.lag("us").over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+        )).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) ).cast("long").alias("n_events"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )
+
+
+_USER_GAPS_ORACLE = """
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+), gaps AS (
+    SELECT user_id,
+           us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS gap_us
+    FROM ev
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+FROM gaps GROUP BY 1
+"""
+
+
 def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the SimHash near-dup graph (operators/graph.py
     pagerank): rank orders documents by how centrally duplicated they
@@ -2994,6 +3082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": q_profile_docs,
         "shard_corpus": q_shard_corpus,
         "pagerank_central_docs": q_pagerank_central_docs,
+        "neardup_triangles": q_neardup_triangles,
+        "user_activity_gaps": q_user_activity_gaps,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3001,9 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
-        "tpch_q2": q_tpch_q2,
         "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "cap_per_source": q_cap_per_source,
@@ -3056,6 +3144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "window_rank_suite": q_window_rank_suite,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -3089,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "heavy_hitters": _heavy_hitters_oracle(min_count=850),
+        "neardup_triangles": _neardup_triangles_oracle(max_hamming=6),
+        "user_activity_gaps": _USER_GAPS_ORACLE,
         "sentence_split": _SENTENCE_SPLIT_ORACLE,
         "profile_docs": _profile_docs_oracle(),
         "shard_corpus": _shard_corpus_oracle(n_shards=16),
