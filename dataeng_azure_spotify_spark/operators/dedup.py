@@ -70,9 +70,12 @@ def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact duplicate groups: md5(normalized text) → representative id +
-    group size. Keep-policy: lowest id is the canonical copy."""
+    group size. Keep-policy: lowest id is the canonical copy. NULL-text
+    docs carry no content hash and are excluded (they are not duplicates
+    of each other)."""
     return (
         df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("text_hash"))
+        .filter(F.col("text_hash").isNotNull())
         .groupBy("text_hash")
         .agg(
             F.min(id_col).alias("rep_id"),
@@ -368,14 +371,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     n: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-doc MinHash signature: minhash_i = min over shingle hashes of
     ``(a_i·x + b_i) mod p`` — ONE md5 per token (Horner-composed
     shingle hashes), the family derived arithmetically. Long format
     (doc, i, minhash); zero-shingle docs drop out.
     """
-    sh = _doc_shingle_hashes60(df, text_col, id_col, n)
-    wide = _minhash_wide(sh, num_hashes)
+    sh = _doc_shingle_hashes60(df, text_col, id_col, n, impl=impl)
+    wide = _minhash_wide(sh, num_hashes, impl=impl)
     stack = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
     return wide.selectExpr(
         "doc", f"stack({num_hashes}, {stack}) AS (i, minhash)"
@@ -434,6 +438,12 @@ def _band_table(wide: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc, band, band_sig) from a wide signature table — per-row
     expressions only, no shuffle. band_sig is a STRUCT of the band's
     minhash longs (struct equality joins on raw longs)."""
+    if num_hashes % bands != 0:
+        # a remainder would silently drop minhashes from every band key,
+        # giving the recall of a smaller scheme than the caller asked for
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
@@ -465,8 +475,12 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     broadcast_shingles: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup join, verified with exact Jaccard.
+    ``impl="expr"`` selects the pure-Catalyst Horner path (for clusters
+    with Arrow/pandas-UDF execution unavailable); value-identical to the
+    default arrow path (bit-pinned in tests).
 
     ``num_hashes/bands`` rows per band (16/8 → r=2): a pair lands in a
     candidate bucket iff one band's signature rows all match. Candidates
@@ -483,9 +497,8 @@ def minhash_lsh_pairs(
     oracle's string band keys group identically, so the candidate set is
     unchanged).
     """
-    rows_per_band = num_hashes // bands
-    sh = _persist(_doc_shingle_hashes60(df, text_col, id_col, n))
-    wide = _minhash_wide(sh, num_hashes)
+    sh = _persist(_doc_shingle_hashes60(df, text_col, id_col, n, impl=impl))
+    wide = _minhash_wide(sh, num_hashes, impl=impl)
     band_sigs = _persist(_band_table(wide, num_hashes, bands))
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     candidates = (
@@ -680,6 +693,12 @@ class IncrementalDedup:
         hashed = batch.withColumn(
             "__h", F.md5(normalize_text(text_col))
         )
+        # NULL text has no content hash: such docs are not duplicates of
+        # each other, can't be tracked in hash state, and must not be
+        # collapsed by the NULL window partition below — admit them
+        # untracked (the IncrementalLsh shingle-less discipline)
+        null_text = hashed.filter(F.col("__h").isNull())
+        hashed = hashed.filter(F.col("__h").isNotNull())
         w = Window.partitionBy("__h").orderBy(id_col)
         in_batch = (
             hashed.withColumn("__rn", F.row_number().over(w))
@@ -704,6 +723,8 @@ class IncrementalDedup:
             joined.filter(keep)
             .withColumn("__fresh", fresh_pred)
             .drop("__seen", "__seen_run")
+            # __fresh=False: pass through every time, never into state
+            .unionByName(null_text.withColumn("__fresh", F.lit(False)))
             .localCheckpoint(eager=True)
         )
         admitted.filter(F.col("__fresh")).select(
@@ -730,9 +751,13 @@ class IncrementalLsh:
     3. similarity estimate = fraction of matching minhashes over the
        full signature (the standard unbiased MinHash Jaccard estimator
        — exact text never needs to be stored or re-read);
-    4. docs whose estimate ≥ ``threshold`` against history (or against
-       an admitted in-batch earlier id) are rejected; survivors append
-       their signatures to state.
+    4. docs whose estimate ≥ ``threshold`` against history, or against
+       ANY smaller-id doc in the same batch, are rejected (greedy
+       lowest-id anchoring: when A is itself rejected against history
+       and B is near-dup only of A, B is rejected too — near-dup chains
+       collapse toward the one historical representative rather than
+       re-admitting a fresh member per batch); survivors append their
+       signatures to state.
 
     Deterministic end-to-end (md5-derived hashing, no RNG) and
     idempotent: re-admitting a batch admits nothing. Idempotency covers

@@ -86,10 +86,15 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     exact: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
-    Output: (query_id, rank, neighbor_id, cosine). Self-matches excluded.
+    Output: (query_id, rank, neighbor_id, cosine). Self-matches excluded
+    by id when ``exclude_self`` (the neighbor-search default); pass
+    ``False`` when query and corpus ids live in DIFFERENT namespaces —
+    e.g. IVF probe routing, where a query whose id happens to equal a
+    centroid id must still probe that centroid's bucket.
     Ties break by neighbor_id ascending (total order → deterministic).
     The query side broadcasts; scoring is a broadcast nested-loop join
     with the dot product inlined as one codegen'd expression — the only
@@ -102,12 +107,10 @@ def cosine_topk(
     dot = _dot if exact else _dot_double
     qf = _with_norm(queries, id_col, vec_col, "q")
     cf = _with_norm(corpus, id_col, vec_col, "c")
-    scored = (
-        F.broadcast(qf)
-        .crossJoin(cf)
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("dot", dot(F.col("q_vec"), F.col("c_vec")))
-    )
+    scored = F.broadcast(qf).crossJoin(cf)
+    if exclude_self:
+        scored = scored.filter(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn("dot", dot(F.col("q_vec"), F.col("c_vec")))
     return _rank_topk(scored, k)
 
 
@@ -284,7 +287,7 @@ def ivf_assign(
     spark = corpus.sparkSession
     blocks = num_blocks or max(4, spark.sparkContext.defaultParallelism)
     c = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(blocks)).cast("int"))
     kb = centroids.select(
         F.col(centroid_id).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
@@ -472,14 +475,25 @@ def _probe_and_score(
         vec_col,
         k=nprobe,
         exact=False,
+        # centroid ids and query ids are different namespaces: a query
+        # whose id collides with a centroid id must still probe that
+        # centroid's bucket (its own likely-nearest one)
+        exclude_self=False,
     ).select(F.col("query_id"), F.col("neighbor_id").alias("centroid_id"))
 
     # restrict the corpus to probed buckets per query, then exact scoring
-    sub = bucketed.join(F.broadcast(probes), on="centroid_id").select(
-        F.col("query_id").alias("probe_query"),
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-    ).withColumn("c_norm", _norm(F.col("c_vec")))
+    # norm BEFORE the probe join: after it every corpus row is
+    # replicated once per probing query, and the O(d) fold with it
+    sub = (
+        bucketed.withColumn("c_norm", _norm(F.col(vec_col)))
+        .join(F.broadcast(probes), on="centroid_id")
+        .select(
+            F.col("query_id").alias("probe_query"),
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            "c_norm",
+        )
+    )
     qf = _with_norm(queries, id_col, vec_col, "q")
     scored = (
         F.broadcast(qf)

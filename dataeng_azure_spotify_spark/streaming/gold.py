@@ -67,12 +67,34 @@ class ParquetSnapshotTable:
             snap = f.read().strip()
         return self.spark.read.parquet(os.path.join(self.base, snap))
 
+    @staticmethod
+    def _snap_n(name: str) -> int:
+        return int(name.split("-")[1])
+
+    def _live(self) -> str | None:
+        if not self.exists():
+            return None
+        with open(self._pointer) as f:
+            return f.read().strip()
+
     def history(self) -> list[str]:
-        """Snapshot names, oldest → newest (mtime order) — the retained
-        versions, Delta-history style. The live one is last unless vacuum
-        already dropped intermediates."""
-        snaps = [d for d in os.listdir(self.base) if d.startswith("snap-")]
-        return sorted(snaps, key=lambda d: os.path.getmtime(os.path.join(self.base, d)))
+        """COMMITTED snapshot names, oldest → newest — the retained
+        versions, Delta-history style; the live one is always last.
+        Snapshot names carry a monotonic version number (mtime ordering
+        would tie on coarse-granularity filesystems), and committed
+        means number ≤ the live pointer's: an orphan directory from a
+        writer that crashed before repointing never appears as history
+        (nor does a write-in-progress)."""
+        live = self._live()
+        if live is None:
+            return []
+        live_n = self._snap_n(live)
+        snaps = [
+            d
+            for d in os.listdir(self.base)
+            if d.startswith("snap-") and self._snap_n(d) <= live_n
+        ]
+        return sorted(snaps, key=self._snap_n)
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read the version-th retained snapshot (negative
@@ -88,7 +110,9 @@ class ParquetSnapshotTable:
         DataFrames already planned against a prior snapshot keep working.
         Call :meth:`vacuum` to reclaim space once readers have drained.
         """
-        snap = f"snap-{uuid.uuid4().hex[:12]}"
+        live = self._live()
+        next_n = self._snap_n(live) + 1 if live else 0
+        snap = f"snap-{next_n:08d}-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.base, snap)
         df.write.mode("overwrite").parquet(path)
         tmp = self._pointer + ".tmp"
@@ -97,18 +121,16 @@ class ParquetSnapshotTable:
         os.replace(tmp, self._pointer)
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Delete all but the newest ``keep_last`` snapshots (by mtime),
-        never the live one."""
-        if not self.exists():
+        """Delete all but the newest ``keep_last`` COMMITTED snapshots,
+        never the live one. Orphans from crashed/in-flight writers
+        (version above the live pointer) are left alone — deleting them
+        could race a writer mid-commit; they never count toward
+        ``keep_last`` because :meth:`history` excludes them."""
+        live = self._live()
+        if live is None:
             return
-        with open(self._pointer) as f:
-            live = f.read().strip()
-        snaps = sorted(
-            (d for d in os.listdir(self.base) if d.startswith("snap-")),
-            key=lambda d: os.path.getmtime(os.path.join(self.base, d)),
-            reverse=True,
-        )
-        for d in snaps[keep_last:]:
+        committed = self.history()
+        for d in committed[: max(0, len(committed) - keep_last)]:
             if d != live:
                 shutil.rmtree(os.path.join(self.base, d), ignore_errors=True)
 
@@ -162,20 +184,42 @@ class DeltaSnapshotTable:
             .save(self.base)
         )
 
-    def vacuum(self, keep_last: int = 2) -> None:  # pragma: no cover
+    def vacuum(
+        self, keep_last: int | None = None, retention_hours: float | None = None
+    ) -> None:  # pragma: no cover
+        """Delta retention is TIME-based; a count-based ``keep_last`` is
+        a ParquetSnapshotTable concept and cannot be honored here —
+        passing it raises instead of silently retaining everything."""
         from delta.tables import DeltaTable
 
-        DeltaTable.forPath(self.spark, self.base).vacuum()
+        if keep_last is not None:
+            raise ValueError(
+                "DeltaSnapshotTable.vacuum keeps versions by TIME, not "
+                "count — pass retention_hours instead of keep_last"
+            )
+        dt = DeltaTable.forPath(self.spark, self.base)
+        if retention_hours is not None:
+            dt.vacuum(retention_hours)
+        else:
+            dt.vacuum()
 
 
 def _lexicographic_newer(seq: str, tiebreakers: list[str]) -> str:
     """SQL condition: source (seq, tiebreakers...) >= target's, matching
-    ``apply_scd1``'s ordering (update wins ties). For Delta MERGE."""
+    ``apply_scd1``'s ordering (update wins ties; desc = NULLS LAST, so a
+    non-NULL sequence beats NULL and two NULLs tie → update wins). A
+    bare ``>`` would evaluate to NULL against a NULL-sequenced target
+    row and make it immortal on the Delta path while the parquet path
+    replaces it. For Delta MERGE."""
     cols = [seq] + list(tiebreakers)
+
+    def gt(c: str) -> str:  # strict greater with NULL ordered lowest
+        return f"(s.{c} > t.{c} OR (s.{c} IS NOT NULL AND t.{c} IS NULL))"
+
     clauses = []
     for i, c in enumerate(cols):
         eqs = " AND ".join(f"s.{p} <=> t.{p}" for p in cols[:i])
-        cmp_ = f"s.{c} >= t.{c}" if i == len(cols) - 1 else f"s.{c} > t.{c}"
+        cmp_ = f"({gt(c)} OR s.{c} <=> t.{c})" if i == len(cols) - 1 else gt(c)
         clauses.append(f"({eqs + ' AND ' if eqs else ''}{cmp_})")
     return " OR ".join(clauses)
 

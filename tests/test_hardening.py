@@ -1,0 +1,143 @@
+"""Regression pins for review-pass fixes: IVF probe id-collision,
+LSH band validation, NULL-text dedup semantics, null-safe Delta merge
+ordering, committed-version snapshot history, and the expr MinHash
+path reachable through the public API."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def test_cosine_topk_exclude_self_flag(spark):
+    from dataeng_azure_spotify_spark.operators.similarity import cosine_topk
+
+    qs = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0])])
+    corpus = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0]), Row(vec_id=1, embedding=[0.9, 0.1])]
+    )
+    with_self = {r["neighbor_id"] for r in
+                 cosine_topk(qs, corpus, k=2, exclude_self=False).collect()}
+    without = {r["neighbor_id"] for r in
+               cosine_topk(qs, corpus, k=2).collect()}
+    assert 0 in with_self and 0 not in without
+
+
+def test_ivf_query_probes_bucket_of_colliding_centroid_id(spark, tmp_path):
+    """A query whose vec_id equals a centroid id must still probe that
+    centroid's bucket — before the fix its own (likely nearest) bucket
+    was silently excluded from routing."""
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    # two far-apart clusters; ids 0..9 in cluster A, 100..109 in B
+    rows = [Row(vec_id=i, embedding=[10.0 + (i % 10) * 0.01, 0.0])
+            for i in range(10)]
+    rows += [Row(vec_id=100 + i, embedding=[0.0, 10.0 + i * 0.01])
+             for i in range(10)]
+    emb = spark.createDataFrame(rows)
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), num_centroids=2)
+    # centroid ids are SEEDED FROM CORPUS vec_ids — query with exactly
+    # the id of cluster A's centroid so the old q_id != c_id routing
+    # filter would have dropped the query's own (nearest) bucket
+    cent_ids = [
+        r["centroid_id"]
+        for r in spark.read.parquet(str(tmp_path / "ivf" / "centroids")).collect()
+    ]
+    a_cent = next(c for c in cent_ids if c < 100)
+    q = spark.createDataFrame([Row(vec_id=int(a_cent), embedding=[10.0, 0.0])])
+    got = {r["neighbor_id"] for r in idx.query(q, k=3, nprobe=1).collect()}
+    # neighbors must come from the query's own cluster (ids < 100)
+    assert got and all(n < 100 for n in got)
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    from dataeng_azure_spotify_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c d")])
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=6).collect()
+
+
+def test_minhash_expr_impl_reachable_and_identical(spark):
+    from dataeng_azure_spotify_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta epsilon {i % 3}")
+         for i in range(12)]
+    )
+    arrow = sorted(map(tuple, minhash_signatures(docs).collect()))
+    expr = sorted(map(tuple, minhash_signatures(docs, impl="expr").collect()))
+    assert arrow == expr and len(arrow) > 0
+
+
+def test_exact_dedup_ignores_null_text(spark):
+    from dataeng_azure_spotify_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="same"),
+         Row(doc_id=3, text=None), Row(doc_id=4, text=None)],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["group_size"] == 2
+
+
+def test_incremental_dedup_null_text_passes_through_untracked(spark, tmp_path):
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalDedup
+
+    d = IncrementalDedup(spark, str(tmp_path / "state"))
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text="real"), Row(doc_id=2, text=None),
+         Row(doc_id=3, text=None)],
+        "doc_id long, text string",
+    )
+    first = {r["doc_id"] for r in d.admit(batch).collect()}
+    assert first == {1, 2, 3}  # NULL-text docs are NOT collapsed
+    again = {r["doc_id"] for r in d.admit(batch).collect()}
+    assert again == {2, 3}  # hashable doc deduped; NULLs pass through
+
+
+def test_lexicographic_newer_is_null_safe(spark):
+    from dataeng_azure_spotify_spark.streaming.gold import _lexicographic_newer
+
+    cond = _lexicographic_newer("seq", [])
+    cases = [  # (source_seq, target_seq, source_should_win)
+        (2, 1, True), (1, 2, False), (1, 1, True),
+        (1, None, True),   # non-null beats NULL (desc NULLS LAST)
+        (None, 1, False),
+        (None, None, True),  # both NULL tie -> update wins
+    ]
+    for s_val, t_val, want in cases:
+        df = spark.sql(
+            "SELECT named_struct('seq', CAST({} AS INT)) AS s, "
+            "named_struct('seq', CAST({} AS INT)) AS t".format(
+                "NULL" if s_val is None else s_val,
+                "NULL" if t_val is None else t_val,
+            )
+        ).selectExpr(f"({cond}) AS win")
+        got = df.collect()[0]["win"]
+        assert bool(got) == want, (s_val, t_val, got)
+
+
+def test_snapshot_history_is_version_ordered_and_orphan_safe(spark, tmp_path):
+    from dataeng_azure_spotify_spark.streaming.gold import ParquetSnapshotTable
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tbl"))
+    for v in range(3):
+        t.overwrite(spark.createDataFrame([Row(v=v)]))
+    hist = t.history()
+    assert len(hist) == 3 and hist[-1] == t._live()
+    assert [t._snap_n(h) for h in hist] == [0, 1, 2]
+    assert t.read_version(-1).collect()[0]["v"] == 2
+    assert t.read_version(0).collect()[0]["v"] == 0
+
+    # orphan from a crashed writer: higher version, never repointed
+    orphan = os.path.join(str(tmp_path / "tbl"), "snap-00000099-deadbeef")
+    os.makedirs(orphan)
+    assert t.history() == hist  # excluded from history
+    t.vacuum(keep_last=1)
+    assert t.history() == hist[-1:]  # only the live snapshot kept
+    assert os.path.exists(orphan)  # never races a possible in-flight writer
+    assert t.read().collect()[0]["v"] == 2
