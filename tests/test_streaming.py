@@ -153,9 +153,14 @@ def test_cdc_flow_backend_resolution_and_merge_condition():
             CdcFlow(name="f", gold_base="/tmp/x", keys=["k"],
                     sequence_by="seq", backend="delta")._resolved_backend()
 
-    assert _lexicographic_newer("seq", []) == "(s.seq >= t.seq)"
+    # null-safe lexicographic ordering (parquet twin: desc NULLS LAST —
+    # non-null beats NULL, both-NULL ties go to the update); semantic
+    # truth-table coverage lives in tests/test_hardening.py
+    gt = "(s.seq > t.seq OR (s.seq IS NOT NULL AND t.seq IS NULL))"
+    assert _lexicographic_newer("seq", []) == f"(({gt} OR s.seq <=> t.seq))"
+    gtb = "(s.tb > t.tb OR (s.tb IS NOT NULL AND t.tb IS NULL))"
     assert _lexicographic_newer("seq", ["tb"]) == (
-        "(s.seq > t.seq) OR (s.seq <=> t.seq AND s.tb >= t.tb)"
+        f"({gt}) OR (s.seq <=> t.seq AND ({gtb} OR s.tb <=> t.tb))"
     )
 
 
