@@ -91,6 +91,11 @@ class Catalog:
         ns_cols = _nanos_timestamp_cols(path)
         if not ns_cols:
             return self.spark.read.parquet(path)
+        # NOTE: the conf stays set for the session — the returned frame
+        # is lazy and its scan re-resolves parquet types at execution,
+        # so a save/restore here would corrupt later actions on it.
+        # Session-wide effect: OTHER nanos files read outside the
+        # catalog will also surface as longs instead of erroring.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(path)
         for c in ns_cols:

@@ -81,6 +81,12 @@ class RunLog:
         return result
 
     def read(self) -> DataFrame:
+        import os
+
+        if not os.path.exists(self.path):
+            # fresh deployment: the alert query runs BEFORE the first
+            # run is recorded — an empty log, not a crashed monitor
+            return self.spark.createDataFrame([], RUN_LOG_SCHEMA)
         return self.spark.read.schema(RUN_LOG_SCHEMA).parquet(self.path)
 
 

@@ -64,15 +64,23 @@ def incremental_extract(
 ) -> ExtractResult:
     """One table's incremental hop: filter > wm → append parquet → refresh wm."""
     wm = cfg.from_date or store.read(cfg.table)
-    extract = source.filter(F.col(cfg.cdc_col) > F.lit(wm))
+    # Snapshot the slice ONCE (executor-side, no driver collect): the
+    # old limit/write/count trio evaluated the filtered source three
+    # times — three pushdown queries against a live JDBC source, and a
+    # reported row count that could disagree with the rows actually
+    # written if the source moved between evaluations. The checkpoint
+    # is bounded by the incremental slice, not the table.
+    extract = source.filter(
+        F.col(cfg.cdc_col) > F.lit(wm)
+    ).localCheckpoint(eager=True)
+    rows = extract.count()
 
     # A2 / S11: short-circuit empty extracts before writing anything.
-    if extract.limit(1).count() == 0:
+    if rows == 0:
         return ExtractResult(cfg.table, 0, wm, wm, wrote_file=False)
 
     out_dir = os.path.join(bronze_base, cfg.table)
     extract.write.mode("append").parquet(out_dir)
-    rows = extract.count()
 
     # A1: watermark refresh from the WHOLE source (reference semantics:
     # MAX over the source table, not the extracted slice — json:192).

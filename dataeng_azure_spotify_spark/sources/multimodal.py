@@ -113,7 +113,9 @@ def documents_as_media(df: DataFrame, text_col: str = "text", id_col: str = "doc
     oracle can recompute from the text."""
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(id_col) % 3 + 1).cast("int"),
+        # pmod: signed % gives index 0 (error) / -1 (silent wraparound)
+        # for negative ids
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
     )
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),

@@ -55,14 +55,19 @@ def _peek_file_schema(path: str) -> StructType:
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    files: list[str] = []
+    files: list[tuple[float, str]] = []
     for root, _dirs, names in os.walk(path):
         for n in names:
             if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                files.append(os.path.join(root, n))
+                p = os.path.join(root, n)
+                try:  # tolerate concurrent compaction/retention deletes
+                    files.append((os.path.getmtime(p), p))
+                except OSError:
+                    continue
     if not files:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-    files.sort(key=os.path.getmtime, reverse=True)
+    files.sort(reverse=True)
+    files = [p for _, p in files]
     schemas = [pq.read_schema(f) for f in files[:_SCHEMA_SAMPLE_FILES]]
     return from_arrow_schema(pa.unify_schemas(schemas, promote_options="permissive"))
 
@@ -97,11 +102,27 @@ def read_bronze_stream(
     """Streaming read of a bronze directory with rescue-mode evolution.
 
     Returns a streaming DataFrame with the *declared* columns plus
-    ``_rescued_data`` (NULL when the batch has no unexpected columns).
+    ``_rescued_data`` (NULL on rows where nothing was rescued).
+
+    Scope vs Auto Loader: ADDED columns are rescued; an incompatible
+    TYPE CHANGE to a declared column still fails the scan (Auto Loader
+    would route those values into the rescue column) — handling it
+    needs per-file schema reconciliation at read time, which the
+    parquet batch reader cannot express without reading every column
+    as string. Declared-column type drift therefore surfaces loudly
+    rather than silently.
     """
     tracker = SchemaTracker(schema_location)
     declared = tracker.load()
-    actual = _peek_file_schema(path)
+    try:
+        actual = _peek_file_schema(path)
+    except FileNotFoundError:
+        if declared is None:
+            raise  # first run truly needs at least one file to infer
+        # bronze drained/archived after a prior run: the persisted
+        # declared schema drives an empty no-op stream instead of
+        # killing the whole silver/pipeline run
+        actual = declared
     if declared is None:
         declared = actual
         tracker.save(declared)
@@ -118,7 +139,18 @@ def read_bronze_stream(
         return df.select(*declared.fieldNames())
 
     if extra_fields:
-        rescued = F.to_json(F.struct(*[F.col(f.name) for f in extra_fields]))
+        # to_json drops null struct fields, so an unconditional call
+        # would stamp '{}' on every pre-drift row; only rows where some
+        # extra column is actually present get a payload — the Auto
+        # Loader contract (NULL = nothing rescued) the module mirrors
+        any_extra = None
+        for f in extra_fields:
+            c = F.col(f.name).isNotNull()
+            any_extra = c if any_extra is None else (any_extra | c)
+        rescued = F.when(
+            any_extra,
+            F.to_json(F.struct(*[F.col(f.name) for f in extra_fields])),
+        )
     else:
         rescued = F.lit(None).cast("string")
     return df.withColumn(RESCUE_COL, rescued).select(

@@ -37,6 +37,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+#: output schema for the DEFAULT key column (long user_id); the actual
+#: schema is derived per call from the input's key column name/type
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),
@@ -45,6 +47,17 @@ SESSION_OUTPUT_SCHEMA = StructType(
         StructField("n_events", LongType(), False),
     ]
 )
+
+
+def _session_output_schema(df, key_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(key_col, df.schema[key_col].dataType, False),
+            StructField("session_start", TimestampType(), False),
+            StructField("session_end", TimestampType(), False),
+            StructField("n_events", LongType(), False),
+        ]
+    )
 
 SESSION_STATE_SCHEMA = StructType(
     [
@@ -75,7 +88,13 @@ def _close_sessions(
         elif last is None:
             start, last, n = ts, ts, 1
         else:
-            last, n = ts, n + 1
+            # late arrival (ts ≤ last, possible across micro-batches on
+            # an unwatermarked stream): fold it into the open session
+            # WITHOUT moving the frontier backwards — a raw last=ts
+            # would let a later event "reopen" time and emit a session
+            # whose end precedes its start. The open session's span is
+            # [min(start, ts), max(last, ts)].
+            start, last, n = min(start, ts), max(last, ts), n + 1
     open_tail = None if last is None else (start, last, n)
     return closed, open_tail
 
@@ -108,7 +127,7 @@ def sessionize_stream(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]] * len(closed),
+                    key_col: [key[0]] * len(closed),
                     "session_start": [c[0] for c in closed],
                     "session_end": [c[1] for c in closed],
                     "n_events": [c[2] for c in closed],
@@ -117,7 +136,7 @@ def sessionize_stream(
 
     return df.groupBy(key_col).applyInPandasWithState(
         fold,
-        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputStructType=_session_output_schema(df, key_col),
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -147,7 +166,7 @@ def sessionize_batch(
             )
         return pd.DataFrame(
             {
-                "user_id": [key] * len(closed),
+                key_col: [key] * len(closed),
                 "session_start": [c[0] for c in closed],
                 "session_end": [c[1] for c in closed],
                 "n_events": [c[2] for c in closed],
@@ -155,7 +174,7 @@ def sessionize_batch(
         )
 
     return df.select(key_col, ts_col).groupBy(key_col).applyInPandas(
-        fold, schema=SESSION_OUTPUT_SCHEMA
+        fold, schema=_session_output_schema(df, key_col)
     )
 
 

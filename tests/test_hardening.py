@@ -141,3 +141,92 @@ def test_snapshot_history_is_version_ordered_and_orphan_safe(spark, tmp_path):
     assert t.history() == hist[-1:]  # only the live snapshot kept
     assert os.path.exists(orphan)  # never races a possible in-flight writer
     assert t.read().collect()[0]["v"] == 2
+
+
+def test_session_fold_late_event_cannot_reverse_time():
+    import pandas as pd
+
+    from dataeng_azure_spotify_spark.streaming.stateful import _close_sessions
+
+    carried = (pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-01 10:00"), 1)
+    ts = pd.Series([pd.Timestamp("2024-01-01 09:50"), pd.Timestamp("2024-01-01 11:00")])
+    closed, open_tail = _close_sessions(ts, carried, gap_seconds=1800)
+    # the late 09:50 folds in without moving the frontier back, so the
+    # 11:00 event closes a WELL-FORMED session (end after start)
+    assert len(closed) == 1
+    start, end, n = closed[0]
+    assert start == pd.Timestamp("2024-01-01 09:50") and n == 2
+    assert end > start
+    assert open_tail == (pd.Timestamp("2024-01-01 11:00"),
+                         pd.Timestamp("2024-01-01 11:00"), 1)
+
+
+def test_sessionize_batch_respects_key_col_name_and_type(spark):
+    import datetime as dt
+
+    from dataeng_azure_spotify_spark.streaming.stateful import sessionize_batch
+
+    df = spark.createDataFrame(
+        [Row(owner="alice", ts=dt.datetime(2024, 1, 1, 9, 0)),
+         Row(owner="alice", ts=dt.datetime(2024, 1, 1, 9, 10))],
+    )
+    out = sessionize_batch(df, key_col="owner", include_open=True).collect()
+    assert len(out) == 1 and out[0]["owner"] == "alice" and out[0]["n_events"] == 2
+
+
+def test_rescue_payload_null_on_rows_without_drift(spark, tmp_path):
+    from dataeng_azure_spotify_spark.streaming.rescue import read_bronze_stream
+
+    bronze, schemas, out, chk = (
+        str(tmp_path / d) for d in ("bronze", "schemas", "out", "chk")
+    )
+    spark.createDataFrame([Row(a=1)]).write.mode("append").parquet(bronze)
+    read_bronze_stream(spark, bronze, schemas)  # declare schema = [a]
+    spark.createDataFrame([Row(a=2, extra="x"), Row(a=3, extra=None)]).write.mode(
+        "append"
+    ).parquet(bronze)
+    stream = read_bronze_stream(spark, bronze, schemas)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", chk).option("path", out)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["a"]: r["_rescued_data"] for r in spark.read.parquet(out).collect()}
+    # only the row that actually carried a drifted value has a payload —
+    # '{}' stamps on pre-drift rows were the bug
+    assert got[1] is None and got[3] is None
+    assert got[2] is not None and "x" in got[2]
+
+
+def test_bronze_drained_after_schema_persist_is_noop(spark, tmp_path):
+    import shutil as sh
+
+    from dataeng_azure_spotify_spark.streaming.rescue import read_bronze_stream
+
+    bronze, schemas = str(tmp_path / "bronze"), str(tmp_path / "schemas")
+    spark.createDataFrame([Row(a=1)]).write.mode("append").parquet(bronze)
+    read_bronze_stream(spark, bronze, schemas)  # persists declared schema
+    sh.rmtree(bronze)
+    os.makedirs(bronze)
+    # archived bronze: declared schema drives an empty stream, no crash
+    stream = read_bronze_stream(spark, bronze, schemas)
+    assert stream.isStreaming and "a" in stream.columns
+
+
+def test_runlog_alert_query_before_first_run(spark, tmp_path):
+    from dataeng_azure_spotify_spark.observability import RunLog, failed_runs_last
+
+    log = RunLog(spark, str(tmp_path / "runlog"))
+    assert failed_runs_last(log).count() == 0
+
+
+def test_media_modality_handles_negative_ids(spark):
+    from dataeng_azure_spotify_spark.sources.multimodal import documents_as_media
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=-1, text="a"), Row(doc_id=-2, text="b"), Row(doc_id=3, text="c")]
+    )
+    rows = documents_as_media(docs).collect()
+    assert len(rows) == 3
+    assert all(r["modality"] in ("image", "audio", "video") for r in rows)
