@@ -1638,6 +1638,92 @@ FROM gaps GROUP BY 1
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix of
+    user behavior): consecutive event pairs per user under the
+    deterministic (ts, event_id) total order, counted per (prev, next).
+    One window pass + one grouped count — the sequence-model feature
+    extraction shape."""
+    from pyspark.sql import Window
+
+    cat = _cat(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = cat["events"].select("user_id", "ts", "event_id", "event_type")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("next_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM ordered WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→purchase conversion latency, exact to the
+    microsecond: first view time, first strictly-later purchase time,
+    and their integer-microsecond difference — the funnel's step-time
+    by-product as a per-user fact table."""
+    cat = _cat(spark, sf_dir)
+    ev = cat["events"].select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, on="user_id")
+        .filter(F.col("us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return (
+        first_view.join(first_purchase, on="user_id")
+        .select(
+            "user_id",
+            F.col("view_us"),
+            F.col("purchase_us"),
+            (F.col("purchase_us") - F.col("view_us")).alias("latency_us"),
+        )
+    )
+
+
+_CONVERSION_LATENCY_ORACLE = """
+WITH v AS (
+    SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS view_us
+    FROM events WHERE event_type = 'view' GROUP BY 1
+), p AS (
+    SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS purchase_us
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.view_us
+    GROUP BY 1
+)
+SELECT v.user_id, v.view_us, p.purchase_us,
+       p.purchase_us - v.view_us AS latency_us
+FROM v JOIN p ON v.user_id = p.user_id
+"""
+
+
 def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the SimHash near-dup graph (operators/graph.py
     pagerank): rank orders documents by how centrally duplicated they
@@ -3084,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_central_docs": q_pagerank_central_docs,
         "neardup_triangles": q_neardup_triangles,
         "user_activity_gaps": q_user_activity_gaps,
+        "event_transitions": q_event_transitions,
+        "conversion_latency": q_conversion_latency,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3092,8 +3180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
         "tpch_q6": q_tpch_q6,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
         "cap_per_source": q_cap_per_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
@@ -3146,6 +3232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": q_window_rank_suite,
         "tpch_q2": q_tpch_q2,
         "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -3181,6 +3269,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_hitters_oracle(min_count=850),
         "neardup_triangles": _neardup_triangles_oracle(max_hamming=6),
         "user_activity_gaps": _USER_GAPS_ORACLE,
+        "event_transitions": _EVENT_TRANSITIONS_ORACLE,
+        "conversion_latency": _CONVERSION_LATENCY_ORACLE,
         "sentence_split": _SENTENCE_SPLIT_ORACLE,
         "profile_docs": _profile_docs_oracle(),
         "shard_corpus": _shard_corpus_oracle(n_shards=16),
