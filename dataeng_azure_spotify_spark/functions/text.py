@@ -140,8 +140,15 @@ def fingerprint(text: Column | str) -> Column:
 
 def hash60(col: Column, salt: Column | str | None = None) -> Column:
     """60-bit positive BIGINT hash from md5 — identical in DuckDB via
-    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
-    x = F.concat(F.lit(str(salt)), F.lit("|"), col) if salt is not None else col
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. A Column salt is
+    concatenated per row; anything else stringifies once (str(salt)
+    on a Column would silently salt with its repr)."""
+    if salt is None:
+        x = col
+    elif isinstance(salt, Column):
+        x = F.concat(salt, F.lit("|"), col)
+    else:
+        x = F.concat(F.lit(str(salt)), F.lit("|"), col)
     return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 

@@ -51,6 +51,11 @@ def asof_join(
         raise ValueError(f"payload columns clash with left side: {sorted(clash)}")
 
     tb = right_seq_tiebreakers or []
+    # A NULL right_time sorts NULLS FIRST (= "earliest ever") and its
+    # payload would carry to every left row; as-of semantics say a NULL
+    # time matches nothing. Left rows with NULL left_time then sort at
+    # the partition head and naturally get a NULL payload.
+    right = right.filter(F.col(right_time).isNotNull())
     r = right.select(
         *on,
         F.col(right_time).alias(_T),
@@ -117,15 +122,30 @@ def range_join(
     # duplicate left rows. The id is assigned before matching so both
     # branches share one lineage.
     if how == "left":
-        left = left.withColumn(_RID, F.monotonically_increasing_id())
+        # the matched branch and the anti-join branch BOTH consume the
+        # id-stamped left; monotonically_increasing_id is only stable
+        # across the two references if the subtree evaluates once — a
+        # lazy localCheckpoint pins the assignment (materializes at
+        # first action; only the outer variant pays it)
+        left = left.withColumn(
+            _RID, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+    # _wall_seconds, not unix_timestamp: NTZ inputs must not route
+    # through the session zone (DST shifts are value-dependent — the
+    # interval_join rationale below applies identically here)
     l_binned = left.withColumn(
-        _BIN, F.floor(F.unix_timestamp(lt) / bin_seconds).cast("long")
+        _BIN,
+        F.floor(_wall_seconds(left, left_time) / bin_seconds).cast("long"),
     )
 
     closed = right.filter(re_.isNotNull())
+    # end bin WITHOUT the -1: unix seconds truncate sub-second ends, so
+    # "end-1" under-covers the final second of an interval like
+    # [10:00, 11:00:00.5) and drops true matches. The un-shifted floor
+    # is a superset; the exact lt < re filter below re-checks.
     bins = F.sequence(
-        F.floor(F.unix_timestamp(rs) / bin_seconds).cast("long"),
-        F.floor((F.unix_timestamp(re_) - 1) / bin_seconds).cast("long"),
+        F.floor(_wall_seconds(right, right_start) / bin_seconds).cast("long"),
+        F.floor(_wall_seconds(right, right_end) / bin_seconds).cast("long"),
     )
     r_binned = closed.withColumn(_BIN, F.explode(bins))
     matched_closed = l_binned.join(r_binned, on + [_BIN], "inner").filter(

@@ -46,15 +46,22 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Greedy contiguous sequence packing: assign documents to
+    """Grid-aligned contiguous sequence packing: assign documents to
     fixed-token-budget training bins.
 
     Documents are sharded by ``id % shards`` (at scale: one shard per
-    packer task), ordered by id within the shard, and a document opens in
-    the bin where its shard's running token count stood — i.e. bins fill
-    greedily in id order and a bin may overflow by at most one document
-    (standard "open bin" packing, the shape sequence-packing dataloaders
-    expect). Deterministic: same corpus → same bins, any engine.
+    packer task), ordered by id within the shard, and a document's bin
+    is ``floor(prefix_token_sum / budget)`` — GRID binning, one window
+    pass, no sequential state. For documents at or under the budget
+    this matches greedy open-bin packing; a document LARGER than the
+    budget spans several grid slots, so the following document lands on
+    the next grid line (its bin may be underfilled and intermediate bin
+    ids are skipped). True stateful greedy packing (next bin always =
+    previous + 1) is a sequential fold — per-shard O(n) in one task —
+    which gives up exactly the parallel one-pass shape this operator
+    exists for; oversized documents should be chunked first
+    (:func:`chunk_documents`). Deterministic: same corpus → same bins,
+    any engine.
 
     Returns one row per (shard, bin_id): doc count, token total, id span.
     """

@@ -9,12 +9,17 @@ transcendental libm results differ in final ulps between the JVM and
 DuckDB, which would flip near-tie ranks. Both operators use the
 log-free rational idf forms instead:
 
-- TF-IDF: ``idf_t = (N + 1) / (df_t + 1)`` — same per-document ranking
-  family as classic smoothed idf (log is monotonic), exact as an
+- TF-IDF: ``idf_t = (N + 1) / (df_t + 1)`` — linear idf, exact as an
   integer-ratio double (IEEE division of exact integers is identical
-  everywhere).
+  everywhere). Log's monotonicity preserves SAME-TERM orderings
+  (ranking documents for one term, or one term's weight across docs),
+  NOT cross-term orderings within a document: tf·idf vs tf·log(idf)
+  can rank two different terms differently when their tfs differ, so
+  the linear form up-weights rare terms relative to the log family —
+  a deliberate, documented weighting choice, not a drop-in log-TF-IDF.
 - BM25: ``idf_t = (N - df_t + 0.5) / (df_t + 0.5)`` — the classic BM25
-  idf argument without the log wrapper.
+  idf argument without the log wrapper; the same same-term/cross-term
+  caveat applies to multi-term query totals.
 
 Per-term scores are pure double expressions over exact integers (token
 counts, doc frequencies, doc lengths) written with the same operation
@@ -63,7 +68,8 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by TF-IDF.
 
-    Score = ``tf * (N + 1) / (df_t + 1)`` (rational idf, module note).
+    Score = ``tf * (N + 1) / (df_t + 1)`` (LINEAR rational idf — see
+    the module note on how this weighting differs from log TF-IDF).
     Ties break lexicographically on the term, so ranks are total and
     engine-independent. Returns (doc_id, term, tf, score, rank).
     """

@@ -56,8 +56,17 @@ def salted_join(
             "(the salted right side replicates rows, breaking right/full/anti)"
         )
     non_key = [c for c in skewed.columns if c not in keys]
-    salt_src = non_key or keys
-    left = skewed.withColumn(SALT_COL, _salt_of(salt_src, salt_buckets))
+    if not non_key:
+        # hashing the key columns would give every row of a hot key the
+        # SAME salt — the full skew plus an extra shuffle, silently.
+        # Surface it instead: a keys-only frame has nothing to spread on.
+        raise ValueError(
+            "salted_join: the skewed side has no non-key columns to "
+            "derive a salt from — add a distinguishing column (or use "
+            "the plain join; salting a keys-only frame cannot spread a "
+            "hot key)"
+        )
+    left = skewed.withColumn(SALT_COL, _salt_of(non_key, salt_buckets))
     right = small.withColumn(
         SALT_COL,
         F.explode(F.array([F.lit(i).cast("int") for i in range(salt_buckets)])),
@@ -83,6 +92,12 @@ def salted_aggregate(
     e.g. ``collect_list``/exact-distinct pipelines over a hot key.
     """
     non_key = [c for c in df.columns if c not in keys]
-    salted = df.withColumn(SALT_COL, _salt_of(non_key or keys, salt_buckets))
+    if not non_key:
+        raise ValueError(
+            "salted_aggregate: no non-key columns to derive a salt from "
+            "— a keys-only frame would put the whole hot key in one "
+            "salt bucket (see salted_join)"
+        )
+    salted = df.withColumn(SALT_COL, _salt_of(non_key, salt_buckets))
     partial = salted.groupBy(*keys, SALT_COL).agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*aggs)

@@ -41,10 +41,19 @@ class JdbcTable:
 
 
 def incremental_query(src: JdbcTable, watermark: str) -> str:
-    """S1: the watermark-filtered extract, executed source-side."""
+    """S1: the watermark-filtered extract, executed source-side.
+
+    The watermark value is single-quote-escaped (SQL standard '' 
+    doubling): it is refreshed from source data (MAX over the cdc
+    column), so an un-escaped string-typed watermark would break the
+    query — or steer it — on any value containing a quote.
+    Identifiers (schema/table/cdc_col) come from the operator's own
+    pipeline config, not from data.
+    """
+    wm = watermark.replace("'", "''")
     return (
         f"SELECT * FROM {src.qualified} "
-        f"WHERE {src.cdc_col} > '{watermark}'"
+        f"WHERE {src.cdc_col} > '{wm}'"
     )
 
 

@@ -230,3 +230,69 @@ def test_media_modality_handles_negative_ids(spark):
     rows = documents_as_media(docs).collect()
     assert len(rows) == 3
     assert all(r["modality"] in ("image", "audio", "video") for r in rows)
+
+
+def test_range_join_subsecond_interval_end_not_dropped(spark):
+    import datetime as dt
+
+    from dataeng_azure_spotify_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, t=dt.datetime(2024, 1, 1, 11, 0, 0, 200_000))]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, s=dt.datetime(2024, 1, 1, 10, 0, 0),
+             e=dt.datetime(2024, 1, 1, 11, 0, 0, 500_000), tag="hit")]
+    )
+    out = range_join(left, right, ["k"], "t", "s", "e", bin_seconds=3600)
+    # t falls inside [s, e): the old end-1 binning stopped the interval
+    # at the 10:00 bin and silently dropped this match
+    assert [r["tag"] for r in out.collect()] == ["hit"]
+
+
+def test_asof_join_null_right_time_matches_nothing(spark):
+    import datetime as dt
+
+    from dataeng_azure_spotify_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([Row(k=1, lt=dt.datetime(2024, 1, 1, 12, 0))])
+    right = spark.createDataFrame(
+        [Row(k=1, rt=None, payload="phantom")],
+        "k long, rt timestamp, payload string",
+    )
+    out = asof_join(left, right, on=["k"], left_time="lt", right_time="rt")
+    # a NULL-timed right row is not "the earliest ever" — it matches nothing
+    assert out.collect()[0]["payload"] is None
+
+
+def test_salted_ops_reject_keys_only_frames(spark):
+    from dataeng_azure_spotify_spark.operators.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    keys_only = spark.createDataFrame([Row(k=1)])
+    small = spark.createDataFrame([Row(k=1, v=2)])
+    with pytest.raises(ValueError, match="non-key"):
+        salted_join(keys_only, small, ["k"])
+    with pytest.raises(ValueError, match="non-key"):
+        salted_aggregate(keys_only, ["k"], [F.sum("c")], [F.count(F.lit(1)).alias("c")])
+
+
+def test_hash60_column_salt_is_per_row(spark):
+    from dataeng_azure_spotify_spark.functions.text import hash60
+
+    df = spark.createDataFrame(
+        [Row(tenant="a", x="same"), Row(tenant="b", x="same")]
+    )
+    out = df.select(hash60(F.col("x"), salt=F.col("tenant")).alias("h")).collect()
+    # per-row Column salt: same payload, different tenants -> different hashes
+    assert out[0]["h"] != out[1]["h"]
+
+
+def test_jdbc_watermark_quotes_escaped(spark):
+    from dataeng_azure_spotify_spark.sources.jdbc import JdbcTable, incremental_query
+
+    src = JdbcTable(url="jdbc:x", schema="s", table="t", cdc_col="c")
+    q = incremental_query(src, "2024' OR '1'='1")
+    assert "''" in q and "' OR '" not in q.replace("''", "")
