@@ -1724,6 +1724,45 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_embedding_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) embedding statistics in exact long form:
+    decimal component sums + counts (the class-centroid building blocks
+    — divide downstream if a mean is wanted; emitting the exact sums
+    keeps the result engine-identical, the gap_fill rationale). One
+    posexplode + one grouped decimal aggregation; at 100 TB this is the
+    partial-agg-friendly shape for per-class embedding monitoring."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat["embeddings"]
+        .select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(18,8)")), 8
+            )
+            .cast("double")
+            .alias("sum_val"),
+        )
+    )
+
+
+_EMBEDDING_CLASS_STATS_ORACLE = """
+WITH pos AS (
+    SELECT label, unnest(generate_series(1, len(embedding))) AS p,
+           embedding
+    FROM embeddings
+), flat AS (
+    SELECT label, CAST(p - 1 AS INTEGER) AS dim,
+           CAST(CAST(embedding[p] AS DOUBLE) AS DECIMAL(18,8)) AS val
+    FROM pos
+)
+SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(val), 8) AS DOUBLE) AS sum_val
+FROM flat GROUP BY 1, 2
+"""
+
+
 def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the SimHash near-dup graph (operators/graph.py
     pagerank): rank orders documents by how centrally duplicated they
@@ -3172,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_gaps": q_user_activity_gaps,
         "event_transitions": q_event_transitions,
         "conversion_latency": q_conversion_latency,
+        "embedding_class_stats": q_embedding_class_stats,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3179,7 +3219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
-        "tpch_q6": q_tpch_q6,
         "cap_per_source": q_cap_per_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
@@ -3234,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
+        "tpch_q6": q_tpch_q6,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -3271,6 +3311,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_gaps": _USER_GAPS_ORACLE,
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "conversion_latency": _CONVERSION_LATENCY_ORACLE,
+        "embedding_class_stats": _EMBEDDING_CLASS_STATS_ORACLE,
         "sentence_split": _SENTENCE_SPLIT_ORACLE,
         "profile_docs": _profile_docs_oracle(),
         "shard_corpus": _shard_corpus_oracle(n_shards=16),
