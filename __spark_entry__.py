@@ -1724,6 +1724,50 @@ FROM v JOIN p ON v.user_id = p.user_id
 """
 
 
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement per class — the standard
+    embedding-quality eval (do nearest neighbors share labels?). Exact
+    cosine ranking (decimal fold, rounded to 12 dp, id tiebreak) over a
+    fixed query slice (vec_id < 25 — the exact decimal fold costs ~64
+    decimal mults per pair, so the slice bounds bench cost; widen it
+    for a fuller eval); output is integer counts per label, so the
+    whole result is engine-exact."""
+    cat = _cat(spark, sf_dir)
+    emb = cat["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 25)
+    nn = cosine_topk(queries, emb, k=1)
+    q_lab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    n_lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        nn.join(q_lab, "query_id")
+        .join(n_lab, "neighbor_id")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+    )
+
+
+def _knn_label_accuracy_oracle(max_query_id: int) -> str:
+    return f"""
+WITH nn AS ({_ann_topk_oracle(k=1, max_query_id=max_query_id)})
+SELECT q.label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN q.label = c.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+FROM nn
+JOIN embeddings q ON q.vec_id = nn.query_id
+JOIN embeddings c ON c.vec_id = nn.neighbor_id
+GROUP BY 1
+"""
+
+
 def q_embedding_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(label, dimension) embedding statistics in exact long form:
     decimal component sums + counts (the class-centroid building blocks
@@ -3212,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "conversion_latency": q_conversion_latency,
         "embedding_class_stats": q_embedding_class_stats,
+        "knn_label_accuracy": q_knn_label_accuracy,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3230,7 +3275,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "event_attribution": q_event_attribution,
         "zorder_code": q_zorder_code,
-        "date_dim": q_date_dim,
         "dedup_keep_best": q_dedup_keep_best,
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
@@ -3274,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q6": q_tpch_q6,
+        "date_dim": q_date_dim,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
         "dedup_latest_per_key": q_dedup_latest,
@@ -3312,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "conversion_latency": _CONVERSION_LATENCY_ORACLE,
         "embedding_class_stats": _EMBEDDING_CLASS_STATS_ORACLE,
+        "knn_label_accuracy": _knn_label_accuracy_oracle(max_query_id=25),
         "sentence_split": _SENTENCE_SPLIT_ORACLE,
         "profile_docs": _profile_docs_oracle(),
         "shard_corpus": _shard_corpus_oracle(n_shards=16),
