@@ -1409,15 +1409,18 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_ORACLE = """
 WITH s1 AS (
     SELECT user_id AS u, MIN(ts) AS step_t
-    FROM events WHERE event_type = 'view' GROUP BY 1
+    FROM events
+    WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
 ), s2 AS (
     SELECT e.user_id AS u, MIN(e.ts) AS step_t
     FROM events e JOIN s1 ON e.user_id = s1.u
-    WHERE e.event_type = 'click' AND e.ts > s1.step_t GROUP BY 1
+    WHERE e.event_type = 'click' AND e.ts IS NOT NULL
+      AND e.ts > s1.step_t GROUP BY 1
 ), s3 AS (
     SELECT e.user_id AS u, MIN(e.ts) AS step_t
     FROM events e JOIN s2 ON e.user_id = s2.u
-    WHERE e.event_type = 'purchase' AND e.ts > s2.step_t GROUP BY 1
+    WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+      AND e.ts > s2.step_t GROUP BY 1
 )
 SELECT 'view' AS step, CAST(1 AS INTEGER) AS step_idx, COUNT(*) AS n_users FROM s1
 UNION ALL
@@ -1455,11 +1458,11 @@ _COHORT_RETENTION_ORACLE = """
 WITH c AS (
     SELECT user_id AS u,
            CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), a AS (
     SELECT DISTINCT user_id AS u,
            CAST(date_trunc('week', ts) AS DATE) AS active_week
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
        CAST(datediff('day', c.cohort_week, a.active_week) // 7 AS INTEGER)
@@ -1486,7 +1489,7 @@ WITH daily AS (
     SELECT event_type AS grp, CAST(ts AS DATE) AS day,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
                AS day_total
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), st AS (
     SELECT grp, day, day_total,
            COUNT(day_total) OVER w AS n_prev,
@@ -1530,7 +1533,7 @@ _GAP_FILL_ORACLE = """
 WITH ev AS (
     SELECT user_id AS k, CAST(ts AS DATE) AS day,
            CAST(value AS DECIMAL(18,4)) AS v
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), daily AS (
     SELECT k, day, COUNT(*) AS n_events,
            CAST(SUM(v) AS DOUBLE) AS day_value
@@ -1606,7 +1609,8 @@ def q_user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the catalog reads ts as TIMESTAMP_NTZ (nanos handling);
         # session TZ is pinned UTC so the cast is an identity relabel
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-    )
+    ).filter(F.col("us").isNotNull())  # family NULL-ts contract; also
+    # avoids Spark NULLS-FIRST vs DuckDB NULLS-LAST window-order skew
     gaps = ev.select(
         "user_id",
         (F.col("us") - F.lag("us").over(
@@ -1623,7 +1627,7 @@ def q_user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 _USER_GAPS_ORACLE = """
 WITH ev AS (
     SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ), gaps AS (
     SELECT user_id,
            us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
@@ -1648,7 +1652,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = _cat(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = cat["events"].select("user_id", "ts", "event_id", "event_type")
+    ev = cat["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    ).filter(F.col("ts").isNotNull())  # family NULL-ts contract
     return (
         ev.withColumn("next_type", F.lead("event_type").over(w))
         .filter(F.col("next_type").isNotNull())
@@ -1665,7 +1671,7 @@ WITH ordered AS (
     SELECT user_id, event_type,
            LEAD(event_type) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS next_type
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type AS prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM ordered WHERE next_type IS NOT NULL

@@ -113,7 +113,12 @@ def cohort_retention(
     is on the user key. ``date_trunc('week', …)`` is Monday-start in
     both Spark and ISO SQL engines.
     """
-    ev = events.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"))
+    # NULL-ts contract (whole event-analytics family): rows without an
+    # event time carry no cohort/week information — dropped explicitly,
+    # and every oracle twin states the same WHERE ts IS NOT NULL.
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+    ).filter(F.col("t").isNotNull())
     cohorts = ev.groupBy("u").agg(
         F.date_trunc("week", F.min("t")).cast("date").alias("cohort_week")
     )
@@ -152,6 +157,9 @@ def daily_totals(
             F.col(ts_col).cast("date").alias("day"),
             _dec(metric_col).alias("v"),
         )
+        # NULL-ts contract: no event time → no day bucket (oracle twins
+        # state the same WHERE ts IS NOT NULL)
+        .filter(F.col("day").isNotNull())
         .groupBy("grp", "day")
         # Narrow the SUM back to (18,4): (18,4)×(18,4) → (37,8) fits the
         # 38-digit decimal cap EXACTLY in every engine, so the windowed
@@ -258,7 +266,7 @@ def gap_fill(
         F.col(key_col).alias("k"),
         F.col(ts_col).cast("date").alias("day"),
         _dec(metric_col).alias("v"),
-    )
+    ).filter(F.col("day").isNotNull())  # family NULL-ts contract
     daily = ev.groupBy("k", "day").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         # daily TOTAL, not mean: the decimal sum is exact and casts to

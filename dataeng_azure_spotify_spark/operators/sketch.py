@@ -144,12 +144,13 @@ def heavy_hitters(
         .agg(F.sum("cnt").alias("mg"))
         .filter(F.col("mg") + F.lit(d_total) >= F.lit(min_count))
         .select("token")
-        .persist()
+        # eager localCheckpoint (not persist): materializes the tiny
+        # candidate set off the cached summary NOW, and its blocks are
+        # reclaimed by the ContextCleaner once callers drop the returned
+        # DataFrame — a persist() here would pin the candidate set in
+        # the cache manager for the session's life with no unpersist path
+        .localCheckpoint(eager=True)
     )
-    # materialize candidates (tiny, ≤ the certified set) off the cached
-    # summary, then drop the summary pin — otherwise every sketch-path
-    # call would leak k × partitions cached rows for the session's life
-    candidates.count()
     summary.unpersist()
     return (
         tokens.join(F.broadcast(candidates), on="token", how="leftsemi")

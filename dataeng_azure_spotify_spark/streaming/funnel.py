@@ -84,7 +84,11 @@ def funnel_stage_stream(
         else:
             stage, stage_ts = 0, None
         ev = pd.concat(list(pdfs))
-        ev = ev[[ts_col, type_col]].sort_values(ts_col)
+        # NULL-ts contract of the batch twin (analytics.funnel filters
+        # ts IS NOT NULL up front): a NaT first-step event must not
+        # advance stage 0 with a NaT stage_ts and then block all later
+        # stages with an un-orderable timestamp.
+        ev = ev[[ts_col, type_col]].dropna(subset=[ts_col]).sort_values(ts_col)
         out = []
         for ts, et in zip(ev[ts_col], ev[type_col]):
             if stage >= len(steps) or et != steps[stage]:

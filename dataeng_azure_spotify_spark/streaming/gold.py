@@ -68,8 +68,17 @@ class ParquetSnapshotTable:
         return self.spark.read.parquet(os.path.join(self.base, snap))
 
     @staticmethod
-    def _snap_n(name: str) -> int:
-        return int(name.split("-")[1])
+    def _snap_n(name: str) -> int | None:
+        """Version number of a ``snap-<n:08d>-<hex>`` directory name, or
+        ``None`` for anything that doesn't match — including legacy
+        ``snap-<12hex>`` names from pre-versioned layouts (an all-digit
+        hex suffix must NOT misparse as a huge version number).
+        Unparsable names are treated as uncommitted: invisible to
+        history()/vacuum(), harmless to overwrite()."""
+        parts = name.split("-")
+        if len(parts) != 3 or len(parts[1]) != 8 or not parts[1].isdigit():
+            return None
+        return int(parts[1])
 
     def _live(self) -> str | None:
         if not self.exists():
@@ -89,10 +98,16 @@ class ParquetSnapshotTable:
         if live is None:
             return []
         live_n = self._snap_n(live)
+        if live_n is None:
+            # live pointer targets a legacy (unversioned) snapshot: it is
+            # readable via read() but carries no history position
+            return []
         snaps = [
             d
             for d in os.listdir(self.base)
-            if d.startswith("snap-") and self._snap_n(d) <= live_n
+            if d.startswith("snap-")
+            and self._snap_n(d) is not None
+            and self._snap_n(d) <= live_n
         ]
         return sorted(snaps, key=self._snap_n)
 
@@ -111,7 +126,21 @@ class ParquetSnapshotTable:
         Call :meth:`vacuum` to reclaim space once readers have drained.
         """
         live = self._live()
-        next_n = self._snap_n(live) + 1 if live else 0
+        live_n = self._snap_n(live) if live else None
+        if live_n is None:
+            # fresh table, or live pointer is a legacy unversioned name:
+            # resume numbering above any versioned directory on disk
+            existing = [
+                n
+                for n in (
+                    self._snap_n(d)
+                    for d in os.listdir(self.base)
+                    if d.startswith("snap-")
+                )
+                if n is not None
+            ]
+            live_n = max(existing) if existing else -1
+        next_n = live_n + 1
         snap = f"snap-{next_n:08d}-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.base, snap)
         df.write.mode("overwrite").parquet(path)

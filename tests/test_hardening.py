@@ -143,6 +143,37 @@ def test_snapshot_history_is_version_ordered_and_orphan_safe(spark, tmp_path):
     assert t.read().collect()[0]["v"] == 2
 
 
+def test_snapshot_legacy_unversioned_names_are_backcompat(spark, tmp_path):
+    """A base dir holding pre-versioned ``snap-<12hex>`` snapshots (the
+    old naming) must neither crash history()/vacuum()/overwrite() nor
+    misparse an all-digit hex suffix as a huge version number."""
+    from dataeng_azure_spotify_spark.streaming.gold import ParquetSnapshotTable
+
+    base = str(tmp_path / "tbl")
+    t = ParquetSnapshotTable(spark, base)
+    # legacy layout: unversioned live snapshot + an all-digit hex orphan
+    legacy = "snap-0a1b2c3d4e5f"
+    spark.createDataFrame([Row(v=41)]).write.parquet(os.path.join(base, legacy))
+    os.makedirs(os.path.join(base, "snap-123456789012"))
+    with open(os.path.join(base, "_current"), "w") as f:
+        f.write(legacy)
+
+    assert t._snap_n(legacy) is None
+    assert t._snap_n("snap-123456789012") is None  # not version 123456789012
+    assert t.read().collect()[0]["v"] == 41  # pointer read still works
+    assert t.history() == []  # legacy snapshots carry no history position
+    t.vacuum(keep_last=1)  # no-op, never deletes the legacy live snapshot
+    assert t.read().collect()[0]["v"] == 41
+
+    # a new write starts versioned numbering from 0 and repoints
+    t.overwrite(spark.createDataFrame([Row(v=42)]))
+    assert t.read().collect()[0]["v"] == 42
+    assert [t._snap_n(h) for h in t.history()] == [0]
+    t.overwrite(spark.createDataFrame([Row(v=43)]))
+    assert [t._snap_n(h) for h in t.history()] == [0, 1]
+    assert t.read_version(-1).collect()[0]["v"] == 43
+
+
 def test_session_fold_late_event_cannot_reverse_time():
     import pandas as pd
 
