@@ -56,6 +56,12 @@ from pyspark.sql import functions as F
 #: diagnostic only (read by the job-count regression test).
 _LAST_STAR_ROUNDS = 0
 
+#: Physical plan of the most recent :func:`pagerank` call's FIRST
+#: iteration contrib stage — diagnostic only (the edge-side
+#: exchange-free regression test reads it; capturing one plan string
+#: per call costs planning, not execution).
+_LAST_PR_ROUND_PLAN = ""
+
 
 def _large_star(directed: DataFrame) -> DataFrame:
     """One large-star round.
@@ -350,11 +356,12 @@ def pagerank(
     Classic damped formulation with dangling-mass redistribution: each
     iteration is one equi-join (ranks ⋈ edges on src) plus one groupBy
     on dst — partition-parallel, nothing corpus-sized on the driver.
-    The dangling total is the only scalar per round, folded in via a
-    broadcast single-row crossJoin (the ranking.py scalar-stats shape),
-    NOT a collect, so the whole loop stays one lazily-built DAG with a
-    ``localCheckpoint`` per round to truncate lineage (the CC
-    discipline above). Fixed ``iters`` (no convergence probe): at
+    ONE Spark job per round: the new rank table is eagerly
+    ``localCheckpoint``-ed (depth-1 lineage — no cross-round DAG
+    re-execution), and the next round's dangling mass
+    ``Σ_{out-degree-0} rank`` rides that same job as an ``observe``
+    metric (the star_components fixpoint-probe discipline) instead of a
+    separate scalar query. Fixed ``iters`` (no convergence probe): at
     damping 0.85 ten rounds bound the error by 0.85^10 ≈ 0.2% of total
     mass, and a fixed budget keeps the job count deterministic.
 
@@ -364,53 +371,114 @@ def pagerank(
     """
     # one materialization of the (possibly expensive) edge lineage —
     # nodes/degrees/rounds all derive from this checkpoint, so upstream
-    # pair generation never re-executes
-    e = edges.select(
+    # pair generation never re-executes (and still runs adaptively)
+    spark = edges.sparkSession
+    e0 = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # The iteration structures are HASH-PARTITIONED ON the join key and
+    # re-checkpointed: Dataset.localCheckpoint captures the physical
+    # output partitioning into the LogicalRDD, so the per-round
+    # ``ed ⋈ ranks ON s = node`` join never re-exchanges the edge side —
+    # only the (much smaller, on real graphs) rank table moves each
+    # round. The capture only works with AQE OFF at checkpoint time
+    # (AdaptiveSparkPlan hides its final partitioning from the capture),
+    # so these three cheap materializations run non-adaptively; the
+    # expensive upstream lineage above and the rounds below keep AQE.
+    # Pinned edge-exchange-free by tests/test_graph.py.
+    # layout width follows the DATA, not the session conf: e0 was just
+    # materialized under AQE, so its partition count already reflects
+    # the actual edge volume (coalesced to target-size partitions) —
+    # a 100 TB graph gets thousands of partitions, a toy graph a
+    # handful, and the 8 rounds don't pay 8 × shuffle.partitions of
+    # near-empty-task overhead on small inputs
+    n_part = max(1, e0.rdd.getNumPartitions())
+    aqe_key = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    try:
+        e = e0.repartition(n_part, "s").localCheckpoint(eager=True)
+        srcs = e.select("s").distinct().withColumn("has_out", F.lit(True))
+        # node table carries the FIXED dangling flag (no out-edges):
+        # the per-round dangling mass is then just Σ rank over flagged
+        # rows — observable on the round's own checkpoint job instead
+        # of a per-round anti-join or a separate scalar query
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .union(e.select(F.col("d").alias("node")))
+            .distinct()
+            .join(srcs, F.col("node") == F.col("s"), "left")
+            .select("node", F.col("has_out").isNull().alias("dang"))
+            .localCheckpoint(eager=True)
+        )
+        deg = e.groupBy("s").agg(
+            F.count(F.lit(1)).cast("double").alias("deg")
+        )
+        # freeze edges+degrees once, partitioned on s (the e-side layout
+        # makes this join itself exchange-free): every iteration joins
+        # against this fixed layout instead of re-shuffling the edge side
+        ed = e.join(deg, on="s").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(aqe_key, old_aqe)
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    ed = e.join(deg, on="s")
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
+    n_dang = nodes.filter("dang").count()
+    # Join-strategy decision from the EXACT node count we already hold:
+    # LogicalRDD sources carry no size stats and the exchange-free
+    # per-round joins give AQE no stage boundary to measure at, so
+    # neither Catalyst nor AQE can discover that the rank table is
+    # broadcastable — the driver decides instead. A small rank table
+    # (~64 B/row against the session broadcast threshold) is broadcast
+    # every round: the edge side is read in place, unshuffled AND
+    # unsorted. Past the threshold, rounds fall back to the sort-merge
+    # join whose edge side is still exchange-free by layout — either
+    # way the 100 TB-sized side never moves.
+    try:
+        bcast_bytes = int(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+    except ValueError:  # e.g. "10MB" spelling
+        bcast_bytes = 10 * 1024 * 1024
+    small_ranks = bcast_bytes > 0 and n * 64 <= bcast_bytes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    # dangling mass carried as a PYTHON float between rounds: round k's
+    # checkpoint job observes Σ_{dang} rank_k, which round k+1 folds in
+    # as a literal — no per-round crossJoin/collect, no extra job
+    dm = n_dang * (1.0 / n)
+    global _LAST_PR_ROUND_PLAN
     for it in range(iters):
+        rk = F.broadcast(ranks) if small_ranks else ranks
         contribs = (
-            ed.join(ranks, ed["s"] == ranks["node"])
+            ed.join(rk, ed["s"] == rk["node"])
             .select("d", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass in closed form: total mass is exactly 1 every
-        # round (base·n + damping·(Σcontrib + dm) telescopes to 1 from
-        # S₀ = 1), and Σ_dst contrib = Σ_{non-dangling} rank, so
-        # dm = 1 − Σcontrib — one tiny aggregate over the contrib
-        # table instead of a per-round anti-join against the rank table
-        dangling = contribs.agg(
-            (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dm")
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["d"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
-                ).alias("rank"),
+        if it == 0:
+            _LAST_PR_ROUND_PLAN = (
+                contribs._jdf.queryExecution().executedPlan().toString()
             )
+        cb = F.broadcast(contribs) if small_ranks else contribs
+        nxt = nodes.join(cb, nodes["node"] == cb["d"], "left").select(
+            "node",
+            "dang",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dm / float(n)))
+            ).alias("rank"),
         )
-        # periodic (not per-round) lineage truncation: checkpointing
-        # every round costs a materialization job per iteration; every
-        # 3rd keeps lineage depth bounded at a fraction of that price
-        if it % 3 == 2 or it == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+        obs = Observation()
+        nxt = nxt.observe(
+            obs,
+            F.sum(
+                F.when(F.col("dang"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("dm"),
+        )
+        # eager checkpoint = the round's ONE job; it also fills the
+        # observation above, so next round's dangling scalar is free
+        ranks = nxt.localCheckpoint(eager=True)
+        dm = float(obs.get["dm"] or 0.0)
+    return ranks.select("node", "rank")

@@ -186,6 +186,30 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_round_join_is_edge_side_exchange_free(spark):
+    """The per-round ``ed ⋈ ranks`` join must read the checkpointed,
+    pre-partitioned edge list IN PLACE: no Exchange (and no Sort — the
+    rank side is broadcast on small graphs) may appear above the edge
+    scan. Regression armor for the r6 pre-partitioning: without the
+    captured hash layout every round re-shuffles the 100 TB side."""
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators import graph as graph_mod
+    from dataeng_azure_spotify_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a in range(60) for b in [(a + 1) % 60, (a + 7) % 60]]
+    )
+    pagerank(edges, iters=2).collect()
+    plan = graph_mod._LAST_PR_ROUND_PLAN
+    assert plan, "first-round plan was not captured"
+    # edge attribute is s#<id>: any exchange hashing on it means the
+    # edge side moved; the only allowed Exchange is the groupBy-d one
+    assert "hashpartitioning(s#" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # tiny rank table -> BHJ
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_pagerank_hub_outranks_leaves(spark):
     from pyspark.sql import Row
 
