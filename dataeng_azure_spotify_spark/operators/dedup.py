@@ -203,6 +203,26 @@ def ngram_jaccard_pairs(
     collapse at scale; verification is O(candidates) via
     ``array_intersect``.
     """
+    sh, candidates = ngram_jaccard_candidates(df, text_col, id_col, n, threshold)
+    return _verify_jaccard(
+        candidates, sh, threshold, shingle_col="hshingles",
+        broadcast_shingles=broadcast_shingles,
+    )
+
+
+def ngram_jaccard_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """The PPJoin candidate stage of :func:`ngram_jaccard_pairs`, exposed
+    for scale diagnostics: returns ``(shingle table, candidate pairs)``.
+    Counting the candidate side against the verified result is how the
+    prefix-filter's sub-quadratic growth claim is validated empirically
+    (tests/test_scale_stress.py, docs/scale_validation.py).
+    """
     # work on 64-bit shingle hashes, not strings: the inverted-index join,
     # the prefix window, and the verification intersect all become integer
     # comparisons. The hash is internal only — the prefix-filter recall
@@ -227,10 +247,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(
-        candidates, sh, threshold, shingle_col="hshingles",
-        broadcast_shingles=broadcast_shingles,
-    )
+    return sh, candidates
 
 
 #: Mersenne modulus for the affine MinHash family h_i(x) = (a_i·x + b_i) mod p.
@@ -497,6 +514,31 @@ def minhash_lsh_pairs(
     oracle's string band keys group identically, so the candidate set is
     unchanged).
     """
+    sh, candidates = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, n, impl=impl
+    )
+    # verify ONLY the LSH candidates (O(candidates) via array_intersect) —
+    # never the full quadratic pair space
+    return _verify_jaccard(
+        candidates, sh, threshold, shingle_col="hshingles",
+        broadcast_shingles=broadcast_shingles,
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    impl: str = "arrow",
+) -> tuple[DataFrame, DataFrame]:
+    """The banded-LSH candidate stage of :func:`minhash_lsh_pairs`,
+    exposed for scale diagnostics: ``(shingle table, candidate pairs)``.
+    Candidate growth vs verified-pair growth is the empirical check that
+    band collisions stay ~linear in true near-dup mass
+    (tests/test_scale_stress.py, docs/scale_validation.py)."""
     sh = _persist(_doc_shingle_hashes60(df, text_col, id_col, n, impl=impl))
     wide = _minhash_wide(sh, num_hashes, impl=impl)
     band_sigs = _persist(_band_table(wide, num_hashes, bands))
@@ -511,12 +553,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # verify ONLY the LSH candidates (O(candidates) via array_intersect) —
-    # never the full quadratic pair space
-    return _verify_jaccard(
-        candidates, sh, threshold, shingle_col="hshingles",
-        broadcast_shingles=broadcast_shingles,
-    )
+    return sh, candidates
 
 
 SIMHASH_BITS = 60
@@ -573,27 +610,16 @@ def simhash_fingerprints(
     return bit_sums.select("doc", fp.cast("long").alias("simhash"))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 8,
-) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
-
-    Pigeonhole banding: the 60-bit fingerprint splits into
-    ``max_hamming+1`` bands; any pair within distance ≤ max_hamming must
-    agree exactly on ≥ 1 band, so the banded candidate set has recall 1.0
-    and the post-verification result is *identical* to the quadratic
-    all-pairs scan — which is what the DuckDB oracle runs.
-    """
+def simhash_bands(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole band table over ``(doc, simhash)`` fingerprints —
+    ``max_hamming + 1`` bands per doc, so any pair within the Hamming
+    budget shares ≥ 1 ``(band, band_val)`` bucket. Exposed for scale
+    diagnostics: the raw band-bucket candidate volume (the self-join's
+    input mass, before the in-join Hamming filter) is what
+    docs/scale_validation.py tracks across corpus scales."""
     n_bands = max_hamming + 1
     band_bits = SIMHASH_BITS // n_bands + (1 if SIMHASH_BITS % n_bands else 0)
-    # the band table feeds both sides of the self-join — pin it so the
-    # 60-bit-vote aggregation isn't computed twice
-    fps = _persist(simhash_fingerprints(df, text_col, id_col))
-
-    bands = fps.select(
+    return fps.select(
         "doc",
         "simhash",
         F.explode(
@@ -609,8 +635,32 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select("doc", "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    ).select(
+        "doc",
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
 
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: the 60-bit fingerprint splits into
+    ``max_hamming+1`` bands; any pair within distance ≤ max_hamming must
+    agree exactly on ≥ 1 band, so the banded candidate set has recall 1.0
+    and the post-verification result is *identical* to the quadratic
+    all-pairs scan — which is what the DuckDB oracle runs.
+    """
+    # the band table feeds both sides of the self-join — pin it so the
+    # 60-bit-vote aggregation isn't computed twice
+    fps = _persist(simhash_fingerprints(df, text_col, id_col))
+    bands = simhash_bands(fps, max_hamming)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # the Hamming check rides INSIDE the join stage, before the dedup

@@ -49,14 +49,25 @@ def _mix(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _doc(seed: int, doc_id: int) -> tuple:
+def _doc(seed: int, doc_id: int, vocab: int = 0) -> tuple:
     h = _mix(seed ^ _mix(doc_id))
     n_words = 20 + (h & 63)
     words = []
     w = h
-    for _ in range(n_words):
-        w = _mix(w)
-        words.append(_WORDS[w % len(_WORDS)])
+    if vocab:
+        # synthetic N-word vocabulary ("w0".."w<N-1>"): with vocab sizes
+        # ≫ the 29 builtin words, unrelated documents share almost no
+        # tokens — the regime where fingerprint/shingle methods behave
+        # like they do on real corpora (the builtin vocabulary makes
+        # every doc look alike in token space, which is useful for
+        # heavy-hitter stress but pathological for near-dup candidates)
+        for _ in range(n_words):
+            w = _mix(w)
+            words.append("w%d" % (w % vocab))
+    else:
+        for _ in range(n_words):
+            w = _mix(w)
+            words.append(_WORDS[w % len(_WORDS)])
     text = " ".join(words)
     return (
         doc_id,
@@ -68,8 +79,9 @@ def _doc(seed: int, doc_id: int) -> tuple:
 
 
 class _RangePartition(InputPartition):
-    def __init__(self, start: int, end: int, seed: int) -> None:
+    def __init__(self, start: int, end: int, seed: int, vocab: int) -> None:
         self.start, self.end, self.seed = start, end, seed
+        self.vocab = vocab
 
 
 class _DocGenReader(DataSourceReader):
@@ -77,25 +89,26 @@ class _DocGenReader(DataSourceReader):
         self.n = int(options.get("n", 1000))
         self.parts = int(options.get("parts", 8))
         self.seed = int(options.get("seed", 7))
+        self.vocab = int(options.get("vocab", 0))
         if self.n < 0 or self.parts <= 0:
             raise ValueError("docgen: need n >= 0 and parts > 0")
 
     def partitions(self) -> Sequence[InputPartition]:
         if self.n == 0:
-            return [_RangePartition(0, 0, self.seed)]
+            return [_RangePartition(0, 0, self.seed, self.vocab)]
         step = -(-self.n // self.parts)  # ceil-div: ranges cover [0, n)
         return [
-            _RangePartition(lo, min(lo + step, self.n), self.seed)
+            _RangePartition(lo, min(lo + step, self.n), self.seed, self.vocab)
             for lo in range(0, self.n, step)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
-            yield _doc(partition.seed, doc_id)
+            yield _doc(partition.seed, doc_id, partition.vocab)
 
 
 class DocGenDataSource(DataSource):
-    """``format("docgen")`` — options: n, parts, seed."""
+    """``format("docgen")`` — options: n, parts, seed, vocab."""
 
     @classmethod
     def name(cls) -> str:
@@ -111,3 +124,61 @@ class DocGenDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on this session."""
     spark.dataSource.register(DocGenDataSource)
+
+
+def near_dup_corpus(
+    spark,
+    n: int,
+    vocab: int = 50_000,
+    dup_every: int = 10,
+    chain_every: int = 50,
+    chain_len: int = 4,
+    seed: int = 11,
+    parts: int = 16,
+):
+    """Corpus with KNOWN near-duplicate structure, at any scale.
+
+    ``n`` base docs from the docgen source (``vocab``-word synthetic
+    vocabulary so unrelated docs share ~no tokens — the realistic
+    regime for shingle/fingerprint candidate generation), plus:
+
+    - one light mutation (one appended token) of every ``dup_every``-th
+      doc at id offset 10⁸ → ``n / dup_every`` guaranteed near-dup
+      pairs, linear in n;
+    - a mutation CHAIN of length ``chain_len`` off every
+      ``chain_every``-th doc (k appended tokens at offset (2+k)·10⁸) →
+      connected components whose diameter is fixed by ``chain_len``,
+      NOT by corpus size — the structure that separates "CC rounds grow
+      with graph diameter" from "CC rounds grow with n".
+
+    Deterministic for fixed arguments. Used by tests/test_scale_stress.py
+    and docs/scale_validation.py to validate the dedup tier's candidate
+    and convergence growth claims empirically at 10-100× fixture scale.
+    """
+    from pyspark.sql import functions as F
+
+    register(spark)
+    base = (
+        spark.read.format("docgen")
+        .option("n", n)
+        .option("parts", parts)
+        .option("seed", seed)
+        .option("vocab", vocab)
+        .load()
+    )
+    out = [base]
+    out.append(
+        base.filter(F.col("doc_id") % dup_every == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" w0")))
+    )
+    for k in range(1, chain_len + 1):
+        out.append(
+            base.filter(F.col("doc_id") % chain_every == 0)
+            .withColumn("doc_id", F.col("doc_id") + (2 + k) * 100_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" w0" * k)))
+        )
+    df = out[0]
+    for d in out[1:]:
+        df = df.unionByName(d)
+    return df

@@ -60,6 +60,67 @@ def test_shard_balance_at_500k_rows(spark):
 
 
 @pytest.mark.slow
+def test_candidate_growth_linear_not_quadratic_10x_100x(spark):
+    """The dedup tier's central 100 TB claim, measured: candidate-pair
+    volume tracks TRUE near-dup mass (linear), not n², as the corpus
+    grows 10x → 100x fixture size. docs/scale_validation.py is the
+    table-producing twin (full numbers in docs/BENCH_NOTES.md)."""
+    from dataeng_azure_spotify_spark.validation import scale_measure
+
+    lo = scale_measure(spark, 2_000)
+    hi = scale_measure(spark, 20_000)
+    growth = hi["true_pairs"] / lo["true_pairs"]  # ~10x by construction
+    assert 8 <= growth <= 12
+
+    # PPJoin + MinHash: candidates within 2% of true pairs at BOTH
+    # scales (the 64-bit hash spaces admit ~no chance candidates), so
+    # candidate growth == true-pair growth — a quadratic stage would
+    # show ~100x here
+    for k in ("jac_candidates", "mh_candidates"):
+        assert lo[k] <= lo["true_pairs"] * 1.02, (k, lo)
+        assert hi[k] <= hi["true_pairs"] * 1.02, (k, hi)
+
+    # SimHash: the POST-FILTER pair set grows linearly ...
+    assert hi["sim_pairs"] / lo["sim_pairs"] <= growth * 1.2
+    # ... while the raw in-join comparison volume is quadratic over the
+    # fixed band space BY DESIGN (it never shuffles) and must match the
+    # closed form within 25% — hash-uniform buckets, no skew collapse
+    assert 0.75 <= hi["sim_raw"] / hi["sim_raw_model"] <= 1.25, hi
+
+
+@pytest.mark.slow
+def test_cc_rounds_follow_diameter_not_corpus_size(spark):
+    """Connected-components rounds are pinned by component diameter
+    (fixed mutation-chain length in the corpus), not by n: growing the
+    corpus 10x must not grow the round count, and rounds stay far under
+    the O(log² n) star-contraction budget."""
+    import math
+
+    from dataeng_azure_spotify_spark.validation import scale_measure
+
+    lo = scale_measure(spark, 2_000)
+    hi = scale_measure(spark, 20_000)
+    assert hi["cc_rounds"] <= lo["cc_rounds"] + 1, (lo, hi)
+    for m in (lo, hi):
+        budget = math.ceil(math.log2(m["n_docs"])) ** 2
+        assert m["cc_rounds"] <= budget, m
+
+
+@pytest.mark.slow
+def test_mg_candidate_set_vocabulary_bounded_at_scale(spark):
+    """Misra-Gries pass-2 candidate tokens stay vocabulary-bounded while
+    token volume grows 10x, with the certified-exactness condition
+    (min_count > D) holding at both scales."""
+    from dataeng_azure_spotify_spark.validation import scale_measure
+
+    lo = scale_measure(spark, 2_000)
+    hi = scale_measure(spark, 20_000)
+    assert hi["hh_total_tokens"] >= 8 * lo["hh_total_tokens"]
+    assert lo["hh_certified"] and hi["hh_certified"]
+    assert hi["hh_candidates"] <= 32 and lo["hh_candidates"] <= 32
+
+
+@pytest.mark.slow
 def test_exact_dedup_on_generated_duplicates(spark):
     from dataeng_azure_spotify_spark.operators.dedup import exact_dedup_groups
 
