@@ -261,6 +261,132 @@ def cosine_neardup_pairs(
     )
 
 
+def cosine_1nn_gemm(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Leave-one-out 1-nearest-neighbor for EVERY vector in the corpus —
+    the full-corpus embedding-quality eval (does my nearest neighbor
+    share my label?). Output: ``(query_id, neighbor_id, cosine)``, one
+    row per vector (singleton corpora emit nothing).
+
+    Same distributed blocked-GEMM skeleton as
+    :func:`cosine_neardup_pairs` — vectors hash into B blocks, each of
+    the B·(B+1)/2 block pairs is one numpy matmul task, nothing
+    corpus-sized on the driver or in a broadcast — but instead of
+    thresholded pairs each task emits ONE partial best per vector per
+    block pair, and a per-vector max-struct aggregation reduces the B
+    partials to the global argmax. Shuffle volume: (B+1)/2 corpus
+    copies into the tasks + n·B tiny partial rows out — at no point an
+    n² pair table.
+
+    Ranking is float64 (BLAS) rounded to 12 dp with ascending-id
+    tiebreak — deterministic for a fixed corpus, and agreement with the
+    exact-decimal :func:`cosine_topk` ranking on a shared slice is
+    pinned in tests; cross-engine bit-reproducibility is NOT part of
+    this operator's contract (BLAS reassociation), which is why its
+    driver check is rows-only. Cite: the eval-scale gap called out in
+    round-5 review of the 25-query exact slice (knn_label_accuracy).
+    """
+    import math
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    if num_blocks is None:
+        num_blocks = max(4, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1)
+
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(num_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "bi int, bj int",
+    )
+    fanned = vecs.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
+
+    def _bests(ids_q, ids_c, cos):
+        """Per q-row best (max rounded cosine, min id on ties)."""
+        import numpy as np
+
+        c = np.round(cos, 12)
+        out_q, out_n, out_c = [], [], []
+        for i in range(c.shape[0]):
+            row = c[i]
+            m = row.max()
+            if not np.isfinite(m):
+                continue  # no eligible neighbor in this block pair
+            out_q.append(ids_q[i])
+            out_n.append(ids_c[row == m].min())
+            out_c.append(m)
+        return out_q, out_n, out_c
+
+    def block_best(key, pdf):
+        import numpy as np
+
+        bi, bj = key
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "nid": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        qs, ns, cs = [], [], []
+        if bi == bj:
+            cos = (mat @ mat.T) / np.outer(nrm, nrm)
+            np.fill_diagonal(cos, -np.inf)  # leave-one-out: self excluded
+            q, n_, c = _bests(ids, ids, cos)
+            qs += q; ns += n_; cs += c
+        else:
+            la = (pdf["blk"] == bi).to_numpy()
+            lb = ~la
+            if la.any() and lb.any():
+                cos = (mat[la] @ mat[lb].T) / np.outer(nrm[la], nrm[lb])
+                q, n_, c = _bests(ids[la], ids[lb], cos)
+                qs += q; ns += n_; cs += c
+                q, n_, c = _bests(ids[lb], ids[la], cos.T)
+                qs += q; ns += n_; cs += c
+        if not qs:
+            return empty
+        return pd.DataFrame({"qid": qs, "nid": ns, "cos": cs})
+
+    partial = fanned.groupBy("bi", "bj").applyInPandas(
+        block_best, schema="qid long, nid long, cos double"
+    )
+    # global argmax per vector: lexicographic struct max = highest
+    # cosine, then smallest neighbor id (-nid max ⇔ nid min)
+    return (
+        partial.groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"), (-F.col("nid")).alias("neg"), F.col("nid")
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("b.nid").alias("neighbor_id"),
+            F.col("b.cos").alias("cosine"),
+        )
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

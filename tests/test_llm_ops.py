@@ -612,3 +612,35 @@ def test_jl_project_preserves_distances_and_is_deterministic(spark):
     c = {r.vec_id: [r.y0, r.y1, r.y2, r.y3]
          for r in jl_project(df, out_dim=4, salt="jl2").collect()}
     assert c != a
+
+
+def test_cosine_1nn_gemm_agrees_with_exact_decimal_topk(spark):
+    """The float-GEMM full-corpus 1-NN must rank identically to the
+    exact decimal cosine_topk path on a shared query slice (both round
+    to 12 dp and tiebreak by ascending id), and must emit exactly one
+    best neighbor per corpus vector."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        cosine_1nn_gemm,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    n = emb.count()
+    full = cosine_1nn_gemm(emb)
+    rows = full.collect()
+    assert len(rows) == n  # leave-one-out: every vector gets a neighbor
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+    got = {
+        r.query_id: (r.neighbor_id, r.cosine) for r in rows if r.query_id < 25
+    }
+    exact = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") < 25), emb, k=1
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for q in exact:
+        assert got[q][0] == exact[q][0], (q, got[q], exact[q])
+        assert abs(got[q][1] - exact[q][1]) < 1e-11, (q, got[q], exact[q])

@@ -25,3 +25,18 @@ def test_oracle_parity(spark, name):
     sql = entrymod.oracle_sql().get(name)
     problems = compare_query(spark, name, fn, sql, SF)
     assert not problems, "\n".join(problems)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _QUERIES)
+def test_oracle_parity_sf01(spark, name):
+    """DRIVER-SCALE parity: same comparison at sf0.01, the scale the
+    external driver certifies at. The driver's 50-entry window only
+    covers part of the catalog each round; this sweep is the continuous
+    check that rotated-out queries still hash-match at the scale where
+    failures like the r4 quantize_embeddings class manifest (the
+    sf0.001 sweep above masked exactly that one)."""
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    problems = compare_query(spark, name, fn, sql, "/root/testdata/sf0.01")
+    assert not problems, "\n".join(problems)
