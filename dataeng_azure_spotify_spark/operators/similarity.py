@@ -757,6 +757,162 @@ class IvfIndex:
             nprobe,
         )
 
+    def drift_stats(self) -> DataFrame:
+        """Per-bucket drift metrics — ONE aggregate pass over the index
+        parquet: ``(centroid_id, n, mean_residual)`` where residual is
+        ``1 − cosine(vector, own centroid)``. Appends assign against
+        FIXED centroids, so skewed ingest silently grows hot buckets and
+        raises residuals (vectors far from their centroid), degrading
+        probe pruning; this is the metric that says when
+        :meth:`rebalance` is due."""
+        cent = self.centroids().select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col(self.vec_col).alias("c_vec"),
+        )
+        b = self.buckets().withColumn(
+            "centroid_id", F.col("centroid_id").cast("long")
+        )
+        scored = b.join(F.broadcast(cent), on="centroid_id").withColumn(
+            "res",
+            F.lit(1.0)
+            - _dot_double(F.col(self.vec_col), F.col("c_vec"))
+            / (_norm(F.col(self.vec_col)) * _norm(F.col("c_vec"))),
+        )
+        return scored.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("res").alias("mean_residual"),
+        )
+
+    def drift_summary(self, log=None, run_id: str = "ivf-drift") -> dict:
+        """Scalar drift summary: bucket-count, size imbalance
+        (max/mean), and corpus-mean residual. O(k) driver data only.
+        Pass an :class:`...observability.RunLog` to record the check as
+        a run-log row (status ``Drifted`` when imbalance > 2 — the
+        default :meth:`rebalance` trigger — else ``Balanced``), which
+        plugs into the same alert-query surface as every other
+        component."""
+        import datetime as dt
+
+        start = dt.datetime.utcnow()
+        row = self.drift_stats().agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("n").alias("max_n"),
+            F.avg("n").alias("mean_n"),
+            (F.sum(F.col("mean_residual") * F.col("n")) / F.sum("n")).alias(
+                "mean_res"
+            ),
+        ).first()
+        out = {
+            "n_buckets": int(row["k"]),
+            "imbalance": float(row["max_n"]) / float(row["mean_n"]),
+            "mean_residual": float(row["mean_res"]),
+        }
+        if log is not None:
+            status = "Drifted" if out["imbalance"] > 2.0 else "Balanced"
+            log.record(
+                run_id,
+                "ivf_drift",
+                status,
+                start,
+                dt.datetime.utcnow(),
+                rows_processed=out["n_buckets"],
+            )
+        return out
+
+    def rebalance(self, max_factor: float = 2.0, kmeans_iters: int = 1) -> list[int]:
+        """Split oversized buckets in place; returns the centroid ids
+        that were split (empty = no-op).
+
+        Appends never re-cluster, so a skewed ingest concentrates in a
+        few buckets and probe recall/pruning degrade silently. This
+        re-runs clustering ONLY for buckets larger than ``max_factor ×
+        mean``: each is k-means split into ⌈n/mean⌉ sub-centroids (the
+        first reuses the old centroid id, so a dynamic partition
+        overwrite replaces exactly the split partitions — committed
+        balanced buckets are never rewritten), rows are reassigned only
+        among their own bucket's sub-centroids, and the centroid table
+        swaps the split rows for the sub-centroids. Cost: one O(k) size
+        aggregate + one pass over the OVERSIZED rows only — never a
+        full-corpus re-cluster. Driver traffic is O(k) (bucket sizes,
+        centroid rows); corpus vectors stay executor-side.
+        """
+        sizes = {
+            int(r["centroid_id"]): int(r["n"])
+            for r in self.buckets()
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .toLocalIterator()  # O(k) rows — the centroid-count bound
+        }
+        if not sizes:
+            return []
+        mean = sum(sizes.values()) / len(sizes)
+        oversized = sorted(
+            cid for cid, n in sizes.items() if n > max_factor * mean
+        )
+        if not oversized:
+            return []
+        next_id = max(sizes) + 1
+        spark = self.spark
+        new_cent_rows = []  # (old_id -> list of (new_id, vector)) via DF
+        reassigned = None
+        for cid in oversized:
+            rows = self.buckets().filter(F.col("centroid_id") == cid).drop(
+                "centroid_id"
+            )
+            m = max(2, int(-(-sizes[cid] // max(1.0, mean))))
+            sub = kmeans_centroids(
+                rows, self.id_col, self.vec_col, k=m, iters=kmeans_iters
+            )
+            # stable local ids 0..m-1 → global ids (old id for 0, fresh
+            # ids after): O(m) driver rows
+            local = sorted(
+                (int(r["centroid_id"]), r[self.vec_col])
+                for r in sub.toLocalIterator()
+            )
+            id_map = {}
+            for j, (lid, vec) in enumerate(local):
+                gid = cid if j == 0 else next_id
+                if j > 0:
+                    next_id += 1
+                id_map[lid] = gid
+                new_cent_rows.append((gid, vec))
+            mapping = spark.createDataFrame(
+                [(lid, gid) for lid, gid in id_map.items()],
+                "centroid_id long, new_id long",
+            )
+            assign = ivf_assign(rows, sub, self.id_col, self.vec_col)
+            moved = (
+                rows.join(assign, on=self.id_col)
+                .join(F.broadcast(mapping), on="centroid_id")
+                .drop("centroid_id")
+                .withColumnRenamed("new_id", "centroid_id")
+            )
+            reassigned = (
+                moved if reassigned is None else reassigned.unionByName(moved)
+            )
+        # dynamic overwrite: only the partitions present in `reassigned`
+        # (= the split buckets and their new siblings) are replaced
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            reassigned.write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(self._buckets_path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode
+            )
+        kept = self.centroids().filter(
+            ~F.col("centroid_id").isin([int(c) for c in oversized])
+        )
+        updated = kept.unionByName(
+            spark.createDataFrame(
+                new_cent_rows, f"centroid_id long, {self.vec_col} array<float>"
+            )
+        ).localCheckpoint(eager=True)  # materialize before overwriting source
+        updated.write.mode("overwrite").parquet(self._centroids_path)
+        return oversized
+
 
 def quantize_embeddings(
     df: DataFrame,

