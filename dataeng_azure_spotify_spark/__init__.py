@@ -12,5 +12,16 @@ though tests run on local[N].
 from dataeng_azure_spotify_spark.session import get_spark
 from dataeng_azure_spotify_spark.catalog import Catalog, TABLES
 
-__all__ = ["get_spark", "Catalog", "TABLES"]
+
+def __getattr__(name):
+    # Engine imports most of the package; lazy so `import
+    # dataeng_azure_spotify_spark` stays light for module-level users
+    if name == "Engine":
+        from dataeng_azure_spotify_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "Catalog", "TABLES", "Engine"]
 __version__ = "0.1.0"

@@ -1,0 +1,200 @@
+"""One user-facing entry point over the whole engine.
+
+Every capability already exists as a module-level function or class;
+this facade only ORGANIZES them (zero logic — each attribute IS the
+underlying function, so signatures, docstrings and behavior are
+identical) so a user composes a pipeline from one import instead of
+twenty::
+
+    from dataeng_azure_spotify_spark import Engine
+
+    eng = Engine(spark, "/data/sf0.1")
+    docs = eng.table("documents")
+    pairs = eng.dedup.minhash_pairs(docs)
+    labels = eng.graph.components(
+        pairs.selectExpr("doc_a as src", "doc_b as dst"))
+    best = eng.graph.keep_best(labels, scores)
+
+Namespaces: ``relational`` (projection/expectations/watermark),
+``scd`` (SCD1/SCD2 + as-of consumption), ``dedup``, ``graph``,
+``similarity`` (ANN/embeddings), ``text`` (column functions +
+quality), ``curate`` (corpus curation), ``analytics`` (event
+analytics), ``rank`` (TF-IDF/BM25), ``stream`` (stateful/streaming
+twins), plus ``table``/``sql`` catalog access. The README quickstart
+walks a bronze→silver→gold→curation pipeline end-to-end on this
+surface; ``docs/API.md`` maps every query id to the same functions.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog
+from .functions import email as _email
+from .functions import sentences as _sentences
+from .functions import text as _text
+from .observability import RunLog
+from .operators import analytics as _analytics
+from .operators import asof as _asof
+from .operators import curation as _curation
+from .operators import dedup as _dedup
+from .operators import graph as _graph
+from .operators import ivm as _ivm
+from .operators import pca as _pca
+from .operators import profile as _profile
+from .operators import ranking as _ranking
+from .operators import relational as _relational
+from .operators import scd as _scd
+from .operators import similarity as _similarity
+from .operators import sketch as _sketch
+from .operators import skew as _skew
+from .sources import ingest as _ingest
+from .sources import watermark as _watermark
+from .streaming import admission as _admission
+from .streaming import anomaly as _anomaly
+from .streaming import asof as _stream_asof
+from .streaming import funnel as _stream_funnel
+from .streaming import gold as _gold
+from .streaming import rescue as _rescue
+from .streaming import silver as _silver
+from .streaming import stateful as _stateful
+
+
+class Engine:
+    """Facade over the engine's operator tiers (pure delegation)."""
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None) -> None:
+        self.spark = spark
+        self.catalog = Catalog(spark, data_dir)
+
+        self.relational = SimpleNamespace(
+            drop_columns=_relational.drop_columns,
+            watermark_filter=_relational.watermark_filter,
+            bucketize=_relational.bucketize,
+            constant_inject=_relational.constant_inject,
+            expectations_drop=_relational.expectations_drop,
+            latest_per_key=_relational.latest_per_key,
+            scalar_max=_relational.scalar_max,
+            non_empty=_relational.non_empty,
+        )
+        self.scd = SimpleNamespace(
+            upsert=_scd.apply_scd1,
+            history=_scd.apply_scd2,
+            from_history=_scd.scd2_from_history,
+            asof_join=_asof.asof_join,
+            range_join=_asof.range_join,
+            interval_join=_asof.interval_join,
+        )
+        self.dedup = SimpleNamespace(
+            exact=_dedup.exact_dedup_groups,
+            jaccard_pairs=_dedup.ngram_jaccard_pairs,
+            minhash_pairs=_dedup.minhash_lsh_pairs,
+            simhash_fingerprints=_dedup.simhash_fingerprints,
+            simhash_pairs=_dedup.simhash_neardup_pairs,
+            incremental=_dedup.IncrementalDedup,
+            incremental_lsh=_dedup.IncrementalLsh,
+        )
+        self.graph = SimpleNamespace(
+            components=_graph.connected_components,
+            sizes=_graph.component_sizes,
+            keep_best=_graph.component_representatives,
+            pagerank=_graph.pagerank,
+        )
+        self.similarity = SimpleNamespace(
+            topk=_similarity.cosine_topk,
+            neardup_pairs=_similarity.cosine_neardup_pairs,
+            knn_1nn=_similarity.cosine_1nn_gemm,
+            ivf_topk=_similarity.ivf_topk,
+            index=_similarity.IvfIndex,
+            incremental=_similarity.IncrementalEmbeddingDedup,
+            quantize=_similarity.quantize_embeddings,
+            jl_project=_similarity.jl_project,
+            pca_fit=_pca.pca_fit,
+            pca_project=_pca.pca_project,
+        )
+        self.text = SimpleNamespace(
+            tokens=_text.tokens_col,
+            token_count=_text.token_count,
+            quality_score=_text.quality_score,
+            lang_id=_text.lang_id,
+            normalize=_text.normalize_text,
+            fingerprint=_text.fingerprint,
+            kgram_fingerprints=_text.kgram_fingerprints,
+            gopher_quality=_text.gopher_quality,
+            stats=_text.text_stats,
+            sentences=_sentences.split_sentences,
+            is_valid_email=_email.is_valid_email_col,
+        )
+        self.curate = SimpleNamespace(
+            pack_sequences=_curation.pack_sequences,
+            contamination_check=_curation.contamination_check,
+            decontaminate=_curation.decontaminate,
+            repetition_stats=_curation.repetition_stats,
+            stratified_sample=_curation.stratified_sample,
+            sample_exact_n=_curation.sample_exact_n,
+            sample_weighted=_curation.sample_weighted_n,
+            length_quantile_filter=_curation.length_quantile_filter,
+            chunk=_curation.chunk_documents,
+            source_mix=_curation.source_mix,
+            cap_per_source=_curation.cap_per_source,
+            shard=_curation.shard_corpus,
+            write_sharded=_curation.write_sharded,
+            strip_boilerplate=_curation.strip_shared_boilerplate,
+            lm_score=_curation.ngram_lm_score,
+            heavy_hitters=_sketch.heavy_hitters,
+            profile=_profile.profile_table,
+        )
+        self.analytics = SimpleNamespace(
+            funnel=_analytics.funnel,
+            funnel_one_pass=_analytics.funnel_one_pass,
+            cohort_retention=_analytics.cohort_retention,
+            anomalies=_analytics.daily_metric_anomalies,
+            gap_fill=_analytics.gap_fill,
+            salted_join=_skew.salted_join,
+            salted_aggregate=_skew.salted_aggregate,
+            materialized_aggregate=_ivm.MaterializedAggregate,
+        )
+        self.rank = SimpleNamespace(
+            tfidf_top_terms=_ranking.tfidf_top_terms,
+            bm25_topk=_ranking.bm25_topk,
+        )
+        self.ingest = SimpleNamespace(
+            incremental_extract=_ingest.incremental_extract,
+            tables=_ingest.ingest_tables,
+            watermarks=_watermark.WatermarkStore,
+            rescue_read=_rescue.read_bronze_stream,
+        )
+        self.stream = SimpleNamespace(
+            dedup=_silver.dedup_stream,
+            silver=_silver.SilverTable,
+            write_silver=_silver.write_silver_stream,
+            cdc_flow=_gold.CdcFlow,
+            snapshot_table=_gold.ParquetSnapshotTable,
+            sessionize=_stateful.sessionize_stream,
+            quota_admit=_stateful.quota_admit_stream,
+            funnel=_stream_funnel.funnel_stage_stream,
+            asof_enrich=_stream_asof.asof_enrich_stream,
+            admission=_admission.run_admission_stream,
+            read_admitted=_admission.read_admitted,
+            anomaly_monitor=_anomaly.AnomalyMonitor,
+        )
+
+    # -- catalog conveniences ------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        """Load a catalog table (``region nation customer supplier part
+        orders lineitem events documents embeddings`` in the test
+        layout, or any ``<name>.parquet``/``<name>/`` under data_dir)."""
+        return self.catalog.load(name)
+
+    def sql(self, query: str, **tables: DataFrame):
+        """Run SQL over catalog tables; pass extra DataFrames as
+        keyword views (registered as temp views for this call)."""
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
+    def run_log(self, path: str) -> RunLog:
+        """Append-only run log (observability surface)."""
+        return RunLog(self.spark, path)

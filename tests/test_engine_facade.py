@@ -1,0 +1,110 @@
+"""Engine facade: pure delegation (every attribute IS the underlying
+function) and the README quickstart pipeline runs end-to-end on it."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_facade_is_pure_delegation(spark):
+    """Zero logic: each namespace attribute must be identical (is) to
+    the module-level function/class it fronts — the facade can never
+    drift from the engine."""
+    from dataeng_azure_spotify_spark import Engine
+    from dataeng_azure_spotify_spark.operators import (
+        analytics,
+        asof,
+        curation,
+        dedup,
+        graph,
+        ranking,
+        relational,
+        scd,
+        similarity,
+        sketch,
+    )
+    from dataeng_azure_spotify_spark.streaming import asof as stream_asof
+    from dataeng_azure_spotify_spark.streaming import funnel as stream_funnel
+
+    eng = Engine(spark, SF)
+    assert eng.dedup.exact is dedup.exact_dedup_groups
+    assert eng.dedup.minhash_pairs is dedup.minhash_lsh_pairs
+    assert eng.dedup.simhash_pairs is dedup.simhash_neardup_pairs
+    assert eng.graph.components is graph.connected_components
+    assert eng.graph.pagerank is graph.pagerank
+    assert eng.similarity.topk is similarity.cosine_topk
+    assert eng.similarity.index is similarity.IvfIndex
+    assert eng.scd.upsert is scd.apply_scd1
+    assert eng.scd.asof_join is asof.asof_join
+    assert eng.analytics.funnel is analytics.funnel
+    assert eng.curate.decontaminate is curation.decontaminate
+    assert eng.curate.heavy_hitters is sketch.heavy_hitters
+    assert eng.rank.bm25_topk is ranking.bm25_topk
+    assert eng.relational.expectations_drop is relational.expectations_drop
+    assert eng.stream.funnel is stream_funnel.funnel_stage_stream
+    assert eng.stream.asof_enrich is stream_asof.asof_enrich_stream
+
+
+def test_quickstart_pipeline_end_to_end(spark, tmp_path):
+    """The README quickstart, verbatim shape: bronze→silver (clean +
+    dedup) → gold (SCD1 + versioned snapshot) → curation (near-dup
+    clusters, survivor pick, quality filter) → analytics, all from one
+    Engine handle."""
+    from dataeng_azure_spotify_spark import Engine
+
+    eng = Engine(spark, SF)
+
+    # silver: expectations + latest-per-key dedup over raw events
+    events = eng.relational.expectations_drop(
+        eng.table("events"), {"has_user": "user_id IS NOT NULL"}
+    )
+    events = eng.relational.latest_per_key(
+        events, keys=["event_id"], sequence_by="ts"
+    )
+    assert events.count() > 0
+
+    # gold: SCD1 customer dimension + versioned snapshot table
+    cust = eng.table("customer")
+    n_cust = cust.count()
+    updates = cust.withColumn("c_acctbal", F.col("c_acctbal") + 1).withColumn(
+        "__seq", F.lit(2)
+    )
+    dim = eng.scd.upsert(
+        cust.withColumn("__seq", F.lit(1)),
+        updates,
+        keys=["c_custkey"],
+        sequence_by="__seq",
+    )
+    snap = eng.stream.snapshot_table(spark, str(tmp_path / "gold_customer"))
+    snap.overwrite(dim)
+    assert snap.read().count() == n_cust
+
+    # curation: near-dup pairs -> components -> keep the best copy
+    docs = eng.table("documents")
+    pairs = eng.dedup.simhash_pairs(docs, max_hamming=6)
+    labels = eng.graph.components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    scores = docs.select(
+        F.col("doc_id").alias("node"), F.length("text").alias("score")
+    )
+    best = eng.graph.keep_best(labels, scores)
+    n_docs, n_best = docs.count(), best.count()
+    assert 0 < n_best <= n_docs
+
+    # analytics over the silver events
+    fun = eng.analytics.funnel(events, steps=["view", "click", "purchase"])
+    assert {r["step"] for r in fun.collect()} == {"view", "click", "purchase"}
+
+    # catalog SQL with an extra DataFrame view
+    top = eng.sql(
+        "SELECT component, COUNT(*) n FROM comp GROUP BY 1 ORDER BY n DESC LIMIT 1",
+        comp=labels,
+    )
+    assert top.count() == 1
