@@ -1562,8 +1562,14 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, so the two self-joins are the standard oriented
     triangle join (no post-dedup, no double counting)."""
     cat = _cat(spark, sf_dir)
-    p = simhash_neardup_pairs(cat["documents"], max_hamming=6).select(
-        "doc_a", "doc_b"
+    # the pair list feeds THREE scans of the triangle join — a lazy
+    # localCheckpoint materializes the (expensive) fingerprint+band
+    # pipeline once on first action instead of three times, and its
+    # blocks are GC-reclaimed with the result (no session-lifetime pin)
+    p = (
+        simhash_neardup_pairs(cat["documents"], max_hamming=6)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
     return (
@@ -1856,7 +1862,11 @@ def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataeng_azure_spotify_spark.operators.graph import pagerank
 
     cat = _cat(spark, sf_dir)
-    pairs = simhash_neardup_pairs(cat["documents"], max_hamming=8)
+    # the both-ways union scans the pair list twice — lazy checkpoint
+    # so fingerprint+band generation runs once (blocks GC-reclaimed)
+    pairs = simhash_neardup_pairs(
+        cat["documents"], max_hamming=8
+    ).localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
@@ -2122,6 +2132,122 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("cluster_id"),
         F.col("size").cast("long").alias("cluster_size"),
     )
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document — a hash split by doc_id leaks
+    evaluation data whenever a near-duplicate of a test doc lands in
+    train (the classic contamination path at 100 TB). Every doc in a
+    cluster shares the cluster representative's deterministic md5-hash
+    bucket (80/10/10), so near-dups can never straddle splits. Output:
+    (doc_id, cluster_id, split)."""
+    from dataeng_azure_spotify_spark.functions.text import hash60
+
+    cat = _cat(spark, sf_dir)
+    docs = cat["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    bucket = F.pmod(hash60(F.col("component").cast("string"), salt="split"), F.lit(100))
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _split_leakage_safe_oracle(threshold: float) -> str:
+    """Clusters oracle + the shared md5 bucket on the cluster id (the
+    hash60 twin: first 15 md5 hex chars as BIGINT, salted 'split|')."""
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+dup AS (
+    SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM dup
+), reach(node, r) AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT e.v AS node, reach.r AS r
+    FROM reach JOIN edges e ON e.u = reach.node
+), comp AS (
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+), bucketed AS (
+    SELECT node, cluster_id,
+           ('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS b
+    FROM comp
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
+def q_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication rate — the curation dashboard number
+    that says WHICH ingest feed is flooding the corpus with copies:
+    for every source, total docs and docs sitting in a multi-document
+    near-dup cluster (exact longs — engine-identical)."""
+    cat = _cat(spark, sf_dir)
+    docs = cat["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    sized = component_sizes(labels)
+    return (
+        docs.select(F.col("doc_id"), "source")
+        .join(sized.select(F.col("node").alias("doc_id"), "size"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("size") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_dup"),
+        )
+    )
+
+
+def _neardup_rate_by_source_oracle(threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_PAIRS},
+dup AS (
+    SELECT doc_a, doc_b FROM jac WHERE jaccard >= {threshold}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM dup
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM dup
+), reach(node, r) AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT e.v AS node, reach.r AS r
+    FROM reach JOIN edges e ON e.u = reach.node
+), comp AS (
+    SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+), csize AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN csize.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_dup
+FROM documents d
+JOIN comp ON comp.node = d.doc_id
+JOIN csize USING (cluster_id)
+GROUP BY 1
+"""
 
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3265,6 +3391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slow-marked at sf0.01, the driver's own scale.
     return {
         "knn_label_accuracy_full": q_knn_label_accuracy_full,
+        "split_leakage_safe": q_split_leakage_safe,
+        "neardup_rate_by_source": q_neardup_rate_by_source,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
         "tpch_q4": q_tpch_q4,
@@ -3379,6 +3507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "split_leakage_safe": _split_leakage_safe_oracle(threshold=0.5),
+        "neardup_rate_by_source": _neardup_rate_by_source_oracle(threshold=0.5),
         "heavy_hitters": _heavy_hitters_oracle(min_count=850),
         "neardup_triangles": _neardup_triangles_oracle(max_hamming=6),
         "user_activity_gaps": _USER_GAPS_ORACLE,
