@@ -890,9 +890,40 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: important-stock parts via scalar-subquery
-    HAVING threshold (reshaped onto lineitem value; no partsupp)."""
-    _cat(spark, sf_dir)
-    return spark.sql(TPCH_Q11_SQL)
+    HAVING threshold (reshaped onto lineitem value; no partsupp).
+
+    One-scan formulation: the literal SQL's scalar subquery re-scans
+    lineitem for the corpus total, but Σ_parts(per-part decimal sum) IS
+    that total (decimal addition is exact and re-aggregable), so the
+    grouped table — lazily checkpointed, 20k rows — feeds both the
+    HAVING threshold (one tiny aggregate + broadcast crossJoin) and the
+    output. Halves the 100 TB-side work vs the two-scan plan while
+    staying hash-identical to the DuckDB oracle (which runs the literal
+    two-scan SQL): identical exact decimal totals → identical doubles →
+    identical IEEE threshold compare."""
+    cat = _cat(spark, sf_dir)
+    v = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * F.col("l_quantity").cast("decimal(18,4)")
+    )
+    g = (
+        cat["lineitem"]
+        .select(F.col("l_partkey").alias("partkey"), v.alias("v"))
+        .groupBy("partkey")
+        .agg(F.sum("v").alias("sv"))
+        .localCheckpoint(eager=False)
+    )
+    thresh = g.agg(
+        (F.sum("sv").cast("double") * F.lit(0.00085)).alias("__thr")
+    )
+    return (
+        g.crossJoin(F.broadcast(thresh))
+        .filter(F.col("sv").cast("double") > F.col("__thr"))
+        .select(
+            "partkey",
+            F.round(F.col("sv"), 4).cast("double").alias("value"),
+        )
+    )
 
 
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,3 +141,67 @@ def test_asof_stream_multiple_keys_independent_state(spark, tmp_path):
     got = _emitted(spark, out)
     assert (1, _ts(10), "a", 1.0) in got
     assert (2, _ts(10), "b", None) in got  # k=2's version is later
+
+
+def test_asof_stream_randomized_matches_batch(spark, tmp_path):
+    """Randomized parity: seeded random event/version interleavings,
+    delivered event-time-ordered across three micro-batches, must equal
+    the batch as-of join exactly."""
+    import random
+
+    rng = random.Random(20260814)
+    lrows, rrows = [], []
+    seen_rt = set()
+    for i in range(120):
+        k = rng.randint(1, 5)
+        t = _ts(8 + rng.randint(0, 9), rng.randint(0, 59))
+        if rng.random() < 0.4:
+            if (k, t) in seen_rt:
+                continue  # equal (key, rt) versions are undefined
+                # without a seq tiebreaker — in BOTH operators (the
+                # batch contract documents right_seq_tiebreakers)
+            seen_rt.add((k, t))
+            rrows.append(Row(k=k, rt=t, val=float(i)))
+        else:
+            lrows.append(Row(k=k, ts=t, ev=f"e{i}"))
+
+    # ordered delivery: split the GLOBAL time order into 3 batches,
+    # right-before-left at equal instants (the operator's inclusive tie
+    # rule — a version delivered AFTER a same-instant event would be
+    # transition-time late by contract)
+    allrows = sorted(
+        [("L", r) for r in lrows] + [("R", r) for r in rrows],
+        key=lambda x: (
+            (x[1].ts, 1) if x[0] == "L" else (x[1].rt, 0)
+        ),
+    )
+    thirds = [allrows[: len(allrows) // 3],
+              allrows[len(allrows) // 3 : 2 * len(allrows) // 3],
+              allrows[2 * len(allrows) // 3 :]]
+
+    lsrc, rsrc, out, chk = (
+        str(tmp_path / d) for d in ("l", "r", "out", "chk")
+    )
+    for d in (lsrc, rsrc):
+        os.makedirs(d, exist_ok=True)
+    for batch in thirds:
+        lb = [r for (s, r) in batch if s == "L"]
+        rb = [r for (s, r) in batch if s == "R"]
+        if lb:
+            _write(spark, lsrc, L_SCHEMA, lb)
+        if rb:
+            _write(spark, rsrc, R_SCHEMA, rb)
+        _drain(spark, lsrc, rsrc, out, chk)
+
+    got = _emitted(spark, out)
+    want = {
+        (r.k, r.ts, r.ev, r.val)
+        for r in asof_join(
+            spark.createDataFrame(lrows, L_SCHEMA),
+            spark.createDataFrame(rrows, R_SCHEMA),
+            on=["k"],
+            left_time="ts",
+            right_time="rt",
+        ).collect()
+    }
+    assert got == want
