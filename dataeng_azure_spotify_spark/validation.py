@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import graph as G
+from .operators import similarity as S
 from .operators.sketch import _MG_SCHEMA, _mg_partition, tokens_col
 from .sources.docgen import near_dup_corpus
 
@@ -37,6 +38,122 @@ def simhash_raw_model(n_docs: int, max_hamming: int) -> float:
         remaining -= bits
         total += pairs / (1 << bits)
     return total
+
+
+def embedding_corpus(spark, n: int, dim: int = 32, dup_every: int = 10):
+    """Deterministic synthetic embeddings with KNOWN near-dup structure:
+    ``n`` hash-derived unit-free vectors (components uniform in
+    [-1, 1], pure function of (id, dim) — no RNG state, any two builds
+    identical) plus one lightly-noised copy of every ``dup_every``-th
+    vector at id offset 10⁸. Unrelated 32-d hash vectors have
+    |cosine| ≲ 0.5 w.h.p. while the noised copies sit at ≈ 0.9997, so
+    a 0.9 threshold separates true near-dups from chance exactly."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                (
+                    F.pmod(
+                        F.xxhash64(F.concat_ws("_", F.col("id"), d)),
+                        F.lit(2001),
+                    )
+                    - F.lit(1000)
+                )
+                / F.lit(1000.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    dups = base.filter(F.col("vec_id") % dup_every == 0).select(
+        (F.col("vec_id") + 100_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (
+                x
+                + (
+                    F.pmod(F.xxhash64(F.concat_ws("|", F.col("vec_id"), x)), F.lit(101))
+                    - F.lit(50)
+                )
+                / F.lit(5000.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dups)
+
+
+def embedding_scale_measure(spark, n: int, threshold: float = 0.9) -> dict:
+    """Embedding-tier growth measurement at ``n`` base vectors:
+
+    - blocked-GEMM near-dup join: verified pairs (must track true dup
+      mass, linear) and the exact shuffle fan-out rows
+      ``n_docs × (B+1)/2`` (the declared replication cost — linear in
+      n for fixed block count, never an n² pair table);
+    - IVF probe economics: fraction of the corpus scanned by an
+      ``nprobe``-bucket probe (≈ nprobe/num_centroids independent of
+      n) and probe recall vs the exact top-1.
+    """
+    t0 = time.time()
+    corpus = embedding_corpus(spark, n).localCheckpoint(eager=True)
+    n_docs = corpus.count()
+
+    num_blocks = max(
+        4, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1
+    )
+    pairs = S.cosine_neardup_pairs(
+        corpus, threshold=threshold, num_blocks=num_blocks
+    ).count()
+    fan_rows = n_docs * (num_blocks + 1) / 2  # closed form, by construction
+
+    num_centroids, nprobe, n_queries = 64, 8, 10
+    centroids = S.kmeans_centroids(corpus, k=num_centroids, iters=1)
+    assignment = S.ivf_assign(corpus, centroids)
+    sizes = assignment.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bn")
+    )
+    # recall queries are vectors WITH a planted near-dup (their true
+    # 1-NN is the ≈0.9997-cosine copy): a scale-independent signal —
+    # for dup-less vectors the "nearest" is an arbitrary ~0.5-cosine
+    # stranger, which measures the random geometry, not the index
+    queries = corpus.filter(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10 * n_queries)
+    )
+    probes = S.cosine_topk(
+        queries,
+        centroids.withColumnRenamed("centroid_id", "vec_id"),
+        k=nprobe,
+        exact=False,
+        exclude_self=False,
+    ).select(F.col("query_id"), F.col("neighbor_id").alias("centroid_id"))
+    scanned = (
+        probes.join(sizes, on="centroid_id")
+        .agg(F.coalesce(F.sum("bn"), F.lit(0)))
+        .first()[0]
+    )
+    probe_fraction = float(scanned) / (n_docs * n_queries)
+
+    exact1 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(queries, corpus, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            queries, corpus, k=1, num_centroids=num_centroids, nprobe=nprobe
+        ).collect()
+    }
+    recall = len(exact1 & approx) / max(1, len(exact1))
+
+    return {
+        "n_base": n,
+        "n_docs": n_docs,
+        "true_dups": n // 10,
+        "gemm_pairs": pairs,
+        "num_blocks": num_blocks,
+        "fan_rows": int(fan_rows),
+        "probe_fraction": round(probe_fraction, 4),
+        "ivf_recall_top1": round(recall, 3),
+        "sec": round(time.time() - t0, 1),
+    }
 
 
 def scale_measure(spark, n: int, max_hamming: int = 6) -> dict:

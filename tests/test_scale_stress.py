@@ -136,3 +136,25 @@ def test_exact_dedup_on_generated_duplicates(spark):
     assert groups.filter(F.col("group_size") % 2 != 0).count() == 0
     assert groups.filter(F.col("rep_id") >= 1_000_000).count() == 0
     assert groups.agg(F.sum("group_size")).collect()[0][0] == 100_000
+
+
+@pytest.mark.slow
+def test_embedding_tier_growth_linear_and_probe_fraction_stable(spark):
+    """Embedding-tier twin of the dedup growth validation: blocked-GEMM
+    near-dup pairs track true dup mass (linear), the shuffle fan-out is
+    the closed-form n x (B+1)/2 replication (never an n^2 pair table),
+    the IVF probe scans ~nprobe/num_centroids of the corpus REGARDLESS
+    of n, and probe recall on planted near-dups stays perfect."""
+    from dataeng_azure_spotify_spark.validation import embedding_scale_measure
+
+    lo = embedding_scale_measure(spark, 2_000)
+    hi = embedding_scale_measure(spark, 20_000)
+    # exact linearity: every planted dup found, nothing else admitted
+    assert lo["gemm_pairs"] == lo["true_dups"]
+    assert hi["gemm_pairs"] == hi["true_dups"]
+    assert hi["fan_rows"] == 10 * lo["fan_rows"]  # linear replication
+    # probe economics independent of corpus size (~ 8/64 = 0.125)
+    for m in (lo, hi):
+        assert 0.04 <= m["probe_fraction"] <= 0.25, m
+    assert abs(hi["probe_fraction"] - lo["probe_fraction"]) < 0.08
+    assert lo["ivf_recall_top1"] >= 0.9 and hi["ivf_recall_top1"] >= 0.9
