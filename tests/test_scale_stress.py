@@ -158,3 +158,62 @@ def test_embedding_tier_growth_linear_and_probe_fraction_stable(spark):
         assert 0.04 <= m["probe_fraction"] <= 0.25, m
     assert abs(hi["probe_fraction"] - lo["probe_fraction"]) < 0.08
     assert lo["ivf_recall_top1"] >= 0.9 and hi["ivf_recall_top1"] >= 0.9
+
+
+@pytest.mark.slow
+def test_salting_bounds_hot_key_reduce_group_at_scale(spark):
+    """Skew-mitigation validation at row volume: with 90% of 200k rows
+    on ONE key, the unsalted aggregate funnels the hot key into a
+    single reduce group; salting must split it across ~salt_buckets
+    near-equal partials (the property that keeps one straggler reducer
+    from serializing a 100 TB shuffle), while the merged result stays
+    exactly equal to the unsalted aggregate."""
+    from dataeng_azure_spotify_spark.operators.skew import (
+        SALT_COL,
+        _salt_of,
+        salted_aggregate,
+    )
+
+    n, buckets = 200_000, 16
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise((F.col("id") % 1000).cast("string"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    n_hot = df.filter(F.col("k") == "hot").count()
+    assert n_hot >= int(0.85 * n)
+
+    # stage-1 reduce-group sizes under the salt
+    stage1 = (
+        df.withColumn(SALT_COL, _salt_of(["v"], buckets))
+        .groupBy("k", SALT_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hot_parts = [r["n"] for r in stage1.filter(F.col("k") == "hot").collect()]
+    assert len(hot_parts) == buckets
+    assert max(hot_parts) <= 1.5 * n_hot / buckets  # no straggler bucket
+
+    got = {
+        (r["k"], r["total"], r["n"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs=[
+                F.sum("ptotal").alias("total"),
+                F.sum("pn").cast("long").alias("n"),
+            ],
+            partial_aggs=[
+                F.sum("v").alias("ptotal"),
+                F.count(F.lit(1)).alias("pn"),
+            ],
+            salt_buckets=buckets,
+        ).collect()
+    }
+    want = {
+        (r["k"], r["total"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
