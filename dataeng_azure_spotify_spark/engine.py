@@ -51,6 +51,7 @@ from .operators import similarity as _similarity
 from .operators import sketch as _sketch
 from .operators import skew as _skew
 from .sources import ingest as _ingest
+from .sources import jsonl as _jsonl
 from .sources import watermark as _watermark
 from .streaming import admission as _admission
 from .streaming import anomaly as _anomaly
@@ -123,6 +124,7 @@ class Engine:
             fingerprint=_text.fingerprint,
             kgram_fingerprints=_text.kgram_fingerprints,
             gopher_quality=_text.gopher_quality,
+            compression_ratio=_text.compression_ratio,
             stats=_text.text_stats,
             sentences=_sentences.split_sentences,
             is_valid_email=_email.is_valid_email_col,
@@ -165,6 +167,8 @@ class Engine:
             tables=_ingest.ingest_tables,
             watermarks=_watermark.WatermarkStore,
             rescue_read=_rescue.read_bronze_stream,
+            read_jsonl=_jsonl.read_jsonl,
+            jsonl_documents=_jsonl.jsonl_documents,
         )
         self.stream = SimpleNamespace(
             dedup=_silver.dedup_stream,

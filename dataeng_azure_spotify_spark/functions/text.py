@@ -285,3 +285,55 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the "too compressible"
+    quality signal (boilerplate/templated/repetitive text compresses
+    far below natural prose; corpus-filtering recipes cut the low
+    tail). Returns ``(id, n_bytes, n_compressed, compression_ratio)``
+    with ratio = compressed/raw bytes (NULL for empty/NULL text).
+
+    Arrow-batched pandas UDF (zlib is C-speed; the per-row Python cost
+    is the .map dispatch, amortized over Arrow batches). Deterministic
+    for a fixed zlib level and version — no cross-engine SQL oracle
+    exists (DuckDB ships no zlib), so this is pytest-pinned rather
+    than driver-oracled.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _zlib_fn(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return (None, None)
+            b = t.encode("utf-8")
+            return (len(b), len(zlib.compress(b, level)))
+
+        pairs = s.map(one)
+        return pd.DataFrame(
+            {"n_bytes": pairs.str[0], "n_compressed": pairs.str[1]}
+        ).astype({"n_bytes": "Int64", "n_compressed": "Int64"})
+
+    # real type objects, not strings: this module runs under
+    # `from __future__ import annotations`, which would stringify inline
+    # hints and break pandas_udf's Series→DataFrame eval-type inference
+    _zlib_fn.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    _zlib = pandas_udf(_zlib_fn, "struct<n_bytes: long, n_compressed: long>")
+
+    z = F.col("__z")
+    return (
+        df.withColumn("__z", _zlib(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            z["n_bytes"].alias("n_bytes"),
+            z["n_compressed"].alias("n_compressed"),
+            F.when(
+                z["n_bytes"] > 0,
+                z["n_compressed"].cast("double") / z["n_bytes"].cast("double"),
+            ).alias("compression_ratio"),
+        )
+    )

@@ -274,3 +274,29 @@ def test_sample_weighted_n_plans_as_top_k(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    """Repetitive/templated text must compress far below natural-ish
+    prose; NULL/empty text yields NULL ratio; counts are exact byte
+    lengths."""
+    import zlib
+
+    from dataeng_azure_spotify_spark.functions.text import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away home"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert got[2].compression_ratio < got[1].compression_ratio
+    assert got[3].compression_ratio is None and got[3].n_bytes is None
+    assert got[4].compression_ratio is None and got[4].n_bytes == 0
+    # exact against local zlib at the same level
+    for doc_id, text in rows[:2]:
+        b = text.encode("utf-8")
+        assert got[doc_id].n_bytes == len(b)
+        assert got[doc_id].n_compressed == len(zlib.compress(b, 6))

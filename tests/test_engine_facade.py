@@ -49,6 +49,13 @@ def test_facade_is_pure_delegation(spark):
     assert eng.stream.funnel is stream_funnel.funnel_stage_stream
     assert eng.stream.asof_enrich is stream_asof.asof_enrich_stream
 
+    from dataeng_azure_spotify_spark.functions import text as text_fns
+    from dataeng_azure_spotify_spark.sources import jsonl
+
+    assert eng.ingest.read_jsonl is jsonl.read_jsonl
+    assert eng.ingest.jsonl_documents is jsonl.jsonl_documents
+    assert eng.text.compression_ratio is text_fns.compression_ratio
+
 
 def test_quickstart_pipeline_end_to_end(spark, tmp_path):
     """The README quickstart, verbatim shape: bronze→silver (clean +
