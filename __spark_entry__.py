@@ -1198,6 +1198,82 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_scd2(target, second, ["user_id"], "ts", ["event_id"])
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SCD2 CONSUMER: fact rows enriched with the
+    dimension version in effect at their event time ("what was this
+    user's state when they did X?"). Dimension = SCD2 history built
+    from pre-watermark changes; probe = post-watermark events; match =
+    ``__START_AT <= ts < __END_AT`` (open current row matches
+    everything after its start; users with no pre-watermark history get
+    NULLs). This is the point-in-time join the reference's silver→gold
+    fact loading performs against its SCD dimensions — exposed as one
+    oracled query instead of only living inside the medallion e2e."""
+    cat = _cat(spark, sf_dir)
+    changes = _events_changes(cat)
+    hist = scd2_from_history(
+        changes.filter(F.col("ts") <= F.lit(EVENTS_WATERMARK)),
+        keys=["user_id"],
+        sequence_by="ts",
+        tiebreakers=["event_id"],
+    ).select(
+        F.col("user_id"),
+        F.col("event_type").alias("dim_event_type"),
+        F.col("value").alias("dim_value"),
+        F.col(START_COL).alias("version_start"),
+        F.col(END_COL).alias("version_end"),
+    )
+    probe = changes.filter(F.col("ts") > F.lit(EVENTS_WATERMARK)).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return (
+        probe.join(
+            hist,
+            (probe["user_id"] == hist["user_id"])
+            & (F.col("version_start") <= F.col("ts"))
+            & (
+                F.col("version_end").isNull()
+                | (F.col("ts") < F.col("version_end"))
+            ),
+            "left",
+        )
+        .select(
+            "event_id",
+            probe["user_id"].alias("user_id"),
+            "ts",
+            "dim_event_type",
+            "dim_value",
+            F.col("version_start").cast("timestamp").alias("version_start"),
+        )
+    )
+
+
+_SCD2_ASOF_LOOKUP_ORACLE = """
+WITH hist AS (
+    SELECT user_id,
+           event_type AS dim_event_type,
+           value AS dim_value,
+           ts AS version_start,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS version_end
+    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                 event_type, value
+          FROM events
+          WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '{wm}')
+), probe AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '{wm}'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       h.dim_event_type, h.dim_value,
+       CAST(h.version_start AS TIMESTAMP) AS version_start
+FROM probe p
+LEFT JOIN hist h
+       ON h.user_id = p.user_id
+      AND h.version_start <= p.ts
+      AND (h.version_end IS NULL OR p.ts < h.version_end)
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -3424,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy_full": q_knn_label_accuracy_full,
         "split_leakage_safe": q_split_leakage_safe,
         "neardup_rate_by_source": q_neardup_rate_by_source,
+        "scd2_asof_lookup": q_scd2_asof_lookup,
         "star_join": q_star_join,
         "star_join_wide": q_star_join_wide,
         "tpch_q4": q_tpch_q4,
@@ -3540,6 +3617,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "split_leakage_safe": _split_leakage_safe_oracle(threshold=0.5),
         "neardup_rate_by_source": _neardup_rate_by_source_oracle(threshold=0.5),
+        "scd2_asof_lookup": _SCD2_ASOF_LOOKUP_ORACLE.replace(
+            "{wm}", EVENTS_WATERMARK
+        ),
         "heavy_hitters": _heavy_hitters_oracle(min_count=850),
         "neardup_triangles": _neardup_triangles_oracle(max_hamming=6),
         "user_activity_gaps": _USER_GAPS_ORACLE,
