@@ -194,10 +194,20 @@ class Engine:
 
     def sql(self, query: str, **tables: DataFrame):
         """Run SQL over catalog tables; pass extra DataFrames as
-        keyword views (registered as temp views for this call)."""
+        keyword views. Views that did not exist before the call are
+        dropped again after it (``spark.sql`` resolves them eagerly, so
+        the returned DataFrame keeps working); a pre-existing temp view
+        with the same name is REPLACED for the session — pick fresh
+        names if you need to keep yours."""
+        created = []
         for name, df in tables.items():
+            if not self.spark.catalog.tableExists(name):
+                created.append(name)
             df.createOrReplaceTempView(name)
-        return self.spark.sql(query)
+        out = self.spark.sql(query)
+        for name in created:
+            self.spark.catalog.dropTempView(name)
+        return out
 
     def run_log(self, path: str) -> RunLog:
         """Append-only run log (observability surface)."""

@@ -368,6 +368,14 @@ def pagerank(
     Ranks sum to 1 (within float round-off). For near-dup curation,
     feed the undirected pair list both ways (u→v and v→u) and the rank
     orders documents by how centrally duplicated they are.
+
+    Session note: the three cheap setup materializations run with
+    ``spark.sql.adaptive.enabled`` briefly forced off on the SHARED
+    session conf (the partitioning capture needs it — see the inline
+    comment); queries planned concurrently on other threads of the same
+    session during that window lose AQE. On a multi-tenant session,
+    serialize pagerank calls with other planning, or run them on their
+    own session.
     """
     # one materialization of the (possibly expensive) edge lineage —
     # nodes/degrees/rounds all derive from this checkpoint, so upstream

@@ -155,8 +155,8 @@ def cosine_neardup_pairs(
        of the B·(B+1)/2 block pairs is one ``applyInPandas`` group that
        multiplies its two row blocks with numpy. Nothing is collected to
        the driver and nothing corpus-sized broadcasts: peak task memory
-       is two blocks (n/B rows each), shuffle volume is (B+1)/2 copies
-       of the corpus, and compute O(n²·d) spreads evenly over the
+       is two blocks (n/B rows each), shuffle volume is B copies of
+       the corpus (each vector's block sits in B of the block pairs), and compute O(n²·d) spreads evenly over the
        cluster. Raise ``num_blocks`` until a block fits in executor
        memory; each unordered pair lands in exactly one group, so no
        dedup pass is needed. A 1e-6 margin under the threshold
@@ -270,7 +270,8 @@ def cosine_1nn_gemm(
     """Leave-one-out 1-nearest-neighbor for EVERY vector in the corpus —
     the full-corpus embedding-quality eval (does my nearest neighbor
     share my label?). Output: ``(query_id, neighbor_id, cosine)``, one
-    row per vector (singleton corpora emit nothing).
+    row per vector — except degenerate cases with no defined cosine
+    neighbor (singleton corpora, all-zero vectors), which emit nothing.
 
     Same distributed blocked-GEMM skeleton as
     :func:`cosine_neardup_pairs` — vectors hash into B blocks, each of
@@ -278,9 +279,9 @@ def cosine_1nn_gemm(
     corpus-sized on the driver or in a broadcast — but instead of
     thresholded pairs each task emits ONE partial best per vector per
     block pair, and a per-vector max-struct aggregation reduces the B
-    partials to the global argmax. Shuffle volume: (B+1)/2 corpus
-    copies into the tasks + n·B tiny partial rows out — at no point an
-    n² pair table.
+    partials to the global argmax. Shuffle volume: B corpus copies
+    into the tasks (each vector's block sits in B of the block pairs)
+    + n·B tiny partial rows out — at no point an n² pair table.
 
     Ranking is float64 (BLAS) rounded to 12 dp with ascending-id
     tiebreak — deterministic for a fixed corpus, and agreement with the
@@ -315,16 +316,24 @@ def cosine_1nn_gemm(
     )
 
     def _bests(ids_q, ids_c, cos):
-        """Per q-row best (max rounded cosine, min id on ties)."""
+        """Per q-row best (max rounded cosine, min id on ties).
+
+        Non-finite entries (a zero-norm vector on EITHER side yields
+        NaN cosine) are masked to -inf PER ELEMENT before the argmax —
+        one degenerate corpus vector must not poison ``row.max()`` into
+        NaN and silently drop every query sharing its block pair. A row
+        that is all -inf (the zero-norm QUERY itself, or no finite
+        candidate) emits no partial: a zero vector has no defined
+        cosine neighbor."""
         import numpy as np
 
-        c = np.round(cos, 12)
+        c = np.round(np.where(np.isfinite(cos), cos, -np.inf), 12)
         out_q, out_n, out_c = [], [], []
         for i in range(c.shape[0]):
             row = c[i]
             m = row.max()
             if not np.isfinite(m):
-                continue  # no eligible neighbor in this block pair
+                continue  # no eligible finite neighbor in this pair
             out_q.append(ids_q[i])
             out_n.append(ids_c[row == m].min())
             out_c.append(m)
@@ -851,7 +860,16 @@ class IvfIndex:
         )
         if not oversized:
             return []
-        next_id = max(sizes) + 1
+        # fresh ids must clear the CENTROID table's ids, not just the
+        # bucket table's: a centroid that currently owns zero bucket
+        # rows still exists in centroids/ and a collision would leave
+        # two centroid rows sharing one id (double-counted drift stats,
+        # ambiguous probes)
+        all_cids = [
+            int(r["centroid_id"]) for r in self.centroids()
+            .select("centroid_id").toLocalIterator()  # O(k)
+        ]
+        next_id = max(all_cids + list(sizes)) + 1
         spark = self.spark
         new_cent_rows = []  # (old_id -> list of (new_id, vector)) via DF
         reassigned = None
@@ -863,8 +881,10 @@ class IvfIndex:
             sub = kmeans_centroids(
                 rows, self.id_col, self.vec_col, k=m, iters=kmeans_iters
             )
-            # stable local ids 0..m-1 → global ids (old id for 0, fresh
-            # ids after): O(m) driver rows
+            # kmeans_centroids ids are SEED VECTOR ids (not 0..m-1);
+            # sort for a deterministic local order, then map to global
+            # ids (old bucket id for the first, fresh ids after) — O(m)
+            # driver rows
             local = sorted(
                 (int(r["centroid_id"]), r[self.vec_col])
                 for r in sub.toLocalIterator()

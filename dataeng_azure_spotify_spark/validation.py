@@ -85,8 +85,9 @@ def embedding_scale_measure(spark, n: int, threshold: float = 0.9) -> dict:
     """Embedding-tier growth measurement at ``n`` base vectors:
 
     - blocked-GEMM near-dup join: verified pairs (must track true dup
-      mass, linear) and the exact shuffle fan-out rows
-      ``n_docs × (B+1)/2`` (the declared replication cost — linear in
+      mass, linear) and the exact shuffle fan-out rows ``n_docs × B``
+      (every vector's block participates in exactly B of the
+      B(B+1)/2 block pairs — the declared replication cost, linear in
       n for fixed block count, never an n² pair table);
     - IVF probe economics: fraction of the corpus scanned by an
       ``nprobe``-bucket probe (≈ nprobe/num_centroids independent of
@@ -102,7 +103,10 @@ def embedding_scale_measure(spark, n: int, threshold: float = 0.9) -> dict:
     pairs = S.cosine_neardup_pairs(
         corpus, threshold=threshold, num_blocks=num_blocks
     ).count()
-    fan_rows = n_docs * (num_blocks + 1) / 2  # closed form, by construction
+    # closed form: block b appears in pairs (i,b) i<=b and (b,j) j>=b —
+    # B pairs total — so every vector is shipped B times (empirically
+    # re-verified against a fanned.count() in the review pass)
+    fan_rows = n_docs * num_blocks
 
     num_centroids, nprobe, n_queries = 64, 8, 10
     centroids = S.kmeans_centroids(corpus, k=num_centroids, iters=1)

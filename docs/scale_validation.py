@@ -18,9 +18,12 @@ Usage::
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from dataeng_azure_spotify_spark.session import get_spark  # noqa: E402
 from dataeng_azure_spotify_spark.validation import scale_measure  # noqa: E402

@@ -115,3 +115,19 @@ def test_quickstart_pipeline_end_to_end(spark, tmp_path):
         comp=labels,
     )
     assert top.count() == 1
+
+
+def test_engine_sql_cleans_up_created_views(spark):
+    from dataeng_azure_spotify_spark import Engine
+
+    eng = Engine(spark, SF)
+    df = spark.createDataFrame([(1,)], "x long")
+    assert eng.sql("SELECT SUM(x) s FROM tmp_probe_v", tmp_probe_v=df).collect()[0].s == 1
+    # view created by the call is gone; the returned DataFrame resolved
+    # eagerly so it kept working anyway
+    assert not spark.catalog.tableExists("tmp_probe_v")
+    # pre-existing views survive (replaced content, but not dropped)
+    spark.createDataFrame([(5,)], "x long").createOrReplaceTempView("keep_v")
+    eng.sql("SELECT * FROM keep_v", keep_v=df).collect()
+    assert spark.catalog.tableExists("keep_v")
+    spark.catalog.dropTempView("keep_v")

@@ -740,3 +740,31 @@ def test_ivf_drift_detection_and_rebalance(spark, tmp_path):
     # minimum the rebalance is idempotent (nothing left oversized means
     # a following call is a no-op)
     assert idx.rebalance(max_factor=2.0) == [] or True
+
+
+def test_cosine_1nn_gemm_zero_vector_does_not_poison_block(spark):
+    """One all-zero embedding (NaN cosine against everything) must not
+    poison its block pairs: every OTHER vector still gets its true best
+    neighbor, and the zero vector itself (no defined cosine) emits
+    nothing."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        cosine_1nn_gemm,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    zero = spark.createDataFrame(
+        [(999, [0.0] * 64, "z")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    poisoned = emb.select("vec_id", "embedding", "label").unionByName(zero)
+    got = {r.query_id: r.neighbor_id for r in cosine_1nn_gemm(poisoned).collect()}
+    assert 999 not in got  # zero vector: no defined neighbor
+    assert set(got) == {r.vec_id for r in emb.collect()}
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(emb, emb, k=1).collect()
+    }
+    assert got == exact  # ranks unchanged by the degenerate vector

@@ -142,7 +142,7 @@ def test_exact_dedup_on_generated_duplicates(spark):
 def test_embedding_tier_growth_linear_and_probe_fraction_stable(spark):
     """Embedding-tier twin of the dedup growth validation: blocked-GEMM
     near-dup pairs track true dup mass (linear), the shuffle fan-out is
-    the closed-form n x (B+1)/2 replication (never an n^2 pair table),
+    the closed-form n x B replication (never an n^2 pair table),
     the IVF probe scans ~nprobe/num_centroids of the corpus REGARDLESS
     of n, and probe recall on planted near-dups stays perfect."""
     from dataeng_azure_spotify_spark.validation import embedding_scale_measure
