@@ -104,6 +104,20 @@ def _gram_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     )
 
 
+def _train_test_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int, test_mod: int
+) -> tuple[DataFrame, DataFrame]:
+    """The SHARED held-out-slice definition for the contamination pair
+    (:func:`contamination_check` reports, :func:`decontaminate`
+    removes): ``(train grams, test grams)`` under the deterministic
+    ``id % test_mod == 0`` split. One helper so the checker and the
+    remover can never drift apart on what counts as held-out or how
+    grams join."""
+    grams = _gram_hashes(df, text_col, id_col, n)
+    is_test = F.pmod(F.col("doc"), F.lit(test_mod)) == 0
+    return grams.filter(~is_test), grams.filter(is_test)
+
+
 def contamination_check(
     df: DataFrame,
     text_col: str = "text",
@@ -124,10 +138,8 @@ def contamination_check(
     Returns (doc_id, n_shared_grams, n_test_docs) for contaminated
     training docs only.
     """
-    grams = _gram_hashes(df, text_col, id_col, n)
-    is_test = F.pmod(F.col("doc"), F.lit(test_mod)) == 0
-    test = grams.filter(is_test).select(F.col("doc").alias("tdoc"), "g")
-    train = grams.filter(~is_test)
+    train, test_g = _train_test_grams(df, text_col, id_col, n, test_mod)
+    test = test_g.select(F.col("doc").alias("tdoc"), "g")
     return (
         train.join(test, "g")
         .groupBy("doc")
@@ -459,12 +471,9 @@ def decontaminate(
     ids, applied with a left-anti join — at 100 TB that is one 8-byte-key
     shuffle plus an anti join on the id, no text moves twice.
     """
-    grams = _gram_hashes(df, text_col, id_col, n)
-    is_test = F.pmod(F.col("doc"), F.lit(test_mod)) == 0
-    test_grams = grams.filter(is_test).select("g").distinct()
+    train_g, test_g = _train_test_grams(df, text_col, id_col, n, test_mod)
     contaminated = (
-        grams.filter(~is_test)
-        .join(test_grams, "g")
+        train_g.join(test_g.select("g").distinct(), "g")
         .select(F.col("doc").alias(id_col))
         .distinct()
     )

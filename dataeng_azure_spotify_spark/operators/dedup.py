@@ -239,7 +239,18 @@ def ngram_jaccard_candidates(
             Window.partitionBy("doc").orderBy(F.col("s_freq").asc(), F.col("s").asc())
         ),
     )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # ⌈t·n⌉ with a 1e-9 backoff: float products like 0.07 × 100 =
+    # 7.000000000000001 would otherwise ceil to 8, shortening the
+    # indexed prefix by one and breaking the recall-1.0 contract for a
+    # pair whose only shared shingle sits at the clipped rank. The
+    # backoff can only LENGTHEN the prefix (ceil never above the exact
+    # rational value), so recall is preserved in every case; exactness
+    # of the backoff arithmetic is pinned in tests/test_llm_ops.py.
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
     idx = _persist(ranked.filter(F.col("rk") <= prefix_len).select("doc", "s"))
     a, b = idx.alias("a"), idx.alias("b")
     candidates = (

@@ -118,6 +118,25 @@ class MaterializedAggregate:
     # -- read side ---------------------------------------------------------
 
     def _folded(self, spark: SparkSession) -> DataFrame:
+        if not any(
+            d.startswith("run=")
+            for d in (
+                os.listdir(self.state_dir)
+                if os.path.isdir(self.state_dir)
+                else ()
+            )
+        ):
+            # fail with a CLEAR message instead of Spark's opaque
+            # PATH_NOT_FOUND / cannot-infer-schema: key dtypes are only
+            # known from data, so an empty typed view cannot be
+            # synthesized here (unlike IncrementalDedup's fixed-schema
+            # state) — readers deployed ahead of the writer should
+            # treat this error as "view not materialized yet"
+            raise ValueError(
+                f"MaterializedAggregate at {self.state_dir!r} has no "
+                "state yet — apply_delta must run before current()/"
+                "compact()"
+            )
         partials = spark.read.parquet(self.state_dir).drop("run")
         aggs = [F.sum(_MULT).alias(_MULT)]
         for out in self.sums:

@@ -134,6 +134,20 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _require_integral_id(df: DataFrame, id_col: str, fn: str) -> None:
+    """The blocked numpy kernels cast ids to long; a non-integral id
+    column would become NULLs (silent empty results) or crash inside an
+    executor with an opaque NaN-conversion error — fail fast instead.
+    ``cosine_topk`` has no such restriction (ids stay JVM-side)."""
+    dt = df.schema[id_col].dataType.typeName()
+    if dt not in ("long", "integer", "short", "byte"):
+        raise TypeError(
+            f"{fn} requires an integral {id_col!r} (got {dt}): the "
+            "blocked kernels key numpy arrays by 64-bit ids — map your "
+            "ids to longs first (e.g. xxhash64 or a join key table)"
+        )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -180,6 +194,7 @@ def cosine_neardup_pairs(
 
     import pandas as pd
 
+    _require_integral_id(df, id_col, "cosine_neardup_pairs")
     spark = df.sparkSession
     if num_blocks is None:
         # enough block pairs (B(B+1)/2) to feed every core at least once
@@ -295,6 +310,7 @@ def cosine_1nn_gemm(
 
     import pandas as pd
 
+    _require_integral_id(df, id_col, "cosine_1nn_gemm")
     spark = df.sparkSession
     if num_blocks is None:
         num_blocks = max(4, math.isqrt(2 * spark.sparkContext.defaultParallelism) + 1)
@@ -419,6 +435,7 @@ def ivf_assign(
     import numpy as np
     import pandas as pd
 
+    _require_integral_id(corpus, id_col, "ivf_assign")
     spark = corpus.sparkSession
     blocks = num_blocks or max(4, spark.sparkContext.defaultParallelism)
     c = corpus.select(
@@ -441,6 +458,14 @@ def ivf_assign(
         cos = (mat @ kmat.T) / np.outer(
             np.sqrt((mat * mat).sum(axis=1)), np.sqrt((kmat * kmat).sum(axis=1))
         )
+        # mask NaN (zero-norm vector OR zero-norm centroid) to -inf:
+        # np.argmax returns the first NaN's index, so one all-zero
+        # centroid would otherwise swallow EVERY vector in the block
+        # and collapse the index to a single bucket. A zero-norm
+        # vector (all--inf row) lands on the smallest centroid id —
+        # deterministic, and no worse than any other home for a vector
+        # with no defined cosine.
+        cos = np.where(np.isfinite(cos), cos, -np.inf)
         best = kpdf["cid"].to_numpy()[cos.argmax(axis=1)]
         return pd.DataFrame({"vid": cpdf["vid"].to_numpy(), "cid": best})
 
@@ -520,6 +545,9 @@ def kmeans_centroids(
         cos = (mat @ kmat.T) / np.outer(
             np.sqrt((mat * mat).sum(axis=1)), np.sqrt((kmat * kmat).sum(axis=1))
         )
+        # NaN mask (see ivf_assign): a zero-norm seed centroid must not
+        # swallow every vector via argmax-on-NaN
+        cos = np.where(np.isfinite(cos), cos, -np.inf)
         best = cos.argmax(axis=1)
         cids = kpdf["cid"].to_numpy()
         out = []
@@ -568,6 +596,7 @@ def ivf_topk(
     num_centroids: int = 64,
     nprobe: int = 12,
     kmeans_iters: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -586,7 +615,8 @@ def ivf_topk(
     assignment = ivf_assign(corpus, centroids, id_col, vec_col)
     bucketed = corpus.join(assignment, on=id_col)
     return _probe_and_score(
-        queries, centroids, bucketed, id_col, vec_col, k, nprobe
+        queries, centroids, bucketed, id_col, vec_col, k, nprobe,
+        exclude_self=exclude_self,
     )
 
 
@@ -598,6 +628,7 @@ def _probe_and_score(
     vec_col: str,
     k: int,
     nprobe: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Shared IVF query tail: route each query to its ``nprobe`` nearest
     centroids, then exact-score only the probed buckets."""
@@ -630,11 +661,14 @@ def _probe_and_score(
         )
     )
     qf = _with_norm(queries, id_col, vec_col, "q")
-    scored = (
-        F.broadcast(qf)
-        .join(sub, qf["q_id"] == sub["probe_query"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("dot", _dot_double(F.col("q_vec"), F.col("c_vec")))
+    scored = F.broadcast(qf).join(sub, qf["q_id"] == sub["probe_query"])
+    if exclude_self:
+        # pass False when query and corpus ids live in different
+        # namespaces (the cosine_topk contract): an id collision must
+        # not silently drop a true neighbor from the probe scoring
+        scored = scored.filter(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn(
+        "dot", _dot_double(F.col("q_vec"), F.col("c_vec"))
     )
     return _rank_topk(scored, k)
 
@@ -751,8 +785,16 @@ class IvfIndex:
         )
 
     def query(
-        self, queries: DataFrame, k: int = 5, nprobe: int = 12
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 12,
+        exclude_self: bool = True,
     ) -> DataFrame:
+        """Probe the index. ``exclude_self=False`` when query ids live
+        in a DIFFERENT namespace than the indexed corpus ids — with the
+        default, a coincidental id collision would silently drop that
+        corpus vector from the query's scoring."""
         bucketed = self.buckets().withColumn(
             "centroid_id", F.col("centroid_id").cast("long")
         )
@@ -764,6 +806,7 @@ class IvfIndex:
             self.vec_col,
             k,
             nprobe,
+            exclude_self=exclude_self,
         )
 
     def drift_stats(self) -> DataFrame:
@@ -1028,6 +1071,12 @@ class IncrementalEmbeddingDedup:
         ).distinct()
         survivors = batch.join(in_batch_reject, self.id_col, "left_anti")
         if not self.index.exists():
+            # materialize BEFORE build: the index build executes the
+            # blocked-GEMM in-batch dedup lineage once; returning the
+            # lazy plan would make the caller's first action run that
+            # whole O(n²/B·d) stage a second time (the sibling path
+            # below checkpoints for the same reason)
+            survivors = survivors.localCheckpoint(eager=True)
             IvfIndex.build(
                 survivors,
                 self.state_dir,
@@ -1072,6 +1121,7 @@ def jl_project(
     id_col: str = "vec_id",
     out_dim: int = 8,
     salt: str = "jl",
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss sign projection: reduce ``vec_col`` to
     ``out_dim`` dimensions with a deterministic ±1 projection matrix —
@@ -1092,9 +1142,25 @@ def jl_project(
     :func:`_rank_topk` convention) and hash-match the DuckDB twin.
 
     Scale: pure per-row whole-stage-codegen expression — no shuffle, no
-    explode, no UDF; O(d·out_dim) decimal adds per row.
+    explode, no UDF; O(d·out_dim) decimal adds per row. The sign matrix
+    depends only on (i, j, salt), so when the vector width is KNOWN
+    (``dim``), the d·out_dim md5 parities are computed ONCE driver-side
+    with hashlib and inlined as sign literals — per row only the
+    decimal adds remain, not d·out_dim hash invocations (bit-identical
+    output: same signs, same accumulation order; pinned by a test and
+    by the oracle hash). Without ``dim``, rows may have any width and
+    the hash runs per element (the original path).
     """
+    import hashlib
+
     from dataeng_azure_spotify_spark.functions.text import hash60
+
+    def _sign_py(i: int, j: int) -> int:
+        # hash60 twin: first 15 md5 hex chars as int, parity as sign
+        h = int(
+            hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[:15], 16
+        )
+        return 1 if h % 2 == 0 else -1
 
     def out_col(j: int):
         def term(x, i):
@@ -1111,11 +1177,19 @@ def jl_project(
                 F.when(parity == 0, xd).otherwise(-xd).cast(DOT_DECIMAL)
             )
 
-        s = F.aggregate(
-            F.transform(F.col(vec_col), term),
-            F.lit(0).cast(DOT_DECIMAL),
-            lambda acc, x: (acc + x).cast(DOT_DECIMAL),
-        ).cast("double")
+        if dim is not None:
+            acc = F.lit(0).cast(DOT_DECIMAL)
+            for i in range(dim):
+                xd = F.element_at(F.col(vec_col), i + 1).cast("double")
+                signed = (xd if _sign_py(i, j) > 0 else -xd).cast(DOT_DECIMAL)
+                acc = (acc + signed).cast(DOT_DECIMAL)
+            s = acc.cast("double")
+        else:
+            s = F.aggregate(
+                F.transform(F.col(vec_col), term),
+                F.lit(0).cast(DOT_DECIMAL),
+                lambda acc, x: (acc + x).cast(DOT_DECIMAL),
+            ).cast("double")
         return F.round(s / F.sqrt(F.lit(float(out_dim))), 12).alias(f"y{j}")
 
     # empty/NULL vectors are excluded (symmetric with the unnest-based

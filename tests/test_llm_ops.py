@@ -768,3 +768,109 @@ def test_cosine_1nn_gemm_zero_vector_does_not_poison_block(spark):
         for r in cosine_topk(emb, emb, k=1).collect()
     }
     assert got == exact  # ranks unchanged by the degenerate vector
+
+
+def test_ppjoin_prefix_ceiling_is_exact_rational(spark):
+    """The prefix length's ceiling must equal the EXACT rational
+    ⌈t·n⌉ for every (threshold, n) in a dense grid — float products
+    like 0.07x100 = 7.000000000000001 used to ceil to 8, shortening the
+    prefix and breaking the recall-1.0 contract. The 1e-9 backoff may
+    only ever LENGTHEN the prefix (never shorten), so equality here is
+    the strongest safe claim."""
+    from fractions import Fraction
+
+    rows = [(t_i, n) for t_i in range(1, 100) for n in range(1, 201)]
+    df = spark.createDataFrame(rows, "t_i int, n int")
+    got = df.select(
+        "t_i",
+        "n",
+        F.ceil(F.col("t_i") / 100.0 * F.col("n") - F.lit(1e-9)).alias("c"),
+    ).collect()
+    for r in got:
+        exact = -(-Fraction(r.t_i, 100) * r.n).__floor__()  # ceil
+        assert r.c == exact, (r.t_i / 100.0, r.n, r.c, exact)
+
+
+def test_ivf_assign_zero_vector_does_not_collapse_buckets(spark):
+    """An all-zero vector in the corpus — or worse, sampled as a k-means
+    seed — yields NaN cosines; np.argmax on NaN used to send EVERY
+    vector to that centroid, collapsing the index to one bucket."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = Catalog(spark, SF).load("embeddings").select("vec_id", "embedding")
+    zero = spark.createDataFrame(
+        [(777, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(zero)
+    # adversarial centroid set: a genuine centroid + the zero vector
+    cents = (
+        kmeans_centroids(emb, k=4, iters=0)
+        .limit(3)
+        .unionByName(
+            zero.select(
+                F.col("vec_id").alias("centroid_id"), F.col("embedding")
+            )
+        )
+    )
+    assign = ivf_assign(corpus, cents)
+    per_bucket = assign.groupBy("centroid_id").count().collect()
+    # NOT collapsed: the zero centroid must not own (almost) everything
+    sizes = {r.centroid_id: r["count"] for r in per_bucket}
+    assert sizes.get(777, 0) <= 1  # at most the zero vector itself
+    assert len(sizes) >= 2
+    assert assign.count() == corpus.count()  # nothing lost
+
+
+def test_similarity_kernels_reject_non_integral_ids(spark):
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        cosine_1nn_gemm,
+        cosine_neardup_pairs,
+        ivf_assign,
+    )
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    for fn in (cosine_neardup_pairs, cosine_1nn_gemm):
+        try:
+            fn(df)
+        except TypeError as e:
+            assert "integral" in str(e)
+        else:
+            raise AssertionError(f"{fn.__name__} accepted string ids")
+    try:
+        ivf_assign(df, df.withColumnRenamed("vec_id", "centroid_id"))
+    except TypeError as e:
+        assert "integral" in str(e)
+    else:
+        raise AssertionError("ivf_assign accepted string ids")
+
+
+def test_jl_project_literal_sign_path_bit_equal(spark):
+    """dim=<width> precomputes the sign matrix driver-side; output must
+    be BIT-identical to the per-element hash path (same signs, same
+    decimal accumulation order) — that identity is what keeps the
+    DuckDB oracle valid for the fast path."""
+    from dataeng_azure_spotify_spark.operators.similarity import jl_project
+
+    emb = Catalog(spark, SF).load("embeddings").limit(50)
+    slow = {r.vec_id: (r.y0, r.y1, r.y2, r.y3)
+            for r in jl_project(emb, out_dim=4).collect()}
+    fast = {r.vec_id: (r.y0, r.y1, r.y2, r.y3)
+            for r in jl_project(emb, out_dim=4, dim=64).collect()}
+    assert slow == fast and len(fast) == 50
+
+
+def test_ivm_empty_state_raises_clearly(spark, tmp_path):
+    from dataeng_azure_spotify_spark.operators.ivm import MaterializedAggregate
+
+    view = MaterializedAggregate(str(tmp_path / "view"), keys=["k"], sums={"s": "v"})
+    try:
+        view.current(spark)
+    except ValueError as e:
+        assert "no state yet" in str(e)
+    else:
+        raise AssertionError("empty-state current() did not raise clearly")
