@@ -2572,12 +2572,9 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic JL sign projection of the embeddings to 8 dims
-    (hash-derived ±1 matrix, decimal-exact accumulation). ``dim=64``
-    selects the literal-sign fast path — the fixture vectors are
-    fixed-width, so the 512 per-row md5 parities fold into driver-side
-    literals (bit-identical values; the oracle hash is the proof)."""
+    (hash-derived ±1 matrix, decimal-exact accumulation)."""
     cat = _cat(spark, sf_dir)
-    return jl_project(cat["embeddings"], out_dim=8, dim=64)
+    return jl_project(cat["embeddings"], out_dim=8)
 
 
 def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

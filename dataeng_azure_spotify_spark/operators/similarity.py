@@ -1143,13 +1143,14 @@ def jl_project(
 
     Scale: pure per-row whole-stage-codegen expression — no shuffle, no
     explode, no UDF; O(d·out_dim) decimal adds per row. The sign matrix
-    depends only on (i, j, salt), so when the vector width is KNOWN
-    (``dim``), the d·out_dim md5 parities are computed ONCE driver-side
-    with hashlib and inlined as sign literals — per row only the
-    decimal adds remain, not d·out_dim hash invocations (bit-identical
-    output: same signs, same accumulation order; pinned by a test and
-    by the oracle hash). Without ``dim``, rows may have any width and
-    the hash runs per element (the original path).
+    depends only on (i, j, salt); ``dim`` (when the vector width is
+    known and fixed) inlines the d·out_dim md5 parities as ±1.0
+    literals, bit-identical to the hash path (pinned by test). MEASURED
+    at 64-d/out 8/5k rows the two paths time the same — the decimal
+    fold, not the hashing, is the cost — so ``dim`` is an option for
+    much wider matrices, not a default. (A fully unrolled nested-add
+    variant was measured 12× SLOWER: deep expression nesting defeats
+    codegen; keep the higher-order fold shape.)
     """
     import hashlib
 
@@ -1178,12 +1179,26 @@ def jl_project(
             )
 
         if dim is not None:
-            acc = F.lit(0).cast(DOT_DECIMAL)
-            for i in range(dim):
-                xd = F.element_at(F.col(vec_col), i + 1).cast("double")
-                signed = (xd if _sign_py(i, j) > 0 else -xd).cast(DOT_DECIMAL)
-                acc = (acc + signed).cast(DOT_DECIMAL)
-            s = acc.cast("double")
+            # literal ±1.0 array + the SAME higher-order fold as the
+            # hash path: multiplying a double by ±1.0 is bit-identical
+            # to conditional negation, and keeping the zip_with/
+            # aggregate shape matters — an unrolled 64-deep nested
+            # (acc + x).cast chain was measured 12× SLOWER than the
+            # per-element-md5 original (deep expression nesting defeats
+            # codegen; the md5s were never the bottleneck)
+            signs = F.array(
+                *[F.lit(float(_sign_py(i, j))) for i in range(dim)]
+            )
+            prods = F.zip_with(
+                F.col(vec_col),
+                signs,
+                lambda x, sg: (x.cast("double") * sg).cast(DOT_DECIMAL),
+            )
+            s = F.aggregate(
+                prods,
+                F.lit(0).cast(DOT_DECIMAL),
+                lambda acc, x: (acc + x).cast(DOT_DECIMAL),
+            ).cast("double")
         else:
             s = F.aggregate(
                 F.transform(F.col(vec_col), term),
