@@ -198,10 +198,24 @@ class Engine:
         dropped again after it (``spark.sql`` resolves them eagerly, so
         the returned DataFrame keeps working); a pre-existing temp view
         with the same name is REPLACED for the session — pick fresh
-        names if you need to keep yours."""
+        names if you need to keep yours. A kwarg that collides with a
+        PERMANENT catalog table raises: the temp view would shadow that
+        table for every later query in the session (temp views resolve
+        first), which is never what the caller meant."""
+        pre_temp = {
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.tableType == "TEMPORARY" and t.namespace in (None, [], ())
+        }
         created = []
         for name, df in tables.items():
-            if not self.spark.catalog.tableExists(name):
+            if name not in pre_temp and self.spark.catalog.tableExists(name):
+                raise ValueError(
+                    f"Engine.sql view {name!r} collides with a permanent "
+                    "catalog table — the temp view would shadow it for the "
+                    "rest of the session; pick a different kwarg name"
+                )
+            if name not in pre_temp:
                 created.append(name)
             df.createOrReplaceTempView(name)
         out = self.spark.sql(query)

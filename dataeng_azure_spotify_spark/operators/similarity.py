@@ -462,9 +462,10 @@ def ivf_assign(
         # np.argmax returns the first NaN's index, so one all-zero
         # centroid would otherwise swallow EVERY vector in the block
         # and collapse the index to a single bucket. A zero-norm
-        # vector (all--inf row) lands on the smallest centroid id —
-        # deterministic, and no worse than any other home for a vector
-        # with no defined cosine.
+        # vector (all--inf row) argmaxes to frame index 0, which IS
+        # the smallest centroid id because kpdf was just sorted by
+        # cid above — deterministic, and no worse than any other home
+        # for a vector with no defined cosine.
         cos = np.where(np.isfinite(cos), cos, -np.inf)
         best = kpdf["cid"].to_numpy()[cos.argmax(axis=1)]
         return pd.DataFrame({"vid": cpdf["vid"].to_numpy(), "cid": best})
@@ -953,18 +954,22 @@ class IvfIndex:
             reassigned = (
                 moved if reassigned is None else reassigned.unionByName(moved)
             )
+        # `reassigned`'s lineage lazily reads the very bucket files the
+        # overwrite below replaces — materialize it FIRST (executor-side
+        # blocks, GC-reclaimed) so no task can re-read a replaced file
+        # after a speculative retry or driver-side re-execution
+        reassigned = reassigned.localCheckpoint(eager=True)
         # dynamic overwrite: only the partitions present in `reassigned`
-        # (= the split buckets and their new siblings) are replaced
-        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            reassigned.write.mode("overwrite").partitionBy(
-                "centroid_id"
-            ).parquet(self._buckets_path)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", old_mode
-            )
+        # (= the split buckets and their new siblings) are replaced.
+        # Scoped as a WRITER option, not a session-conf flip — a
+        # session-wide set would leak dynamic-overwrite semantics into
+        # queries planned concurrently on other threads.
+        (
+            reassigned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id")
+            .parquet(self._buckets_path)
+        )
         kept = self.centroids().filter(
             ~F.col("centroid_id").isin([int(c) for c in oversized])
         )
@@ -1178,6 +1183,11 @@ def jl_project(
                 F.when(parity == 0, xd).otherwise(-xd).cast(DOT_DECIMAL)
             )
 
+        hash_fold = F.aggregate(
+            F.transform(F.col(vec_col), term),
+            F.lit(0).cast(DOT_DECIMAL),
+            lambda acc, x: (acc + x).cast(DOT_DECIMAL),
+        ).cast("double")
         if dim is not None:
             # literal ±1.0 array + the SAME higher-order fold as the
             # hash path: multiplying a double by ±1.0 is bit-identical
@@ -1194,17 +1204,20 @@ def jl_project(
                 signs,
                 lambda x, sg: (x.cast("double") * sg).cast(DOT_DECIMAL),
             )
-            s = F.aggregate(
+            lit_fold = F.aggregate(
                 prods,
                 F.lit(0).cast(DOT_DECIMAL),
                 lambda acc, x: (acc + x).cast(DOT_DECIMAL),
             ).cast("double")
+            # width guard: zip_with NULL-pads the shorter side, so a
+            # vector whose length differs from the declared `dim` would
+            # silently project to NULL — fall back to the (bit-identical)
+            # hash fold for such rows instead
+            s = F.when(F.size(F.col(vec_col)) == dim, lit_fold).otherwise(
+                hash_fold
+            )
         else:
-            s = F.aggregate(
-                F.transform(F.col(vec_col), term),
-                F.lit(0).cast(DOT_DECIMAL),
-                lambda acc, x: (acc + x).cast(DOT_DECIMAL),
-            ).cast("double")
+            s = hash_fold
         return F.round(s / F.sqrt(F.lit(float(out_dim))), 12).alias(f"y{j}")
 
     # empty/NULL vectors are excluded (symmetric with the unnest-based

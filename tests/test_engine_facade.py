@@ -131,3 +131,31 @@ def test_engine_sql_cleans_up_created_views(spark):
     eng.sql("SELECT * FROM keep_v", keep_v=df).collect()
     assert spark.catalog.tableExists("keep_v")
     spark.catalog.dropTempView("keep_v")
+
+
+def test_engine_sql_refuses_permanent_table_shadowing(spark, tmp_path):
+    """A kwarg named like a PERMANENT table must raise — creating the
+    temp view would silently shadow that table for the whole session
+    (temp views win name resolution), and the old cleanup logic would
+    then never drop it (tableExists was true before the call)."""
+    from dataeng_azure_spotify_spark import Engine
+
+    eng = Engine(spark, SF)
+    df = spark.createDataFrame([(1,)], "x long")
+    spark.sql("DROP TABLE IF EXISTS perm_probe_t")
+    spark.createDataFrame([(9,)], "x long").write.mode("overwrite").option(
+        "path", str(tmp_path / "perm_probe_t")
+    ).saveAsTable("perm_probe_t")
+    try:
+        try:
+            eng.sql("SELECT * FROM perm_probe_t", perm_probe_t=df)
+        except ValueError as e:
+            assert "permanent" in str(e)
+        else:
+            raise AssertionError("permanent-table collision did not raise")
+        # and no shadowing temp view was left behind
+        assert (
+            spark.sql("SELECT x FROM perm_probe_t").collect()[0].x == 9
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS perm_probe_t")

@@ -864,6 +864,21 @@ def test_jl_project_literal_sign_path_bit_equal(spark):
     assert slow == fast and len(fast) == 50
 
 
+def test_jl_project_wrong_dim_falls_back_to_hash_path(spark):
+    """A `dim` that disagrees with the actual vector width must NOT
+    silently NULL every output (zip_with pads the short side with
+    NULLs): the width guard routes mismatched rows through the
+    bit-identical hash fold instead."""
+    from dataeng_azure_spotify_spark.operators.similarity import jl_project
+
+    emb = Catalog(spark, SF).load("embeddings").limit(20)
+    right = {r.vec_id: (r.y0, r.y1) for r in jl_project(emb, out_dim=2).collect()}
+    wrong = {r.vec_id: (r.y0, r.y1)
+             for r in jl_project(emb, out_dim=2, dim=63).collect()}
+    assert wrong == right
+    assert all(y0 is not None for y0, _ in wrong.values())
+
+
 def test_ivm_empty_state_raises_clearly(spark, tmp_path):
     from dataeng_azure_spotify_spark.operators.ivm import MaterializedAggregate
 
