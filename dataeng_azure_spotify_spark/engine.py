@@ -38,6 +38,7 @@ from .functions import text as _text
 from .observability import RunLog
 from .operators import analytics as _analytics
 from .operators import asof as _asof
+from .operators import cluster_index as _cluster_index
 from .operators import curation as _curation
 from .operators import dedup as _dedup
 from .operators import graph as _graph
@@ -96,6 +97,7 @@ class Engine:
             simhash_pairs=_dedup.simhash_neardup_pairs,
             incremental=_dedup.IncrementalDedup,
             incremental_lsh=_dedup.IncrementalLsh,
+            labels_index=_cluster_index.NearDupLabels,
         )
         self.graph = SimpleNamespace(
             components=_graph.connected_components,

@@ -1,0 +1,474 @@
+"""Persisted near-dup cluster index (``NearDupLabels``) — the
+:class:`..similarity.IvfIndex` pattern applied to the clusters family.
+
+Reference parity: the reference's dedup surface stops at per-key
+``dropDuplicates`` (``local_spotify_dab/src/silver/Silver_Dimensions.py``);
+corpus-wide near-dup *cluster labels* are part of the beyond-reference
+LLM-curation tier. Every clusters-family consumer (leakage-safe splits,
+per-source dup rates, survivor selection, cluster dashboards) needs the
+same ``(doc_id, cluster_id)`` labeling — at 100 TB nobody recomputes
+pair-generation + connected-components per dashboard query. This module
+makes the labeling a BUILT ARTIFACT with incremental maintenance:
+
+- ``build`` runs the exact n-gram-Jaccard PPJoin + connected components
+  ONCE and lands three artifacts under ``path``:
+
+  - ``labels/`` — ``(doc_id, cluster_id)`` for every document,
+    hash-partitioned by ``bucket = cluster_id mod num_buckets`` so a
+    later merge rewrites only the touched buckets;
+  - ``shingles/`` — each doc's distinct shingle-hash set (the
+    verification side of future appends), partitioned by the run that
+    admitted it;
+  - ``prefix/`` — the PPJoin prefix inverted index under the
+    **hash-value total order** (see below), the candidate side of
+    future appends.
+
+- ``append`` admits new documents incrementally: candidate edges are
+  generated ONLY for the new docs (new×new prefix self-join plus
+  new×old prefix probe against the stored index — never a corpus-wide
+  re-join), verified exactly, and the label table is re-converged only
+  for the touched components (old clusters contract to their label, so
+  the incremental CC runs on a graph of new docs + touched cluster
+  representatives — O(batch), not O(corpus)). Only label buckets that
+  gain, lose, or relabel rows are rewritten (dynamic partition
+  overwrite).
+
+Prefix-order note: the batch joins in :mod:`.dedup` order shingles
+rarest-first (a candidate-count optimization that needs a corpus-wide
+frequency pass). The PPJoin recall-1.0 lemma holds for ANY total order
+shared by both sides, so the index uses the shingle HASH VALUE
+ascending instead: per-doc computable with no global statistics, hence
+stable across appends — a new doc's prefix is comparable against
+prefixes stored years earlier without re-ranking the corpus. The
+verified pair set (and therefore the labels) is identical either way;
+only the candidate count differs.
+
+Exactly-once appends: shingle/prefix writes land in per-run partitions
+(idempotent overwrite), the label rewrite is a deterministic function
+of (pre-run state, batch) and deduplicates on ``doc_id``, and a run
+marker commits last — a replay of a crashed ``append`` (same
+``run_id``) recomputes against the pre-run state (the run's own
+partitions are excluded from the "old" side) and converges to the same
+labels. A marker that exists short-circuits to a no-op. This is the
+contract :mod:`..streaming.admission` relies on to maintain the index
+from a checkpointed stream (see ``labels_index`` there).
+
+Scale notes (100 TB): per-append work is O(batch × candidates) for
+pair generation, O(touched components) for the CC re-converge, and
+O(touched buckets) for the label rewrite. The one corpus-proportional
+cost is a columnar scan of the 2-column label table to look up the old
+endpoints' labels (labels are partitioned by CLUSTER bucket — the
+rewrite locality — so a doc-keyed lookup cannot prune partitions);
+batching appends amortizes it, and the scan carries no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _doc_shingle_hashes, _verify_jaccard
+from .graph import connected_components
+
+#: run tag for the initial build's shingle/prefix partitions.
+BUILD_RUN = "build"
+
+#: fixed artifact schemas — reads are schema-explicit so an EMPTY index
+#: (``init`` + streaming appends from scratch) behaves identically to a
+#: built one: a dir holding only ``_SUCCESS`` reads as zero rows instead
+#: of failing schema inference.
+LABELS_SCHEMA = "doc_id long, cluster_id long, bucket int"
+SHINGLES_SCHEMA = "doc long, hshingles array<long>, n_sh int, run string"
+PREFIX_SCHEMA = "doc long, s long, run string"
+
+
+def _prefix_len(threshold: float):
+    """PPJoin prefix bound ``n_sh − ⌈t·n_sh⌉ + 1`` with the 1e-9 ceil
+    backoff (float products like 0.07×100 = 7.000000000000001 would
+    shorten the prefix and break recall — see dedup.py)."""
+    return (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
+
+
+def _explode_prefix(sh: DataFrame, threshold: float) -> DataFrame:
+    """(doc, s) prefix rows under the hash-ascending total order.
+    ``sh`` must carry sorted ``hshingles`` (build/append store them
+    sorted, so the slice IS the order-prefix)."""
+    return sh.select(
+        "doc",
+        F.explode(
+            F.slice(F.col("hshingles"), 1, _prefix_len(threshold))
+        ).alias("s"),
+    )
+
+
+class NearDupLabels:
+    """Persisted ``(doc_id, cluster_id)`` near-dup labeling with
+    incremental append — build once, consume from every curation query.
+    """
+
+    SHINGLES = "shingles"
+    PREFIX = "prefix"
+    LABELS = "labels"
+    RUNS = "runs"
+    META = "meta"
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self._shingles_path = os.path.join(path, self.SHINGLES)
+        self._prefix_path = os.path.join(path, self.PREFIX)
+        self._labels_path = os.path.join(path, self.LABELS)
+        self._runs_path = os.path.join(path, self.RUNS)
+        self._meta_path = os.path.join(path, self.META)
+        self._meta: dict | None = None
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        n: int = 3,
+        num_buckets: int = 64,
+    ) -> "NearDupLabels":
+        idx = cls(docs.sparkSession, path)
+        sh = (
+            _doc_shingle_hashes(docs, text_col, id_col, n)
+            .withColumn("doc", F.col("doc").cast("long"))
+            .withColumn("hshingles", F.array_sort("hshingles"))
+            .localCheckpoint(eager=True)  # feeds prefix, verify, and the sink
+        )
+        prefix = _explode_prefix(sh, threshold)
+        a, b = prefix.alias("a"), prefix.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
+        pairs = _verify_jaccard(candidates, sh, threshold, shingle_col="hshingles")
+        labels = connected_components(
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            nodes=docs.select(F.col(id_col).cast("long").alias("node")),
+        ).select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        idx._write_labels(
+            labels.withColumn(
+                "bucket", F.pmod(F.col("cluster_id"), F.lit(num_buckets)).cast("int")
+            ),
+            mode="overwrite",
+        )
+        idx._write_run_partitions(sh, prefix, BUILD_RUN)
+        idx.spark.createDataFrame(
+            [(threshold, n, num_buckets, text_col, id_col)],
+            "threshold double, n int, num_buckets int, text_col string, id_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+        idx._mark_run(BUILD_RUN)
+        return idx
+
+    @classmethod
+    def init(
+        cls,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        n: int = 3,
+        num_buckets: int = 64,
+    ) -> "NearDupLabels":
+        """Create an EMPTY index (meta only) — the from-scratch streaming
+        entry point: every document then arrives through :meth:`append`
+        (e.g. via ``streaming.admission.run_admission_stream`` with
+        ``labels_index=``). Schema-explicit reads make the empty state a
+        first-class citizen: ``labels()`` is zero rows, the first append
+        sees an empty old side and degenerates to a pure batch build of
+        that batch."""
+        idx = cls(spark, path)
+        spark.createDataFrame(
+            [(threshold, n, num_buckets, text_col, id_col)],
+            "threshold double, n int, num_buckets int, text_col string, id_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+        return idx
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "NearDupLabels":
+        return cls(spark, path)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            self._meta = self.spark.read.parquet(self._meta_path).first().asDict()
+        return self._meta
+
+    # -- read surface ---------------------------------------------------
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Schema-explicit artifact read; a missing or file-less dir
+        (fresh ``init``, or a crashed first append) is zero rows, never a
+        schema-inference failure."""
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def labels(self) -> DataFrame:
+        """(doc_id, cluster_id) for every admitted document."""
+        return self._read_or_empty(self._labels_path, LABELS_SCHEMA).select(
+            "doc_id", "cluster_id"
+        )
+
+    def with_sizes(self) -> DataFrame:
+        """(doc_id, cluster_id, cluster_size)."""
+        lab = self.labels()
+        sizes = lab.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size")
+        )
+        return lab.join(sizes, "cluster_id").select(
+            "doc_id", "cluster_id", "cluster_size"
+        )
+
+    def runs(self) -> list[str]:
+        if not os.path.exists(self._runs_path):
+            return []
+        return [
+            r["run_id"]
+            for r in self.spark.read.parquet(self._runs_path).collect()  # O(runs)
+        ]
+
+    # -- incremental maintenance ---------------------------------------
+    def append(self, new_docs: DataFrame, run_id: str) -> DataFrame:
+        """Admit ``new_docs`` into the labeling; returns their labels.
+
+        Candidate edges are generated only for the batch (new×new +
+        new×old prefix probes); the CC re-converge runs on the
+        contracted graph of new docs + touched cluster reps; only
+        touched label buckets are rewritten. Replaying a committed
+        ``run_id`` is a no-op; replaying a CRASHED run recomputes
+        deterministically against the pre-run state (the run's own
+        shingle/prefix partitions are excluded from the old side).
+        """
+        if run_id == BUILD_RUN:
+            raise ValueError(f"run_id {BUILD_RUN!r} is reserved for build()")
+        meta = self.meta
+        threshold = float(meta["threshold"])
+        nb = int(meta["num_buckets"])
+        text_col, id_col = meta["text_col"], meta["id_col"]
+        new_ids = new_docs.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ).distinct()
+        if run_id in self.runs():  # committed replay → already admitted
+            return self.labels().join(new_ids, "doc_id")
+
+        replaying = os.path.exists(
+            os.path.join(self._shingles_path, f"run={run_id}")
+        )
+        if not replaying:
+            # id-collision guard (O(batch) join against the 2-col label
+            # scan): admitting an id twice under DIFFERENT run_ids would
+            # corrupt the labeling silently
+            dup = self.labels().join(new_ids, "doc_id").limit(1).count()
+            if dup:
+                raise ValueError(
+                    "append: some doc ids are already in the index — "
+                    "each document may be admitted once (replays must "
+                    "reuse the original run_id)"
+                )
+
+        new_sh = (
+            _doc_shingle_hashes(new_docs, text_col, id_col, int(meta["n"]))
+            .withColumn("doc", F.col("doc").cast("long"))
+            .withColumn("hshingles", F.array_sort("hshingles"))
+            .localCheckpoint(eager=True)
+        )
+        new_prefix = _explode_prefix(new_sh, threshold)
+        # land the run's shingle/prefix partitions BEFORE any label
+        # mutation: their existence is the in-flight marker that routes
+        # a crashed attempt's replay past the double-admit guard. They
+        # are excluded from the old side below by run_id, and the write
+        # itself is an idempotent dynamic overwrite of run=<id>.
+        self._write_run_partitions(new_sh, new_prefix, run_id)
+        old_sh = self._old_side(self._shingles_path, run_id)
+        old_prefix = self._old_side(self._prefix_path, run_id)
+
+        a, b = new_prefix.alias("a"), new_prefix.alias("b")
+        cand_nn = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        )
+        np_, op_ = new_prefix.alias("np"), old_prefix.alias("op")
+        cand_no = (
+            np_.join(op_, F.col("np.s") == F.col("op.s"))
+            .select(
+                F.least("np.doc", "op.doc").alias("doc_a"),
+                F.greatest("np.doc", "op.doc").alias("doc_b"),
+            )
+        )
+        candidates = cand_nn.union(cand_no).distinct()
+        sh_all = old_sh.select("doc", "hshingles", "n_sh").union(
+            new_sh.select("doc", "hshingles", "n_sh")
+        )
+        pairs = _verify_jaccard(candidates, sh_all, threshold, shingle_col="hshingles")
+
+        # contract old endpoints to their cluster label; new docs keep
+        # their own id (they have no label yet). The label lookup is the
+        # one corpus-proportional read — a 2-column columnar scan.
+        old_lab = self.labels()
+        e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        lu = old_lab.select(F.col("doc_id").alias("u"), F.col("cluster_id").alias("lu"))
+        lv = old_lab.select(F.col("doc_id").alias("v"), F.col("cluster_id").alias("lv"))
+        contracted = (
+            e.join(lu, "u", "left")
+            .join(lv, "v", "left")
+            .select(
+                F.coalesce("lu", "u").alias("src"),
+                F.coalesce("lv", "v").alias("dst"),
+            )
+        )
+        universe = (
+            new_ids.select(F.col("doc_id").alias("node"))
+            .union(contracted.select(F.col("src").alias("node")))
+            .union(contracted.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        comp = connected_components(contracted, nodes=universe).localCheckpoint(
+            eager=True
+        )  # read 3× below (relabel map, new labels, bucket set)
+
+        # relabel map for old clusters that merged into a smaller min.
+        # Contracted nodes that are NEW doc ids are not stored cluster
+        # ids — anti-join them out so they can't mark label buckets as
+        # affected (new_ids is O(batch), broadcastable)
+        relmap = (
+            comp.filter(F.col("node") != F.col("component"))
+            .join(
+                F.broadcast(new_ids.select(F.col("doc_id").alias("node"))),
+                "node",
+                "left_anti",
+            )
+            .select(
+                F.col("node").alias("cluster_id"),
+                F.col("component").alias("new_cluster"),
+            )
+        )
+        new_labels = (
+            new_ids.join(
+                comp.select(F.col("node").alias("doc_id"), "component"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("component", "doc_id").alias("cluster_id"),
+            )
+        )
+        # affected buckets: where relabeled rows leave, where they land,
+        # and where the new docs' labels land — O(num_buckets) driver list
+        bucket = lambda c: F.pmod(F.col(c), F.lit(nb)).cast("int")  # noqa: E731
+        affected = {
+            int(r["b"])
+            for r in relmap.select(bucket("cluster_id").alias("b"))
+            .union(relmap.select(bucket("new_cluster").alias("b")))
+            .union(new_labels.select(bucket("cluster_id").alias("b")))
+            .distinct()
+            .collect()
+        }
+        if affected:
+            current = self._read_or_empty(self._labels_path, LABELS_SCHEMA).filter(
+                F.col("bucket").isin(sorted(affected))
+            )
+            rewritten = (
+                current.join(relmap, "cluster_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("new_cluster", "cluster_id").alias("cluster_id"),
+                )
+                .union(new_labels)
+                .dropDuplicates(["doc_id"])  # crash-replay safety
+                .withColumn("bucket", bucket("cluster_id"))
+                # the rewrite reads the very files it replaces —
+                # materialize first (the rebalance discipline)
+                .localCheckpoint(eager=True)
+            )
+            (
+                rewritten.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self._labels_path)
+            )
+            # dynamic overwrite replaces only partitions PRESENT in the
+            # data — an affected bucket whose every row relabeled into
+            # another bucket is absent from `rewritten` and would keep
+            # its stale rows. Drop those emptied partitions explicitly.
+            # Crash window (write committed, clean not yet run): the
+            # replay re-derives the same relmap from the duplicated
+            # labels and re-runs this clean — converges.
+            kept = {
+                int(r["bucket"])
+                for r in rewritten.select("bucket").distinct().collect()
+            }
+            self._clean_emptied(affected - kept)
+        self._mark_run(run_id)
+        return self.labels().join(new_ids, "doc_id")
+
+    # -- internals ------------------------------------------------------
+    def _old_side(self, path: str, run_id: str) -> DataFrame:
+        """Stored run partitions EXCLUDING ``run_id`` — a crashed
+        attempt's own partial partitions must not contaminate the
+        replay's 'old corpus' side."""
+        schema = (
+            SHINGLES_SCHEMA if path == self._shingles_path else PREFIX_SCHEMA
+        )
+        return (
+            self._read_or_empty(path, schema)
+            .filter(F.col("run") != run_id)
+            .drop("run")
+        )
+
+    def _write_run_partitions(
+        self, sh: DataFrame, prefix: DataFrame, run_id: str
+    ) -> None:
+        for df, path in ((sh, self._shingles_path), (prefix, self._prefix_path)):
+            (
+                df.withColumn("run", F.lit(run_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run")
+                .parquet(path)
+            )
+
+    def _clean_emptied(self, buckets: set[int]) -> None:
+        """Remove label partitions every row of which relabeled away
+        (local-FS delete; a cluster deployment swaps in the Hadoop
+        FileSystem API, same as ``exists``)."""
+        import shutil
+
+        for b in buckets:
+            d = os.path.join(self._labels_path, f"bucket={b}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
+    def _write_labels(self, bucketed: DataFrame, mode: str) -> None:
+        bucketed.write.mode(mode).partitionBy("bucket").parquet(self._labels_path)
+
+    def _mark_run(self, run_id: str) -> None:
+        self.spark.createDataFrame([(run_id,)], "run_id string").coalesce(
+            1
+        ).write.mode("append").parquet(self._runs_path)

@@ -62,6 +62,29 @@ _LAST_STAR_ROUNDS = 0
 #: per call costs planning, not execution).
 _LAST_PR_ROUND_PLAN = ""
 
+#: serializes the legacy conf-flip fallback in :func:`_aqe_off_child`
+#: (only used when the cross-session plan transfer is unavailable)
+import threading as _threading
+
+_PR_SETUP_LOCK = _threading.Lock()
+
+
+def _cross_session(df: DataFrame, target) -> DataFrame | None:
+    """Re-bind ``df``'s logical plan to ``target`` (a sibling
+    SparkSession on the same SparkContext). Works for checkpointed
+    lineages — LogicalRDD leaves carry their RDD, schema, AND captured
+    output partitioning as plain fields, so the transfer preserves the
+    partitioning capture pagerank depends on. Returns None if the
+    (internal) classic Dataset.ofRows entry point is unavailable."""
+    try:
+        jvm = df.sparkSession._jvm
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            target._jsparkSession, df._jdf.logicalPlan()
+        )
+        return DataFrame(jdf, target)
+    except Exception:
+        return None
+
 
 def _large_star(directed: DataFrame) -> DataFrame:
     """One large-star round.
@@ -369,13 +392,17 @@ def pagerank(
     feed the undirected pair list both ways (u→v and v→u) and the rank
     orders documents by how centrally duplicated they are.
 
-    Session note: the three cheap setup materializations run with
-    ``spark.sql.adaptive.enabled`` briefly forced off on the SHARED
-    session conf (the partitioning capture needs it — see the inline
-    comment); queries planned concurrently on other threads of the same
-    session during that window lose AQE. On a multi-tenant session,
-    serialize pagerank calls with other planning, or run them on their
-    own session.
+    Session note: the three cheap setup materializations need
+    ``spark.sql.adaptive.enabled`` off at checkpoint time (the
+    partitioning capture — see the inline comment). They run on a
+    PRIVATE child session (``spark.newSession()`` shares the
+    SparkContext but owns its SQLConf), so the caller's session conf is
+    never touched and queries planned concurrently on other threads
+    keep AQE; the checkpointed results transfer back via their logical
+    plans, partitioning capture intact. If the cross-session transfer
+    entry point is unavailable, the legacy conf-flip fallback runs
+    under a module lock (save/restore serialized — concurrent pagerank
+    calls can no longer persist each other's saved value).
     """
     # one materialization of the (possibly expensive) edge lineage —
     # nodes/degrees/rounds all derive from this checkpoint, so upstream
@@ -402,10 +429,9 @@ def pagerank(
     # near-empty-task overhead on small inputs
     n_part = max(1, e0.rdd.getNumPartitions())
     aqe_key = "spark.sql.adaptive.enabled"
-    old_aqe = spark.conf.get(aqe_key, "true")
-    spark.conf.set(aqe_key, "false")
-    try:
-        e = e0.repartition(n_part, "s").localCheckpoint(eager=True)
+
+    def _setup(e_in):
+        e = e_in.repartition(n_part, "s").localCheckpoint(eager=True)
         srcs = e.select("s").distinct().withColumn("has_out", F.lit(True))
         # node table carries the FIXED dangling flag (no out-edges):
         # the per-round dangling mass is then just Σ rank over flagged
@@ -426,8 +452,28 @@ def pagerank(
         # makes this join itself exchange-free): every iteration joins
         # against this fixed layout instead of re-shuffling the edge side
         ed = e.join(deg, on="s").localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(aqe_key, old_aqe)
+        return nodes, ed
+
+    # preferred path: AQE-off lives on a PRIVATE child session — the
+    # shared conf is never mutated, concurrent planning keeps AQE
+    nodes = ed = None
+    child = spark.newSession()
+    child.conf.set(aqe_key, "false")
+    e0_child = _cross_session(e0, child)
+    if e0_child is not None:
+        nodes_c, ed_c = _setup(e0_child)
+        nodes = _cross_session(nodes_c, spark)
+        ed = _cross_session(ed_c, spark)
+    if nodes is None or ed is None:
+        # fallback (transfer entry point unavailable): legacy conf flip,
+        # serialized so concurrent calls can't restore a stale value
+        with _PR_SETUP_LOCK:
+            old_aqe = spark.conf.get(aqe_key, "true")
+            spark.conf.set(aqe_key, "false")
+            try:
+                nodes, ed = _setup(e0)
+            finally:
+                spark.conf.set(aqe_key, old_aqe)
     n = nodes.count()
     if n == 0:
         return nodes.select("node").withColumn("rank", F.lit(0.0))

@@ -59,6 +59,7 @@ def run_admission_stream(
     checkpoint: str,
     text_col=_UNSET,
     id_col=_UNSET,
+    labels_index=None,
 ):
     """Bounded (``availableNow``) checkpointed admission run.
 
@@ -73,6 +74,17 @@ def run_admission_stream(
     embedding admitter, for example, fixes its id column at
     construction — silently dropping an explicit override would run the
     stream against the wrong column with no pointer to the cause).
+
+    ``labels_index``: an optional :class:`...operators.cluster_index.
+    NearDupLabels` — each epoch's ADMITTED survivors are appended to it
+    under the same namespaced run_id, so streaming ingest maintains the
+    very cluster-label artifact batch curation reads (leakage-safe
+    splits, dup-rate dashboards) instead of leaving admitted docs
+    unlabeled. Exactly-once composes: the admitter's run-tracked state
+    makes a replayed epoch admit identical rows, the sink overwrite is
+    idempotent, and ``NearDupLabels.append`` is itself replay-safe for
+    a crashed or committed run_id — whichever of the three steps the
+    crash interrupts, the re-delivered epoch converges.
     """
     admit_params = set(inspect.signature(admitter.admit).parameters)
     if "run_id" not in admit_params:
@@ -93,12 +105,16 @@ def run_admission_stream(
     ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        admitted = admitter.admit(
-            batch, run_id=f"{ns}-epoch-{epoch_id}", **extra
-        )
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(output_dir, f"epoch={epoch_id}")
-        )
+        run_id = f"{ns}-epoch-{epoch_id}"
+        admitted = admitter.admit(batch, run_id=run_id, **extra)
+        epoch_path = os.path.join(output_dir, f"epoch={epoch_id}")
+        admitted.write.mode("overwrite").parquet(epoch_path)
+        if labels_index is not None:
+            # label the epoch's survivors from their landed parquet (one
+            # deterministic snapshot — re-running the admit lineage here
+            # could double-execute non-idempotent admitter state reads)
+            spark = batch.sparkSession
+            labels_index.append(spark.read.parquet(epoch_path), run_id=run_id)
 
     q = (
         source.writeStream.foreachBatch(handle)

@@ -232,3 +232,37 @@ def test_pagerank_empty_graph(spark):
 
     edges = spark.createDataFrame([Row(src=1, dst=2)]).filter("src > 99")
     assert pagerank(edges).count() == 0
+
+
+def test_pagerank_setup_never_touches_shared_session_conf(spark, monkeypatch):
+    """The AQE-off window must live on pagerank's PRIVATE child session:
+    any set() against the CALLER's session conf during the call is a
+    regression to the shared-conf flip (concurrent planners on other
+    threads would silently lose AQE)."""
+    from pyspark.sql import Row
+    from pyspark.sql.conf import RuntimeConfig
+
+    from dataeng_azure_spotify_spark.operators import graph as graph_mod
+    from dataeng_azure_spotify_spark.operators.graph import pagerank
+
+    # the preferred cross-session path must be live in this environment
+    # (the conf-flip fallback exists only for future entry-point moves)
+    probe = spark.range(3).localCheckpoint(eager=True)
+    child = spark.newSession()
+    assert graph_mod._cross_session(probe, child) is not None
+
+    parent_jconf = spark.conf._jconf
+    real_set = RuntimeConfig.set
+    touched = []
+
+    def recording_set(self, key, value):
+        if self._jconf.equals(parent_jconf):
+            touched.append((key, value))
+        return real_set(self, key, value)
+
+    monkeypatch.setattr(RuntimeConfig, "set", recording_set)
+    edges = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3)])
+    out = {r.node: r.rank for r in pagerank(edges, iters=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert touched == [], touched
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -30,6 +30,7 @@ def plans(spark):
         "tpch_q6", "tpch_q13", "tpch_q19", "tpch_q21",
         "tpch_q2", "tpch_q17", "tpch_q20", "ann_ivf_index_topk",
         "tfidf_top_terms", "bm25_search", "cap_per_source", "sample_exact_n",
+        "star_join_asof",
     )}
 
 
@@ -51,6 +52,19 @@ def test_star_join_broadcasts_every_dim(plans):
     # 6 dims -> 6 broadcast joins, and the fact side never shuffles:
     assert p.count("BroadcastHashJoin") == 6
     assert "SortMergeJoin" not in p
+
+
+def test_star_join_asof_broadcasts_both_scd2_dims(plans):
+    """Point-in-time star query: both SCD2 dims broadcast; the fact
+    (probe) side streams through the two joins with no shuffle and no
+    sort — at 100 TB the fact side is the side that must never move."""
+    p = plans["star_join_asof"]
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    # the only Exchanges allowed are inside the (broadcast) dim builds,
+    # where the SCD2 LEAD window shuffles the small pre-watermark side
+    fact_side = p.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in fact_side
 
 
 def test_star_agg_is_partial_then_final(plans):
@@ -236,7 +250,12 @@ def test_ngram_lm_no_cartesian_and_partial_aggs(spark):
 
 
 def test_pca_project_is_shuffle_free_and_jvm_only(spark):
-    p = _plan(entry.queries()["pca_project"](spark, SF))
+    # the OPERATOR's scoring pass (the r7 self-certifying driver query
+    # adds a certificate aggregation on top, which rightly shuffles)
+    from dataeng_azure_spotify_spark.operators.pca import pca_fit, pca_project
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    p = _plan(pca_project(emb, pca_fit(emb, k=4)))
     # projection compiles to literal-array folds: scan -> project, no
     # exchange and no Python in the scoring pass
     assert "Exchange" not in p

@@ -655,3 +655,73 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(spark, tmp_pa
     rows = {(r.view_id, r.click_id) for r in spark.read.parquet(sink).collect()}
     assert (1, 10) in rows
     assert (2, None) in rows
+
+
+def test_admission_stream_maintains_labels_index(spark, tmp_path):
+    """Streaming ingest maintains the SAME NearDupLabels artifact batch
+    curation reads: stream N batches through the admission front-end
+    with labels_index= → the artifact's labels equal a from-scratch
+    batch build over the union of admitted survivors."""
+    from dataeng_azure_spotify_spark.operators.cluster_index import NearDupLabels
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalLsh
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        read_admitted,
+        run_admission_stream,
+    )
+
+    b1 = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=2, text="one two three four five six seven eight"),
+    ]
+    b2 = [
+        # LSH threshold 0.9 admits this J≈0.56 near-dup of doc 1; the
+        # label index (threshold 0.5) then clusters it WITH doc 1 —
+        # admission policy and labeling threshold are independent knobs
+        Row(doc_id=10, text="alpha beta gamma delta epsilon zeta eta iota"),
+        Row(doc_id=11, text="completely different vocabulary in this row here"),
+    ]
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    idx = NearDupLabels.init(spark, str(tmp_path / "ndl"), threshold=0.5)
+
+    def drain():
+        src = spark.readStream.schema(_DOC_SCHEMA).parquet(inp)
+        adm = IncrementalLsh(spark, str(tmp_path / "state_s"), threshold=0.9)
+        run_admission_stream(
+            src, adm, out, str(tmp_path / "chk"), labels_index=idx
+        )
+
+    _write_batch(spark, inp, b1)
+    drain()
+    _write_batch(spark, inp, b2)
+    drain()
+
+    admitted = read_admitted(spark, out)
+    assert _ids(admitted) == [1, 2, 10, 11]
+    got = {
+        (r.doc_id, r.cluster_id) for r in idx.labels().collect()
+    }
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in NearDupLabels.build(
+            admitted, str(tmp_path / "ndl_batch"), threshold=0.5
+        ).labels().collect()
+    }
+    assert got == want
+    assert (10, 1) in got  # near-dup clustered with doc 1 across epochs
+
+    # replayed epoch (same run_id): labels unchanged, no duplicates
+    import hashlib
+    import os as _os
+
+    ns = hashlib.md5(
+        _os.path.abspath(str(tmp_path / "chk")).encode()
+    ).hexdigest()[:12]
+    adm = IncrementalLsh(spark, str(tmp_path / "state_s"), threshold=0.9)
+    replay = adm.admit(
+        spark.createDataFrame(b2, _DOC_SCHEMA), run_id=f"{ns}-epoch-1"
+    )
+    idx.append(replay, run_id=f"{ns}-epoch-1")
+    assert {
+        (r.doc_id, r.cluster_id) for r in idx.labels().collect()
+    } == want
+    assert idx.labels().count() == 4
