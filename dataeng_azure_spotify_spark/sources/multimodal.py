@@ -8,12 +8,22 @@ round-trip through Python row-at-a-time. Batches arrive as
 ``pandas.Series`` of ``bytes`` — the natural unit for handing to a codec
 library.
 
-The actual codecs (PIL/torchaudio/av) are NOT available in this
-environment, so the decode kernel is stubbed: by default it raises
-``NotImplementedError`` naming the missing dependency; with
-``fake=True`` it computes a deterministic fake "feature" (byte-level
-stats) so the Spark-side plumbing — schema, batching, partitioning,
-output shape — is fully exercised and tested.
+Codec support is tiered (r7):
+
+- **Real decode, stdlib-only** (:func:`extract_real_features`): WAV-PCM
+  via the stdlib ``wave`` module and PNG via ``zlib`` inflate + a numpy
+  scanline unfilter (all five PNG filter types; 8-bit gray/RGB/RGBA).
+  No external codec library involved — the formats whose containers the
+  standard library can open get genuinely decoded, and the features
+  (sample rate, RMS, pixel means, dimensions) come from the decoded
+  samples/pixels, not the container bytes.
+- **Honest stub** for everything else (JPEG/H.264/...): the compressed
+  codecs genuinely need PIL/pyav, which are not installed here, so the
+  kernel raises ``NotImplementedError`` naming the missing dependency.
+- ``fake=True`` on :func:`extract_features` keeps the deterministic
+  byte-stat path — the cross-engine-oracle leg (an external SQL engine
+  can recompute byte stats from the source text; it cannot re-run a
+  codec).
 
 Scale notes: media rows are large and skew-prone. ``repartition_for_media``
 re-partitions by a target partition byte budget *before* the UDF stage so
@@ -85,6 +95,189 @@ def _decode_batch(payloads: pd.Series, modality: str, fake: bool) -> pd.DataFram
     return pd.DataFrame(
         {"n_bytes": n_bytes, "byte_mean": means, "byte_entropy_proxy": ent}
     )
+
+
+#: Real-decode feature row: container-level dims + sample/pixel stats.
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),  # wav | png
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("mean_value", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def _decode_wav(payload: bytes):
+    """WAV-PCM → (float64 samples in [-1, 1), n_channels, sample_rate)
+    — stdlib ``wave`` for the container, numpy for the PCM block."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} not supported")
+    return x, nch, rate
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes):
+    """PNG → (uint8 array [h, w, channels], width, height) — pure
+    ``zlib`` inflate + numpy scanline unfilter (all 5 filter types).
+    8-bit depth, non-interlaced; anything else raises (honest about the
+    subset a stdlib decoder can cover)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "outside the stdlib decoder's 8-bit non-interlaced subset"
+                )
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, ch = meta
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, line = int(rows[y, 0]), rows[y, 1:]
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] — a per-
+            # channel-stride cumulative sum; uint8 accumulate wraps mod
+            # 256, exactly the PNG spec arithmetic
+            out[y] = np.add.accumulate(
+                line.reshape(-1, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f == 2:  # Up — vectorized over the full scanline
+            out[y] = line + up
+        elif f in (3, 4):  # Average / Paeth need the left RECON value —
+            # inherently sequential per pixel; plain loop (decode cost
+            # is dominated by inflate for real images)
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(up[i])
+                if f == 3:
+                    cur[i] = (int(line[i]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(out[y - 1][i - ch]) if (i >= ch and y) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return out.reshape(h, w, ch), w, h
+
+
+def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Dispatch on payload magic bytes: WAV and PNG decode for real;
+    other modalities raise the honest codec stub."""
+    import numpy as np
+
+    out = {k: [] for k in (
+        "kind", "width", "height", "n_channels", "sample_rate",
+        "n_samples", "mean_value", "rms",
+    )}
+
+    def emit(**kw):
+        for k in out:
+            out[k].append(kw.get(k))
+
+    for p in pdf["payload"]:
+        if p is None:
+            emit()
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            x, nch, rate = _decode_wav(bytes(p))
+            emit(
+                kind="wav",
+                n_channels=nch,
+                sample_rate=rate,
+                n_samples=int(x.size // max(1, nch)),
+                mean_value=float(x.mean()) if x.size else 0.0,
+                rms=float(np.sqrt((x * x).mean())) if x.size else 0.0,
+            )
+        elif p[:8] == _PNG_MAGIC:
+            px, w, h = _decode_png(bytes(p))
+            emit(
+                kind="png",
+                width=w,
+                height=h,
+                n_channels=int(px.shape[2]),
+                mean_value=float(px.mean()),
+                rms=float(np.sqrt((px.astype(np.float64) ** 2).mean())),
+            )
+        else:
+            raise NotImplementedError(
+                "real decode supports stdlib-decodable containers (WAV-PCM, "
+                "PNG); this payload needs a codec library (e.g. PIL/pyav) "
+                "that is not installed"
+            )
+    return pd.DataFrame(out)
+
+
+def extract_real_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL feature extraction (WAV/PNG stdlib decode):
+    same mapInPandas shape as :func:`extract_features`, but the features
+    come from decoded samples/pixels. Raises inside the kernel for
+    payloads only a real codec library could open."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _real_decode_batch(pdf)
+            out = pd.DataFrame({"media_id": pdf["media_id"]})
+            yield pd.concat([out, feats], axis=1)
+
+    return df.mapInPandas(run, schema=REAL_FEATURE_SCHEMA)
 
 
 def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:

@@ -889,3 +889,150 @@ def test_ivm_empty_state_raises_clearly(spark, tmp_path):
         assert "no state yet" in str(e)
     else:
         raise AssertionError("empty-state current() did not raise clearly")
+
+
+# ---------------------------------------------------------------------------
+# Real-codec leg (r7): stdlib-only WAV-PCM + PNG decode behind the same
+# Arrow-batched extraction; the honest NotImplementedError stub remains
+# for payloads that genuinely need PIL/pyav.
+# ---------------------------------------------------------------------------
+
+def _wav_bytes(samples_i16, rate=8000, nch=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples_i16.tobytes())
+    return buf.getvalue()
+
+
+def _png_bytes(arr, row_filters):
+    """Minimal PNG encoder for tests: 8-bit, chosen filter PER ROW —
+    exercises every unfilter branch in the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = arr.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    for y in range(h):
+        f = row_filters[y % len(row_filters)]
+        cur = raw[y]
+        up = raw[y - 1] if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), up[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - up
+        elif f == 3:
+            filt = cur - ((left + up) >> 1)
+        else:  # Paeth
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _media_rows(spark, payloads):
+    from dataeng_azure_spotify_spark.sources.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (i, "audio" if p[:4] == b"RIFF" else "image", None, bytearray(p),
+         None, None, None)
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_real_wav_decode_matches_numpy_ground_truth(spark):
+    import numpy as np
+
+    from dataeng_azure_spotify_spark.sources.multimodal import (
+        extract_real_features,
+    )
+
+    t = np.arange(1600)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype("<i2")
+    stereo = np.column_stack([sine, (sine // 2)]).reshape(-1).astype("<i2")
+    df = _media_rows(
+        spark, [_wav_bytes(sine), _wav_bytes(stereo, rate=16000, nch=2)]
+    )
+    out = {r.media_id: r for r in extract_real_features(df).collect()}
+
+    x = sine.astype(np.float64) / 32768.0
+    assert out[0].kind == "wav" and out[0].sample_rate == 8000
+    assert out[0].n_channels == 1 and out[0].n_samples == 1600
+    assert abs(out[0].rms - float(np.sqrt((x * x).mean()))) < 1e-12
+    assert abs(out[0].mean_value - float(x.mean())) < 1e-12
+    assert out[1].sample_rate == 16000 and out[1].n_channels == 2
+    assert out[1].n_samples == 1600
+
+
+def test_real_png_decode_every_filter_type(spark):
+    import numpy as np
+
+    from dataeng_azure_spotify_spark.sources.multimodal import (
+        _decode_png,
+        extract_real_features,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(5, 5, 1), dtype=np.uint8)
+    rgba = rng.randint(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    # every row uses a different filter → all 5 unfilter branches run
+    png_all = _png_bytes(rgb, row_filters=[0, 1, 2, 3, 4])
+    # pixel-exact round trip through the decoder
+    px, w, h = _decode_png(png_all)
+    assert (w, h) == (7, 10) and np.array_equal(px, rgb)
+
+    df = _media_rows(
+        spark,
+        [png_all, _png_bytes(gray, [4]), _png_bytes(rgba, [3, 4])],
+    )
+    out = {r.media_id: r for r in extract_real_features(df).collect()}
+    assert out[0].kind == "png" and (out[0].width, out[0].height) == (7, 10)
+    assert out[0].n_channels == 3
+    assert abs(out[0].mean_value - float(rgb.mean())) < 1e-12
+    assert abs(out[1].mean_value - float(gray.mean())) < 1e-12
+    assert out[1].n_channels == 1 and out[2].n_channels == 4
+
+
+def test_real_decode_unsupported_payload_raises(spark):
+    from dataeng_azure_spotify_spark.sources.multimodal import (
+        extract_real_features,
+    )
+
+    jpegish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    df = _media_rows(spark, [jpegish])
+    with pytest.raises(Exception, match="codec library"):
+        extract_real_features(df).collect()
