@@ -54,8 +54,6 @@ from dataeng_azure_spotify_spark.operators.analytics import (
 from dataeng_azure_spotify_spark.functions.pii import redact_pii
 from dataeng_azure_spotify_spark.operators.graph import (
     component_representatives,
-    component_sizes,
-    connected_components,
 )
 from dataeng_azure_spotify_spark.operators.curation import (
     cap_per_source,

@@ -330,7 +330,20 @@ class NearDupLabels:
         # contract old endpoints to their cluster label; new docs keep
         # their own id (they have no label yet). The label lookup is the
         # one corpus-proportional read — a 2-column columnar scan.
-        old_lab = self.labels()
+        # CRASH-REPLAY CRITICAL: a crashed attempt may have already
+        # written THIS batch's label rows (the label table is the one
+        # artifact whose writes are not run-tagged) — anti-join the
+        # batch ids out so the replay re-derives their labels from the
+        # pre-run state. Without this, a batch doc the crashed attempt
+        # merged into an old cluster contracts to that cluster's label,
+        # drops out of the contracted graph, and new_labels re-files it
+        # under its own id in a DIFFERENT bucket than the stale row —
+        # two conflicting label rows that dropDuplicates never sees
+        # together. No-op on clean runs (the docs aren't labeled yet);
+        # O(batch) broadcast side.
+        old_lab = self.labels().join(
+            F.broadcast(new_ids), "doc_id", "left_anti"
+        )
         e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         lu = old_lab.select(F.col("doc_id").alias("u"), F.col("cluster_id").alias("lu"))
         lv = old_lab.select(F.col("doc_id").alias("v"), F.col("cluster_id").alias("lv"))

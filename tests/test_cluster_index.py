@@ -184,6 +184,36 @@ def test_crash_replay_converges(spark, docs, tmp_path, monkeypatch):
     assert idx.labels().count() == len(got)
 
 
+def test_crash_replay_new_doc_merged_into_old_cluster(spark, tmp_path, monkeypatch):
+    # THE corrupting replay shape (r7 review finding): the crashed
+    # attempt already wrote the batch doc's label row (50 → cluster 1,
+    # bucket 1). On replay the label lookup must NOT see that row —
+    # otherwise doc 50 contracts away, new_labels re-files it as
+    # (50, 50) in bucket 50, and the index carries two conflicting
+    # rows for one doc.
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t + " extra")]
+    )
+    idx = NearDupLabels.build(base, str(tmp_path / "mc"), threshold=0.3)
+    assert _as_dict(idx.labels()) == {1: 1, 2: 1}
+
+    def boom(self, run_id):
+        raise RuntimeError("simulated crash before run-marker commit")
+
+    monkeypatch.setattr(NearDupLabels, "_mark_run", boom)
+    batch = spark.createDataFrame([Row(doc_id=50, text=t + " near")])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.append(batch, run_id="e1")
+    # the crashed attempt's label write IS visible mid-crash
+    assert _as_dict(idx.labels())[50] == 1
+
+    monkeypatch.undo()
+    idx.append(batch, run_id="e1")
+    assert _as_dict(idx.labels()) == {1: 1, 2: 1, 50: 1}
+    assert idx.labels().count() == 3  # exactly one row per doc
+
+
 def test_crash_between_write_and_clean_converges(spark, tmp_path, monkeypatch):
     # a cross-bucket merge relabels every row of a bucket away; crash
     # AFTER the dynamic-overwrite write but BEFORE the emptied-partition
