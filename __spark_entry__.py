@@ -2383,7 +2383,7 @@ def _neardup_label_index(spark: SparkSession, sf_dir: str):
 
     from dataeng_azure_spotify_spark.operators.cluster_index import NearDupLabels
 
-    params = f"{os.path.abspath(sf_dir)}|t0.5|n3|v1"
+    params = f"{os.path.abspath(sf_dir)}|t0.5|n3|v2"
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".labels_cache", tag

@@ -217,3 +217,87 @@ def test_salting_bounds_hot_key_reduce_group_at_scale(spark):
         .collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_labels_index_probe_prune_and_order_tradeoff(spark):
+    """NearDupLabels append-probe economics, measured on realistic
+    fixture text at 1x/10x corpus (500 → 5000 docs), fixed 20-doc
+    batch: (a) the PPJoin length+positional filters cut hash-order
+    candidates at least 2x; (b) the append-stable hash order costs
+    NOTHING vs a rarest-first ordering of the same probe at the larger
+    scale (collision mass growth is intrinsic to the data, not the
+    order). Numbers in the module docstring / docs/BENCH_NOTES.md."""
+    from pyspark.sql import Window
+
+    from dataeng_azure_spotify_spark.operators.cluster_index import (
+        _explode_prefix,
+        _ppjoin_prune,
+    )
+    from dataeng_azure_spotify_spark.operators.dedup import _doc_shingle_hashes
+
+    def sorted_sh(df):
+        return (
+            _doc_shingle_hashes(df, "text", "doc_id", 3)
+            .withColumn("doc", F.col("doc").cast("long"))
+            .withColumn("hshingles", F.array_sort("hshingles"))
+        )
+
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    )
+    bpre = _explode_prefix(sorted_sh(batch), 0.5).localCheckpoint(eager=True)
+
+    counts = {}
+    for sf in ("sf0.01", "sf0.1"):
+        corpus = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        cpre = _explode_prefix(sorted_sh(corpus), 0.5)
+        raw = (
+            bpre.alias("np")
+            .join(cpre.alias("op"), F.col("np.s") == F.col("op.s"))
+            .select("np.doc", "op.doc").distinct().count()
+        )
+        pruned = (
+            bpre.alias("np")
+            .join(
+                cpre.alias("op"),
+                (F.col("np.s") == F.col("op.s"))
+                & _ppjoin_prune(
+                    F.col("np.n_sh"), F.col("np.pos"),
+                    F.col("op.n_sh"), F.col("op.pos"), 0.5,
+                ),
+            )
+            .select("np.doc", "op.doc").distinct().count()
+        )
+        counts[sf] = (raw, pruned)
+        assert pruned * 2 <= raw, (sf, raw, pruned)  # (a)
+
+    # (b): rarest-first twin of the LARGE probe (corpus+batch frequency
+    # ranking, the batch path's ordering) must not beat the pruned
+    # stable order — otherwise the index is leaving candidates on the
+    # table that re-ranking would save
+    corpus = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    alld = corpus.select("doc_id", "text").union(batch.select("doc_id", "text"))
+    sh = _doc_shingle_hashes(alld, "text", "doc_id", 3)
+    ex = sh.select("doc", "n_sh", F.explode("hshingles").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    ranked = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.col("f").asc(), F.col("s").asc())
+        ),
+    )
+    plen = F.col("n_sh") - F.ceil(F.lit(0.5) * F.col("n_sh") - F.lit(1e-9)) + 1
+    idx = ranked.filter(F.col("rk") <= plen).select("doc", "s")
+    a, b = idx.alias("a"), idx.alias("b")
+    rarest = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+        .filter((F.col("da") >= 10_000_000) | (F.col("db") >= 10_000_000))
+        .count()
+    )
+    _, pruned_big = counts["sf0.1"]
+    assert pruned_big <= rarest * 1.2, (pruned_big, rarest)
