@@ -48,7 +48,7 @@ per-doc data (set size, prefix rank), so they stay valid against
 prefixes from any earlier run. Measured on the fixture corpus: the
 filters cut hash-order candidates 2.6×, and at 10× corpus the pruned
 hash-order probe admits FEWER candidates than a rarest-first ordering
-of the same probe (1 701 vs 3 085 for a fixed 20-doc batch against
+of the same probe (1 701 vs 3 078 for a fixed 20-doc batch against
 5 000 docs) — order stability costs nothing here. Candidate volume for
 a fixed batch still grows with the corpus's prefix-collision mass
 (~linear on this text; that is intrinsic to inverted-index similarity
@@ -87,6 +87,14 @@ from .graph import connected_components
 
 #: run tag for the initial build's shingle/prefix partitions.
 BUILD_RUN = "build"
+
+#: on-disk artifact layout version. v2 (r7): prefix rows carry
+#: (n_sh, pos) for the PPJoin length/positional filters. ``append``
+#: refuses an index written by an older layout — reading v1 prefix
+#: parquet under the v2 schema would NULL-fill n_sh/pos, every
+#: new-vs-old join condition would evaluate NULL, and batch docs would
+#: silently become singletons. Rebuild with ``build()`` to upgrade.
+FORMAT_VERSION = 2
 
 #: fixed artifact schemas — reads are schema-explicit so an EMPTY index
 #: (``init`` + streaming appends from scratch) behaves identically to a
@@ -218,8 +226,9 @@ class NearDupLabels:
         )
         idx._write_run_partitions(sh, prefix, BUILD_RUN)
         idx.spark.createDataFrame(
-            [(threshold, n, num_buckets, text_col, id_col)],
-            "threshold double, n int, num_buckets int, text_col string, id_col string",
+            [(threshold, n, num_buckets, text_col, id_col, FORMAT_VERSION)],
+            "threshold double, n int, num_buckets int, text_col string, "
+            "id_col string, format_version int",
         ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
         idx._mark_run(BUILD_RUN)
         return idx
@@ -244,8 +253,9 @@ class NearDupLabels:
         that batch."""
         idx = cls(spark, path)
         spark.createDataFrame(
-            [(threshold, n, num_buckets, text_col, id_col)],
-            "threshold double, n int, num_buckets int, text_col string, id_col string",
+            [(threshold, n, num_buckets, text_col, id_col, FORMAT_VERSION)],
+            "threshold double, n int, num_buckets int, text_col string, "
+            "id_col string, format_version int",
         ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
         return idx
 
@@ -310,6 +320,15 @@ class NearDupLabels:
         if run_id == BUILD_RUN:
             raise ValueError(f"run_id {BUILD_RUN!r} is reserved for build()")
         meta = self.meta
+        ver = int(meta.get("format_version") or 1)
+        if ver != FORMAT_VERSION:
+            raise ValueError(
+                f"NearDupLabels at {self.path!r} has artifact format "
+                f"v{ver}; this code writes v{FORMAT_VERSION} (prefix rows "
+                "gained n_sh/pos for PPJoin pruning). Appending would "
+                "silently drop every new-vs-old candidate — rebuild the "
+                "index with build()"
+            )
         threshold = float(meta["threshold"])
         nb = int(meta["num_buckets"])
         text_col, id_col = meta["text_col"], meta["id_col"]

@@ -322,3 +322,20 @@ def test_append_rewrites_only_touched_buckets(spark, tmp_path):
     assert touched == {"bucket=4"}
     untouched = set(before) - touched
     assert untouched and all(before[b] == after[b] for b in untouched)
+
+
+def test_append_refuses_older_artifact_format(spark, docs, tmp_path):
+    # a v1-era index (meta rows carry no format_version; prefix rows
+    # carry no n_sh/pos) must be rejected loudly — NULL-filled filter
+    # columns would silently drop every new-vs-old candidate
+    path = str(tmp_path / "v1")
+    idx = NearDupLabels.build(docs, path)
+    meta = idx.meta
+    spark.createDataFrame(
+        [(meta["threshold"], meta["n"], meta["num_buckets"],
+          meta["text_col"], meta["id_col"])],
+        "threshold double, n int, num_buckets int, text_col string, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+    stale = NearDupLabels.load(spark, path)
+    with pytest.raises(ValueError, match="format"):
+        stale.append(docs.limit(1), run_id="v1-era")

@@ -296,7 +296,9 @@ def test_labels_index_probe_prune_and_order_tradeoff(spark):
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .distinct()
-        .filter((F.col("da") >= 10_000_000) | (F.col("db") >= 10_000_000))
+        # batch-x-corpus ONLY (xor): the stable-order probe it is
+        # compared against never counts batch-x-batch pairs
+        .filter((F.col("da") >= 10_000_000) != (F.col("db") >= 10_000_000))
         .count()
     )
     _, pruned_big = counts["sf0.1"]
