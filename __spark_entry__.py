@@ -1308,11 +1308,29 @@ def q_star_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     join over all dimensions, `Jinja/jinja_notebook.py:211-221`;
     `scd2_asof_lookup` covers one dimension — this composes two).
     Dimensions: SCD2 histories keyed by user_id and by event_type,
-    both built from pre-watermark changes; probe: post-watermark
-    events. Both dims are explicitly broadcast — star dims are small
-    relative to the fact side at any scale, so the fact table streams
-    through two BroadcastHashJoins with zero fact-side shuffle (plan
-    pinned in tests/test_plans.py)."""
+    built from pre-watermark changes; probe: post-watermark events.
+
+    Join strategy is PER-DIMENSION, picked by key shape — both dims here
+    are event-DERIVED (they grow with the fact table), so the r6-style
+    "broadcast + interval predicate" is wrong twice over: the broadcast
+    side is fact-sized at scale, and on the 5-value event_type key the
+    hash join degenerates to O(|probe| x versions-per-type) interval
+    re-checks inside each bucket (measured: 50s at sf0.1 vs 1.5s at
+    sf0.01 — a 30x blowup at 10x data).
+      * user dim (high-cardinality key, long intervals): sort-merge
+        ``asof_join`` — one shuffle of probe+dim on user_id, a running
+        ``last()`` window, zero candidate pairs. SCD2 intervals are
+        contiguous per key, so "latest version with start <= ts" IS the
+        interval match; the event_id tiebreaker resolves zero-width
+        versions (two changes at one instant) exactly like the oracle's
+        LEAD interval.
+      * type dim (5 keys, versions every few events => short intervals):
+        binned ``range_join`` — equi-join on (event_type, time_bin) keeps
+        the shuffle skew-free where a per-key window would collapse to
+        5 partitions; candidates per probe row = intervals per bin, never
+        a per-key cross product.
+    Plan pinned in tests/test_plans.py (no nested-loop/cartesian; probe
+    shuffles once per dim on the join keys)."""
     cat = _cat(spark, sf_dir)
     ev = cat["events"]
     pre = ev.filter(F.col("ts") <= F.lit(EVENTS_WATERMARK))
@@ -1322,10 +1340,11 @@ def q_star_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         sequence_by="ts",
         tiebreakers=["event_id"],
     ).select(
-        F.col("user_id").alias("u_key"),
+        "user_id",
         F.col("value").alias("user_value"),
-        F.col(START_COL).alias("u_start"),
-        F.col(END_COL).alias("u_end"),
+        F.col(START_COL).cast("timestamp").alias("u_start"),
+        F.col(START_COL).cast("timestamp").alias("user_version_start"),
+        F.col("event_id").alias("u_seq"),
     )
     type_dim = scd2_from_history(
         pre.select("event_id", "ts", "event_type", "value"),
@@ -1333,40 +1352,45 @@ def q_star_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         sequence_by="ts",
         tiebreakers=["event_id"],
     ).select(
-        F.col("event_type").alias("t_key"),
+        "event_type",
         F.col("value").alias("type_value"),
-        F.col(START_COL).alias("t_start"),
-        F.col(END_COL).alias("t_end"),
+        F.col(START_COL).cast("timestamp").alias("t_start"),
+        F.col(END_COL).cast("timestamp").alias("t_end"),
     )
     probe = ev.filter(F.col("ts") > F.lit(EVENTS_WATERMARK)).select(
         "event_id", "user_id", "event_type",
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    return (
-        probe.join(
-            F.broadcast(user_dim),
-            (F.col("user_id") == F.col("u_key"))
-            & (F.col("u_start") <= F.col("ts"))
-            & (F.col("u_end").isNull() | (F.col("ts") < F.col("u_end"))),
-            "left",
-        )
-        .join(
-            F.broadcast(type_dim),
-            (F.col("event_type") == F.col("t_key"))
-            & (F.col("t_start") <= F.col("ts"))
-            & (F.col("t_end").isNull() | (F.col("ts") < F.col("t_end"))),
-            "left",
-        )
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "ts",
-            "user_value",
-            F.col("u_start").cast("timestamp").alias("user_version_start"),
-            "type_value",
-            F.col("t_start").cast("timestamp").alias("type_version_start"),
-        )
+    enriched = asof_join(
+        probe,
+        user_dim,
+        on=["user_id"],
+        left_time="ts",
+        right_time="u_start",
+        payload_cols=["user_value", "user_version_start"],
+        right_seq_tiebreakers=["u_seq"],
+    )
+    # bin ~ the type dim's median version length across the tested sf
+    # range (4300s/430s/43s at sf0.001/0.01/0.1): bounded explode factor
+    # on the dim side below it, bounded candidates-per-probe above it
+    return range_join(
+        enriched,
+        type_dim,
+        on=["event_type"],
+        left_time="ts",
+        right_start="t_start",
+        right_end="t_end",
+        bin_seconds=600,
+        how="left",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "user_value",
+        "user_version_start",
+        "type_value",
+        F.col("t_start").alias("type_version_start"),
     )
 
 
