@@ -1343,7 +1343,6 @@ def q_star_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("value").alias("user_value"),
         F.col(START_COL).cast("timestamp").alias("u_start"),
-        F.col(START_COL).cast("timestamp").alias("user_version_start"),
         F.col("event_id").alias("u_seq"),
     )
     type_dim = scd2_from_history(
@@ -1367,12 +1366,15 @@ def q_star_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"],
         left_time="ts",
         right_time="u_start",
-        payload_cols=["user_value", "user_version_start"],
+        payload_cols=["user_value", "u_start"],
         right_seq_tiebreakers=["u_seq"],
     )
     # bin ~ the type dim's median version length across the tested sf
     # range (4300s/430s/43s at sf0.001/0.01/0.1): bounded explode factor
-    # on the dim side below it, bounded candidates-per-probe above it
+    # on the dim side below it, bounded candidates-per-probe above it.
+    # left_id_col: event_id is the probe's key, so the left-join recovery
+    # anti-joins on it directly — no generated id, no localCheckpoint of
+    # the fact side (lineage stays recomputable after executor loss)
     return range_join(
         enriched,
         type_dim,
@@ -1382,13 +1384,14 @@ def q_star_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_end="t_end",
         bin_seconds=600,
         how="left",
+        left_id_col="event_id",
     ).select(
         "event_id",
         "user_id",
         "event_type",
         "ts",
         "user_value",
-        "user_version_start",
+        F.col("u_start").alias("user_version_start"),
         "type_value",
         F.col("t_start").alias("type_version_start"),
     )

@@ -95,6 +95,7 @@ def range_join(
     right_end: str,
     bin_seconds: int = 3600,
     how: str = "inner",
+    left_id_col: str | None = None,
 ) -> DataFrame:
     """Interval containment join: left rows × right intervals with
     ``right_start <= left_time < right_end`` (NULL ``right_end`` = open).
@@ -111,6 +112,18 @@ def range_join(
     Open-ended intervals can't explode into bins; they're joined by key
     in a separate branch and unioned — at scale the open set is the
     "current versions" slice, far smaller than history.
+
+    ``left_id_col``: for ``how="left"``, a column of ``left`` that is
+    already unique per row (a primary key). The unmatched-row recovery
+    anti-joins on it directly — no generated id, no localCheckpoint, so
+    the left side keeps its full lineage (recomputable after executor
+    loss; nothing is pinned to non-replicated local storage). Without
+    it the operator falls back to ``monotonically_increasing_id`` + a
+    lazy localCheckpoint to make the generated id stable across the two
+    branch references — correct, but it materializes the whole left
+    side, which a fact-sized left at cluster scale should not pay.
+    Uniqueness is the caller's contract: a duplicated "id" makes every
+    copy of the row count as matched when any one copy matches.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
@@ -121,15 +134,19 @@ def range_join(
     # would fail its own equality and re-emit as unmatched) and collapse
     # duplicate left rows. The id is assigned before matching so both
     # branches share one lineage.
-    if how == "left":
+    rid = left_id_col or _RID
+    if how == "left" and left_id_col is None:
         # the matched branch and the anti-join branch BOTH consume the
         # id-stamped left; monotonically_increasing_id is only stable
         # across the two references if the subtree evaluates once — a
         # lazy localCheckpoint pins the assignment (materializes at
-        # first action; only the outer variant pays it)
+        # first action; only the outer variant pays it). A caller-
+        # supplied left_id_col avoids all of this (see docstring).
         left = left.withColumn(
             _RID, F.monotonically_increasing_id()
         ).localCheckpoint(eager=False)
+    elif how == "left" and left_id_col not in left.columns:
+        raise ValueError(f"left_id_col {left_id_col!r} is not a left column")
     # _wall_seconds, not unix_timestamp: NTZ inputs must not route
     # through the session zone (DST shifts are value-dependent — the
     # interval_join rationale below applies identically here)
@@ -161,11 +178,12 @@ def range_join(
         return matched
     right_only = [c for c in matched.columns if c not in left.columns]
     unmatched = left.join(
-        matched.select(_RID).distinct(), [_RID], "left_anti"
+        matched.select(rid).distinct(), [rid], "left_anti"
     )
     for c in right_only:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(unmatched).drop(_RID)
+    out = matched.unionByName(unmatched)
+    return out if left_id_col else out.drop(_RID)
 
 
 def _wall_seconds(df: DataFrame, c: str):

@@ -90,10 +90,10 @@ BUILD_RUN = "build"
 
 #: on-disk artifact layout version. v2 (r7): prefix rows carry
 #: (n_sh, pos) for the PPJoin length/positional filters. ``append``
-#: refuses an index written by an older layout — reading v1 prefix
-#: parquet under the v2 schema would NULL-fill n_sh/pos, every
-#: new-vs-old join condition would evaluate NULL, and batch docs would
-#: silently become singletons. Rebuild with ``build()`` to upgrade.
+#: and ``labels`` refuse an index written by ANY other layout version
+#: (see ``_check_version`` for the failure mode in each direction);
+#: ``build``/``init`` discard an existing artifact wholesale before
+#: writing, so an in-place rebuild is a clean upgrade path.
 FORMAT_VERSION = 2
 
 #: fixed artifact schemas — reads are schema-explicit so an EMPTY index
@@ -190,6 +190,17 @@ class NearDupLabels:
         num_buckets: int = 64,
     ) -> "NearDupLabels":
         idx = cls(docs.sparkSession, path)
+        # A rebuild over an existing artifact must start from nothing:
+        # the run-partitioned shingle/prefix/runs dirs are written with
+        # DYNAMIC overwrite, which only replaces run=build — stale
+        # run=<append> partitions from a previous index would survive
+        # under the fresh meta, feed NULL-schema'd rows (or rows for
+        # docs the rebuild corpus no longer contains) into every later
+        # append's old side, and leave runs() markers that make a reused
+        # run_id short-circuit as an "already committed replay". Not
+        # crash-atomic: a crash mid-build leaves no meta (it is written
+        # last), so the index reads as absent, never as half-rebuilt.
+        idx._clear_artifact()
         sh = (
             _doc_shingle_hashes(docs, text_col, id_col, n)
             .withColumn("doc", F.col("doc").cast("long"))
@@ -250,8 +261,11 @@ class NearDupLabels:
         ``labels_index=``). Schema-explicit reads make the empty state a
         first-class citizen: ``labels()`` is zero rows, the first append
         sees an empty old side and degenerates to a pure batch build of
-        that batch."""
+        that batch. Like :meth:`build`, re-initializing over an existing
+        artifact discards it entirely (stale run partitions must not
+        leak into the new index's appends)."""
         idx = cls(spark, path)
+        idx._clear_artifact()
         spark.createDataFrame(
             [(threshold, n, num_buckets, text_col, id_col, FORMAT_VERSION)],
             "threshold double, n int, num_buckets int, text_col string, "
@@ -272,6 +286,43 @@ class NearDupLabels:
             self._meta = self.spark.read.parquet(self._meta_path).first().asDict()
         return self._meta
 
+    def _clear_artifact(self) -> None:
+        """Remove every component dir of an existing index (meta first,
+        so a crash mid-clear or mid-rebuild reads as ABSENT, never as a
+        half-rebuilt index)."""
+        import shutil
+
+        for p in (self._meta_path, self._shingles_path, self._prefix_path,
+                  self._labels_path, self._runs_path):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        self._meta = None
+
+    def _check_version(self) -> None:
+        """Refuse to touch an index whose on-disk layout this code does
+        not speak — in EITHER direction. Older (v1): prefix rows lack
+        n_sh/pos, so the v2 schema would NULL-fill them and every
+        new-vs-old PPJoin condition would evaluate NULL (batch docs
+        silently become singletons) — rebuild with :meth:`build` to
+        upgrade. Newer: written by later code; reading it under this
+        layout could silently misread changed columns — upgrade the
+        engine instead (do NOT rebuild, that would destroy the newer
+        index)."""
+        if not self.exists():
+            return  # empty/absent index: nothing on disk to misread
+        ver = int(self.meta.get("format_version") or 1)
+        if ver == FORMAT_VERSION:
+            return
+        direction = (
+            "rebuild the index with build() to upgrade it"
+            if ver < FORMAT_VERSION
+            else "upgrade this engine; rebuilding would destroy the newer index"
+        )
+        raise ValueError(
+            f"NearDupLabels at {self.path!r} has artifact format v{ver}; "
+            f"this code speaks v{FORMAT_VERSION} — {direction}"
+        )
+
     # -- read surface ---------------------------------------------------
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
         """Schema-explicit artifact read; a missing or file-less dir
@@ -283,6 +334,7 @@ class NearDupLabels:
 
     def labels(self) -> DataFrame:
         """(doc_id, cluster_id) for every admitted document."""
+        self._check_version()
         return self._read_or_empty(self._labels_path, LABELS_SCHEMA).select(
             "doc_id", "cluster_id"
         )
@@ -319,16 +371,8 @@ class NearDupLabels:
         """
         if run_id == BUILD_RUN:
             raise ValueError(f"run_id {BUILD_RUN!r} is reserved for build()")
+        self._check_version()
         meta = self.meta
-        ver = int(meta.get("format_version") or 1)
-        if ver != FORMAT_VERSION:
-            raise ValueError(
-                f"NearDupLabels at {self.path!r} has artifact format "
-                f"v{ver}; this code writes v{FORMAT_VERSION} (prefix rows "
-                "gained n_sh/pos for PPJoin pruning). Appending would "
-                "silently drop every new-vs-old candidate — rebuild the "
-                "index with build()"
-            )
         threshold = float(meta["threshold"])
         nb = int(meta["num_buckets"])
         text_col, id_col = meta["text_col"], meta["id_col"]

@@ -339,3 +339,54 @@ def test_append_refuses_older_artifact_format(spark, docs, tmp_path):
     stale = NearDupLabels.load(spark, path)
     with pytest.raises(ValueError, match="format"):
         stale.append(docs.limit(1), run_id="v1-era")
+
+
+def test_rebuild_over_appended_index_discards_stale_runs(spark, docs, tmp_path):
+    # build() over an existing index must leave NOTHING of the old one:
+    # its run-partitioned dirs are written with dynamic overwrite, which
+    # alone would only replace run=build — stale append partitions would
+    # feed later appends and stale run markers would short-circuit a
+    # reused run_id as a replay
+    path = str(tmp_path / "rb")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    half = docs.filter(F.col("doc_id") <= cut)
+    old = NearDupLabels.build(docs, path)
+    old.append(
+        spark.createDataFrame(
+            [Row(doc_id=10_000_001, text="completely fresh appended doc")]
+        ),
+        run_id="old-epoch",
+    )
+    rebuilt = NearDupLabels.build(half, path)
+    assert "old-epoch" not in rebuilt.runs()
+    got = _as_dict(rebuilt.labels())
+    want = _as_dict(_batch_labels(half), k="node", v="component")
+    assert got == want  # no doc from the discarded index survives
+    # and the reused run_id is NOT mistaken for a committed replay
+    rebuilt.append(
+        spark.createDataFrame(
+            [Row(doc_id=10_000_002, text="another fresh appended doc")]
+        ),
+        run_id="old-epoch",
+    )
+    assert 10_000_002 in _as_dict(rebuilt.labels())
+
+
+def test_reads_refuse_newer_artifact_format(spark, docs, tmp_path):
+    # an index written by FUTURE code must not be silently misread (or
+    # worse, "upgraded" by a rebuild) — labels() and append() both stop
+    path = str(tmp_path / "vnext")
+    idx = NearDupLabels.build(docs, path)
+    meta = idx.meta
+    spark.createDataFrame(
+        [(meta["threshold"], meta["n"], meta["num_buckets"],
+          meta["text_col"], meta["id_col"], 99)],
+        "threshold double, n int, num_buckets int, text_col string, "
+        "id_col string, format_version int",
+    ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+    future = NearDupLabels.load(spark, path)
+    with pytest.raises(ValueError, match="upgrade this engine"):
+        future.labels()
+    with pytest.raises(ValueError, match="upgrade this engine"):
+        future.append(docs.limit(1), run_id="vnext-era")
