@@ -2408,15 +2408,26 @@ def _neardup_label_index(spark: SparkSession, sf_dir: str):
     recompute from scratch, still hash-match."""
     import hashlib
 
-    from dataeng_azure_spotify_spark.operators.cluster_index import NearDupLabels
+    from dataeng_azure_spotify_spark.operators.cluster_index import (
+        FORMAT_VERSION,
+        NearDupLabels,
+    )
 
-    params = f"{os.path.abspath(sf_dir)}|t0.5|n3|v2"
+    # FORMAT_VERSION in the tag: a layout bump changes the cache path,
+    # so the stale-format index is simply never loaded (labels() would
+    # refuse it) and a fresh one is built under the new tag
+    params = f"{os.path.abspath(sf_dir)}|t0.5|n3|v{FORMAT_VERSION}"
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".labels_cache", tag
     )
     idx = NearDupLabels.load(spark, path)
-    if not idx.exists():
+    ver = idx.layout_version()
+    if ver is None or ver < FORMAT_VERSION:
+        # absent, or an OLDER on-disk layout (e.g. a cache built before
+        # the format existed): rebuild — build() is the documented
+        # upgrade path and clears the stale artifact. A NEWER layout is
+        # deliberately left alone (labels() raises upgrade-the-engine).
         cat = _cat(spark, sf_dir)
         idx = NearDupLabels.build(cat["documents"], path, threshold=0.5, n=3)
     return idx

@@ -122,8 +122,14 @@ def range_join(
     lazy localCheckpoint to make the generated id stable across the two
     branch references — correct, but it materializes the whole left
     side, which a fact-sized left at cluster scale should not pay.
-    Uniqueness is the caller's contract: a duplicated "id" makes every
-    copy of the row count as matched when any one copy matches.
+    Two caller contracts come with the fast path: (a) ids are unique
+    and non-null — a duplicated (or repeated-NULL: the anti-join is
+    null-SAFE, so NULL behaves like any other value) id makes every
+    copy of the row count as matched when any one copy matches; (b)
+    ``left`` is deterministic under re-evaluation — the matched branch
+    and the anti-join branch each recompute it (a sampled / shuffle-
+    order-dependent left can emit or drop rows inconsistently; that is
+    exactly what the checkpointed fallback pins against).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")
@@ -145,8 +151,16 @@ def range_join(
         left = left.withColumn(
             _RID, F.monotonically_increasing_id()
         ).localCheckpoint(eager=False)
-    elif how == "left" and left_id_col not in left.columns:
-        raise ValueError(f"left_id_col {left_id_col!r} is not a left column")
+    elif how == "left":
+        if left_id_col not in left.columns:
+            raise ValueError(f"left_id_col {left_id_col!r} is not a left column")
+        if left_id_col in right.columns:
+            # the inner match keeps both sides' columns; a shared name
+            # would make the recovery select ambiguous — fail at the API
+            raise ValueError(
+                f"left_id_col {left_id_col!r} also exists on the right "
+                "side — alias one of them first"
+            )
     # _wall_seconds, not unix_timestamp: NTZ inputs must not route
     # through the session zone (DST shifts are value-dependent — the
     # interval_join rationale below applies identically here)
@@ -177,8 +191,14 @@ def range_join(
     if how == "inner":
         return matched
     right_only = [c for c in matched.columns if c not in left.columns]
+    # null-SAFE anti equality: a NULL id must count as "matched" like any
+    # other value — plain equality evaluates NULL and would re-emit an
+    # already-matched NULL-id row as unmatched (a silent duplicate). The
+    # matched ids are renamed so the anti-join condition never references
+    # the same attribute from both lineages of this self-join.
+    mids = matched.select(F.col(rid).alias("__mid")).distinct()
     unmatched = left.join(
-        matched.select(rid).distinct(), [rid], "left_anti"
+        mids, F.col(rid).eqNullSafe(F.col("__mid")), "left_anti"
     )
     for c in right_only:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))

@@ -190,6 +190,20 @@ class NearDupLabels:
         num_buckets: int = 64,
     ) -> "NearDupLabels":
         idx = cls(docs.sparkSession, path)
+        sh = (
+            _doc_shingle_hashes(docs, text_col, id_col, n)
+            .withColumn("doc", F.col("doc").cast("long"))
+            .withColumn("hshingles", F.array_sort("hshingles"))
+            .localCheckpoint(eager=True)  # feeds prefix, verify, and the sink
+        )
+        # node ids are the only other docs-derived input; materialize
+        # them too so clearing below cannot destroy the build's own
+        # input when the docs lineage reads from THIS index's artifact
+        # (e.g. rebuild from labels().join(corpus))
+        nodes = (
+            docs.select(F.col(id_col).cast("long").alias("node"))
+            .localCheckpoint(eager=True)
+        )
         # A rebuild over an existing artifact must start from nothing:
         # the run-partitioned shingle/prefix/runs dirs are written with
         # DYNAMIC overwrite, which only replaces run=build — stale
@@ -201,12 +215,6 @@ class NearDupLabels:
         # crash-atomic: a crash mid-build leaves no meta (it is written
         # last), so the index reads as absent, never as half-rebuilt.
         idx._clear_artifact()
-        sh = (
-            _doc_shingle_hashes(docs, text_col, id_col, n)
-            .withColumn("doc", F.col("doc").cast("long"))
-            .withColumn("hshingles", F.array_sort("hshingles"))
-            .localCheckpoint(eager=True)  # feeds prefix, verify, and the sink
-        )
         prefix = _explode_prefix(sh, threshold)
         a, b = prefix.alias("a"), prefix.alias("b")
         candidates = (
@@ -225,7 +233,7 @@ class NearDupLabels:
         pairs = _verify_jaccard(candidates, sh, threshold, shingle_col="hshingles")
         labels = connected_components(
             pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-            nodes=docs.select(F.col(id_col).cast("long").alias("node")),
+            nodes=nodes,
         ).select(
             F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
         )
@@ -280,6 +288,15 @@ class NearDupLabels:
     def exists(self) -> bool:
         return os.path.exists(self._meta_path)
 
+    def layout_version(self) -> int | None:
+        """On-disk artifact format version; ``None`` when the index is
+        absent. Lets cache owners implement rebuild-on-older-layout
+        (``build()`` is the upgrade path for older versions; newer ones
+        must be left alone — see :meth:`_check_version`)."""
+        if not self.exists():
+            return None
+        return int(self.meta.get("format_version") or 1)
+
     @property
     def meta(self) -> dict:
         if self._meta is None:
@@ -289,9 +306,20 @@ class NearDupLabels:
     def _clear_artifact(self) -> None:
         """Remove every component dir of an existing index (meta first,
         so a crash mid-clear or mid-rebuild reads as ABSENT, never as a
-        half-rebuilt index)."""
+        half-rebuilt index). Refuses to destroy an index written by
+        NEWER code — rebuilding is the documented upgrade path for
+        OLDER layouts only; for newer ones it would wipe data this
+        engine merely failed to read."""
         import shutil
 
+        if self.exists():
+            ver = int(self.meta.get("format_version") or 1)
+            if ver > FORMAT_VERSION:
+                raise ValueError(
+                    f"NearDupLabels at {self.path!r} has artifact format "
+                    f"v{ver}, newer than this code's v{FORMAT_VERSION} — "
+                    "refusing to rebuild over it; upgrade the engine"
+                )
         for p in (self._meta_path, self._shingles_path, self._prefix_path,
                   self._labels_path, self._runs_path):
             if os.path.exists(p):
@@ -333,8 +361,15 @@ class NearDupLabels:
         return self.spark.read.schema(schema).parquet(path)
 
     def labels(self) -> DataFrame:
-        """(doc_id, cluster_id) for every admitted document."""
+        """(doc_id, cluster_id) for every admitted document. An index
+        with no meta reads as EMPTY even if component dirs survive on
+        disk — meta is written last by build(), so a crashed rebuild
+        must read as absent, never as half-rebuilt."""
         self._check_version()
+        if not self.exists():
+            return self.spark.createDataFrame([], LABELS_SCHEMA).select(
+                "doc_id", "cluster_id"
+            )
         return self._read_or_empty(self._labels_path, LABELS_SCHEMA).select(
             "doc_id", "cluster_id"
         )
@@ -350,7 +385,9 @@ class NearDupLabels:
         )
 
     def runs(self) -> list[str]:
-        if not os.path.exists(self._runs_path):
+        # no meta = absent index (see labels()): surviving run markers
+        # from a crashed rebuild must not resurrect as committed runs
+        if not self.exists() or not os.path.exists(self._runs_path):
             return []
         return [
             r["run_id"]

@@ -234,3 +234,66 @@ def test_interval_join_ntz_immune_to_session_dst(spark):
         ).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_range_join_left_id_col_skips_checkpoint_and_matches(spark, tmp_path):
+    """The caller-supplied unique-id path must produce the same result
+    as the generated-id path, with no lineage truncation (no RDD scan
+    in the plan — the whole point is that the fact side is never pinned
+    to executor-local storage). Inputs go through parquet so the only
+    possible RDD scan would be a checkpoint, not the fixture itself."""
+    from dataeng_azure_spotify_spark.operators.asof import range_join
+
+    spark.createDataFrame(
+        [
+            Row(id=1, k=1, ts=_t(9, 30)),
+            Row(id=2, k=1, ts=_t(8)),       # unmatched
+            Row(id=3, k=2, ts=_t(9, 30)),   # wrong key, unmatched
+        ]
+    ).write.parquet(str(tmp_path / "l"))
+    spark.createDataFrame(
+        [Row(k=1, s=_t(9), e=_t(10), tag="w")]
+    ).write.parquet(str(tmp_path / "r"))
+    left = spark.read.parquet(str(tmp_path / "l"))
+    right = spark.read.parquet(str(tmp_path / "r"))
+    kw = dict(on=["k"], left_time="ts", right_start="s", right_end="e",
+              bin_seconds=1800, how="left")
+    got = range_join(left, right, left_id_col="id", **kw)
+    want = {(r.id, r.tag) for r in range_join(left, right, **kw).collect()}
+    assert {(r.id, r.tag) for r in got.collect()} == want == {
+        (1, "w"), (2, None), (3, None)
+    }
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "LogicalRDD" not in plan
+
+
+def test_range_join_left_id_col_null_id_not_duplicated(spark):
+    """A NULL id on a MATCHED left row must not re-emit as unmatched —
+    the anti-join is null-safe (NULL behaves like a value; uniqueness
+    of ids, including at most one NULL, is the caller's contract)."""
+    from dataeng_azure_spotify_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [Row(id=None, k=1, ts=_t(9, 30)), Row(id=5, k=1, ts=_t(8))]
+    )
+    right = spark.createDataFrame([Row(k=1, s=_t(9), e=_t(10), tag="w")])
+    rows = range_join(
+        left, right, on=["k"], left_time="ts", right_start="s",
+        right_end="e", bin_seconds=1800, how="left", left_id_col="id",
+    ).collect()
+    assert len(rows) == 2
+    assert {(r.id, r.tag) for r in rows} == {(None, "w"), (5, None)}
+
+
+def test_range_join_left_id_col_validation(spark):
+    from dataeng_azure_spotify_spark.operators.asof import range_join
+    import pytest
+
+    left = spark.createDataFrame([Row(id=1, k=1, ts=_t(9, 30))])
+    right = spark.createDataFrame([Row(k=1, s=_t(9), e=_t(10), id=9)])
+    with pytest.raises(ValueError, match="not a left column"):
+        range_join(left, right, on=["k"], left_time="ts", right_start="s",
+                   right_end="e", how="left", left_id_col="missing")
+    with pytest.raises(ValueError, match="also exists on the right"):
+        range_join(left, right, on=["k"], left_time="ts", right_start="s",
+                   right_end="e", how="left", left_id_col="id")

@@ -390,3 +390,68 @@ def test_reads_refuse_newer_artifact_format(spark, docs, tmp_path):
         future.labels()
     with pytest.raises(ValueError, match="upgrade this engine"):
         future.append(docs.limit(1), run_id="vnext-era")
+
+
+def test_rebuild_refuses_to_destroy_newer_artifact(spark, docs, tmp_path):
+    # build() over a NEWER-format index must refuse before deleting
+    # anything (rebuild is the upgrade path for OLDER layouts only)
+    path = str(tmp_path / "vnext_rb")
+    idx = NearDupLabels.build(docs, path)
+    meta = idx.meta
+    spark.createDataFrame(
+        [(meta["threshold"], meta["n"], meta["num_buckets"],
+          meta["text_col"], meta["id_col"], 99)],
+        "threshold double, n int, num_buckets int, text_col string, "
+        "id_col string, format_version int",
+    ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+    with pytest.raises(ValueError, match="refusing to rebuild"):
+        NearDupLabels.build(docs, path)
+    assert os.path.exists(idx._labels_path)  # nothing was deleted
+
+
+def test_metaless_crash_state_reads_as_absent(spark, docs, tmp_path):
+    # meta is written LAST by build(); if a crash leaves component dirs
+    # without meta, the index must read as absent — labels() empty,
+    # runs() empty — never as half-rebuilt data
+    import shutil
+
+    path = str(tmp_path / "crashed")
+    idx = NearDupLabels.build(docs, path)
+    shutil.rmtree(idx._meta_path)
+    crashed = NearDupLabels.load(spark, path)
+    assert not crashed.exists()
+    assert crashed.labels().count() == 0
+    assert crashed.runs() == []
+
+
+def test_rebuild_from_own_labels_lineage(spark, docs, tmp_path):
+    # rebuild whose input DataFrame lazily READS this index's artifact:
+    # the clear must not destroy the build's own input (inputs are
+    # materialized before the artifact is cleared)
+    path = str(tmp_path / "selfref")
+    idx = NearDupLabels.build(docs, path)
+    keep = idx.labels().select("doc_id")  # lazy read of the artifact
+    subset = docs.join(keep, "doc_id")
+    rebuilt = NearDupLabels.build(subset, path)
+    got = _as_dict(rebuilt.labels())
+    want = _as_dict(_batch_labels(docs), k="node", v="component")
+    assert got == want  # keep == all docs, so labels equal from-scratch
+
+
+def test_layout_version_reporting(spark, docs, tmp_path):
+    # cache owners rebuild on ver < FORMAT_VERSION; absent reads None
+    from dataeng_azure_spotify_spark.operators.cluster_index import (
+        FORMAT_VERSION,
+    )
+
+    absent = NearDupLabels.load(spark, str(tmp_path / "nope"))
+    assert absent.layout_version() is None
+    idx = NearDupLabels.build(docs, str(tmp_path / "cur"))
+    assert idx.layout_version() == FORMAT_VERSION
+    meta = idx.meta
+    spark.createDataFrame(
+        [(meta["threshold"], meta["n"], meta["num_buckets"],
+          meta["text_col"], meta["id_col"])],
+        "threshold double, n int, num_buckets int, text_col string, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+    assert NearDupLabels.load(spark, str(tmp_path / "cur")).layout_version() == 1
