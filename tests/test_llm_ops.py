@@ -1073,3 +1073,14 @@ def test_lsh_topk_recall_and_contract(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         lsh_topk(qs, emb, num_planes=10, bands=4)
+
+    # the operator's own plan never pairs all vectors: candidates come
+    # from the banded equi-join only (the certificate QUERY does contain
+    # one crossJoin — its brute-force twin — which is why this pin is on
+    # the operator, not the query)
+    plan = (
+        lsh_topk(qs, emb, k=5, num_planes=24, bands=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
