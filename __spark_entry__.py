@@ -93,6 +93,7 @@ from dataeng_azure_spotify_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    semantic_dedup,
 )
 from dataeng_azure_spotify_spark.sources.multimodal import (
     documents_as_media,
@@ -2735,6 +2736,86 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(cat["embeddings"], threshold=0.4)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (cluster embeddings, greedy leader prune
+    within cluster at cosine ≥ 0.4) — dedup family tier 6, the
+    sub-quadratic scale path beside the exact GEMM of
+    `dedup_embedding_cosine`.
+
+    SELF-CERTIFYING: the k-means partition is engine-specific (DuckDB
+    has no twin), so the output is per-doc certificates whose cosines
+    are recomputed INDEPENDENTLY of the operator's numpy path by a
+    JVM-expression join against the raw vectors:
+    - pruned doc  → its recorded kept witness must have cos ≥ t,
+    - kept doc    → its closest earlier kept cluster-mate (if any)
+                    must have cos < t,
+    - witness missing is only legal for a cluster's first keeper,
+    plus the global `found_any_duplicate` (≥1 pruned — true at every
+    sf, so a dedup that silently keeps everything goes red). A 1e-9
+    threshold tolerance absorbs numpy-vs-expression last-ulp drift
+    (no data sits within 1e-9 of the threshold at any sf).
+    """
+    cat = _cat(spark, sf_dir)
+    emb = cat["embeddings"]
+    t = 0.4
+    res = semantic_dedup(emb, threshold=t, k=16, iters=1)
+    a = emb.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("embedding").alias("va"),
+    )
+    w = emb.select(
+        F.col("vec_id").cast("long").alias("wid"),
+        F.col("embedding").alias("vw"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vw"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _n2(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = (
+        res.select(
+            F.col("vec_id").cast("long").alias("doc_id"), "kept", "witness"
+        )
+        .join(a, "doc_id")
+        .join(F.broadcast(w), F.col("witness") == F.col("wid"), "left")
+    )
+    denom2 = _n2(F.col("va")) * _n2(F.col("vw"))
+    cos = F.when(denom2 == 0, F.lit(0.0)).otherwise(
+        dot / F.sqrt(denom2)
+    )
+    eps = 1e-9
+    cert_ok = (
+        F.when(F.col("witness").isNull(), F.col("kept"))
+        .when(F.col("kept"), cos < t + eps)
+        .otherwise(cos >= t - eps)
+    )
+    per_doc = joined.select("doc_id", cert_ok.alias("cert_ok"), "kept")
+    glob = per_doc.agg(
+        (F.sum((~F.col("kept")).cast("int")) >= 1).alias("found_any_duplicate")
+    )
+    return per_doc.crossJoin(F.broadcast(glob)).select(
+        "doc_id", "cert_ok", "found_any_duplicate"
+    )
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+SELECT CAST(vec_id AS BIGINT) AS doc_id,
+       true AS cert_ok,
+       true AS found_any_duplicate
+FROM embeddings
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined char-8-gram fingerprints, 0-mod-8 selection."""
     cat = _cat(spark, sf_dir)
@@ -3823,7 +3904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round's new/changed queries (star_join_asof is new; the five
     # formerly-no-oracle queries are reshaped self-certifying; the four
     # clusters-family queries now read the persisted NearDupLabels
-    # artifact; range_join is the r6 bench-anomaly adjudication target).
+    # artifact; range_join is the r6 bench-anomaly adjudication target;
+    # semantic_dedup is the late-r7 SemDeDup addition — its arrival
+    # rotates scd1_upsert, r5-certified, to 51+).
     # Positions 12-50 rotate the LLM/streaming tier back in (r5-certified,
     # 2 rounds stale at driver scale). Positions 51+ (the relational /
     # TPC-H tier, r6-certified last round, plus pagerank_central_docs —
@@ -3832,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # slow-marked — the driver's own scale.
     return {
         "star_join_asof": q_star_join_asof,
+        "semantic_dedup": q_semantic_dedup,
         "approx_distinct": q_approx_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
@@ -4171,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_certificate_oracle(),
         "ann_ivf_index_topk": _ann_certificate_oracle(),
         "dedup_embedding_cosine": _embedding_neardup_oracle(0.4),
+        "semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
         "doc_fingerprints": _kgram_fp_oracle(k=8, mod_p=8),
         "multimodal_features": _MULTIMODAL_ORACLE,
         "pack_sequences": _pack_sequences_oracle(budget=512, shards=32),

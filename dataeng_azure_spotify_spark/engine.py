@@ -110,6 +110,8 @@ class Engine:
             neardup_pairs=_similarity.cosine_neardup_pairs,
             knn_1nn=_similarity.cosine_1nn_gemm,
             ivf_topk=_similarity.ivf_topk,
+            lsh_topk=_similarity.lsh_topk,
+            semantic_dedup=_similarity.semantic_dedup,
             index=_similarity.IvfIndex,
             incremental=_similarity.IncrementalEmbeddingDedup,
             quantize=_similarity.quantize_embeddings,

@@ -792,6 +792,108 @@ def _probe_and_score(
     return _rank_topk(scored, k)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    k: int = 64,
+    iters: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, then within each cluster run a greedy
+    leader pass in id order — a document is PRUNED when some earlier
+    KEPT document in its cluster has cosine ≥ ``threshold``, and that
+    document is recorded as its ``witness``.
+
+    Output: one row per input document —
+    (``id_col``, centroid_id, kept boolean, witness nullable long).
+    For pruned rows ``witness`` is the kept leader that suppressed them
+    (cos ≥ threshold by construction). For kept rows ``witness`` is the
+    EARLIER KEPT cluster-mate with the highest cosine (null for the
+    first keeper of a cluster) — its cosine is < threshold by
+    construction. Both invariants are recomputed independently of this
+    numpy path by the ``semantic_dedup`` driver query's certificate
+    join, so a broken prune decision flips a hash-checked boolean.
+
+    Everything is deterministic: k-means init is the hash-ordered
+    sample (:func:`kmeans_centroids`), assignment ties break by
+    smallest centroid id, and the leader scan runs in ascending id
+    order. Zero-norm vectors have no defined cosine; they are never
+    similar to anything (always kept, never a witness).
+
+    100 TB shape: clustering is what makes semantic dedup sub-quadratic
+    — the corpuswide GEMM of :func:`cosine_neardup_pairs` becomes one
+    task per cluster, each O(c²·d) for cluster size c. ``k`` is the
+    scale knob: grow it ∝ n so mean cluster size (and so per-task
+    memory/compute) stays bounded; skew is observable up front via
+    :meth:`IvfIndex.drift_stats`-style bucket counts on the assignment.
+    The only shuffles are the assignment cogroup and the final
+    per-cluster group — no pairwise table ever materializes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    _require_integral_id(corpus, id_col, "semantic_dedup")
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
+    )
+    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    )
+    members = assigned.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col("centroid_id").alias("cid"),
+    ).join(vecs, "vid")
+
+    thr = float(threshold)
+
+    def leader_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid")
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        ok = norms > 0.0
+        # unit-normalize; zero-norm rows stay all-zero → cosine 0 with
+        # everything → below any positive threshold → kept, never cited
+        unit = np.where(ok[:, None], mat / np.where(ok, norms, 1.0)[:, None], 0.0)
+        n = len(pdf)
+        vids = pdf["vid"].to_numpy()
+        kept = np.zeros(n, dtype=bool)
+        witness = np.full(n, -1, dtype=np.int64)
+        kept_rows: list[int] = []
+        for j in range(n):
+            if kept_rows:
+                cos = unit[kept_rows] @ unit[j]
+                b = int(np.argmax(cos))
+                witness[j] = vids[kept_rows[b]]
+                if cos[b] >= thr:
+                    continue  # pruned: witness = suppressing leader
+            kept[j] = True
+            kept_rows.append(j)
+        return pd.DataFrame(
+            {
+                "vid": vids,
+                "cid": pdf["cid"].to_numpy(),
+                "kept": kept,
+                "witness": witness,
+            }
+        )
+
+    out = members.groupBy("cid").applyInPandas(
+        leader_prune, schema="vid long, cid long, kept boolean, witness long"
+    )
+    return out.select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("centroid_id"),
+        "kept",
+        F.when(F.col("witness") >= 0, F.col("witness")).alias("witness"),
+    )
+
+
 class IvfIndex:
     """Persisted IVF index: the amortization path for repeated ANN
     queries that :func:`ivf_topk` (which re-runs k-means per call) only

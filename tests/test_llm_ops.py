@@ -1084,3 +1084,96 @@ def test_lsh_topk_recall_and_contract(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_contract_and_invariants(spark):
+    """SemDeDup leader prune: one row per doc, planted exact duplicates
+    collapse (the later id pruned, the earlier as witness), pruned rows
+    always carry a kept same-cluster witness whose cosine clears the
+    threshold on an independent numpy recompute, kept rows' closest
+    earlier keeper sits below it, results are deterministic, and an
+    above-1 threshold keeps everything."""
+    import numpy as np
+
+    from dataeng_azure_spotify_spark.operators.similarity import semantic_dedup
+
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    dup = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(9_999_999).cast("long").alias("vec_id"),
+        "embedding",
+        F.lit(None).cast("int").alias("label"),
+    )
+    corpus = emb.unionByName(dup)
+    t = 0.4
+    r1 = semantic_dedup(corpus, threshold=t, k=16, iters=1).collect()
+    r2 = semantic_dedup(corpus, threshold=t, k=16, iters=1).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))  # deterministic
+
+    rows = {r.vec_id: r for r in r1}
+    assert len(rows) == corpus.count()  # exactly one row per doc
+    # planted exact twin: identical vectors share a cluster (identical
+    # cosines to every centroid, ties broken identically), so the later
+    # id is pruned with the earlier as its leader
+    twin = rows[9_999_999]
+    assert not twin.kept and twin.witness == 7 and rows[7].kept
+    assert twin.centroid_id == rows[7].centroid_id
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in corpus.collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    n_pruned = 0
+    for r in r1:
+        if r.kept:
+            if r.witness is not None:
+                w = rows[r.witness]
+                assert w.kept and w.centroid_id == r.centroid_id
+                assert w.vec_id < r.vec_id
+                assert cos(vecs[r.vec_id], vecs[r.witness]) < t + 1e-9
+        else:
+            n_pruned += 1
+            assert r.witness is not None
+            w = rows[r.witness]
+            assert w.kept and w.centroid_id == r.centroid_id
+            assert w.vec_id < r.vec_id
+            assert cos(vecs[r.vec_id], vecs[r.witness]) >= t - 1e-9
+    assert n_pruned >= 1  # the sf0.001 corpus does contain semantic dups
+
+    # threshold above any possible cosine → nothing pruned
+    allkept = semantic_dedup(corpus, threshold=1.01, k=16, iters=1)
+    assert allkept.filter(~F.col("kept")).count() == 0
+
+
+def test_semantic_dedup_zero_vector_is_inert(spark):
+    """A zero-norm vector has no defined cosine: it must be kept, must
+    never be cited as a witness, and must not prune its cluster-mates."""
+    from dataeng_azure_spotify_spark.operators.similarity import semantic_dedup
+
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    dim = len(emb.first().embedding)
+    zero = spark.createDataFrame(
+        [(5_000_000, [0.0] * dim, None)],
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    out = semantic_dedup(
+        emb.unionByName(zero), threshold=0.4, k=16, iters=1
+    )
+    zrow = out.filter(F.col("vec_id") == 5_000_000).collect()[0]
+    assert zrow.kept
+    assert out.filter(F.col("witness") == 5_000_000).count() == 0
+    # baseline prune set unchanged by the zero vector's presence
+    base = semantic_dedup(emb, threshold=0.4, k=16, iters=1)
+    pruned_with = {
+        r.vec_id for r in out.filter(~F.col("kept")).collect()
+    }
+    pruned_base = {
+        r.vec_id for r in base.filter(~F.col("kept")).collect()
+    }
+    assert pruned_with == pruned_base
