@@ -2134,18 +2134,38 @@ FROM flat GROUP BY 1, 2
 def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the SimHash near-dup graph (operators/graph.py
     pagerank): rank orders documents by how centrally duplicated they
-    are — the 20 most central make the survivor-selection shortlist.
-    Rows-only — since the r7 self-certification pass this is the ONE
-    remaining no-oracle query: a DuckDB twin would need the full float
-    power iteration in recursive SQL, where summation-order drift
-    breaks hash equality, and any in-query "exact reference" is the
-    same algorithm again (no independent check — unlike ANN/PCA/KNN,
-    which certify against a genuinely different exact computation).
-    The property suite pins ranks against a dense numpy power
-    iteration to 1e-9 in tests/test_graph.py."""
+    are — the centrality shortlist feeds survivor selection.
+
+    SELF-CERTIFYING (the r7 pass, completing the set): the float power
+    iteration itself has no DuckDB twin (recursive SQL + float
+    summation-order drift), but the RESULT has exactly checkable
+    mathematical properties, and the graph's NODE SET is
+    SQL-computable (the simhash near-dup pair oracle, green since r5).
+    One row per graph node, three certificate booleans the oracle
+    expects to be ``true``:
+
+    - ``floor_ok``   — rank ≥ (1-d)/n (every PR step adds the teleport
+      floor; n recomputed in-query from the edge list, not taken from
+      the operator),
+    - ``mass_ok``    — |Σ rank − 1| ≤ 1e-6 (global, broadcast to rows),
+    - ``residual_ok``— one MORE power step, recomputed with plain
+      join/groupBy JVM expressions (none of the operator's checkpoint
+      / broadcast-decision / observe machinery), moves the vector by
+      ‖r₉ − r₈‖₁ ≤ 2·dᵏ (= 2·0.85⁸ ≈ 0.544, the geometric-contraction
+      guarantee; a damping, normalization, or contribution bug blows
+      straight past it).
+
+    Ranks are additionally pinned against a dense numpy power
+    iteration to 1e-9 in tests/test_graph.py — the certificates make
+    the driver row hash-checkable, the pytest pins the exact values.
+    The undirected both-ways edge union means no dangling nodes, so
+    the verification step needs no dangling-mass term.
+    """
     from dataeng_azure_spotify_spark.operators.graph import pagerank
 
     cat = _cat(spark, sf_dir)
+    d = 0.85
+    iters = 8
     # the both-ways union scans the pair list twice — lazy checkpoint
     # so fingerprint+band generation runs once (blocks GC-reclaimed)
     pairs = simhash_neardup_pairs(
@@ -2156,11 +2176,43 @@ def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    ranks = pagerank(edges, iters=8)
+    ranks = pagerank(edges, iters=iters, damping=d)
+    # --- independent verification step (plain joins over raw edges) ---
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    contrib = (
+        edges.join(ranks, edges["src"] == ranks["node"])
+        .join(deg, "src")
+        .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("contrib"))
+    )
+    n_df = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    stepped = (
+        ranks.join(contrib, ranks["node"] == contrib["dst"], "left")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            "rank",
+            (
+                (F.lit(1.0) - F.lit(d)) / F.col("n")
+                + F.lit(d) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("next_rank"),
+            ((F.lit(1.0) - F.lit(d)) / F.col("n")).alias("floor"),
+        )
+    )
+    glob = stepped.agg(
+        (F.abs(F.sum("rank") - 1.0) <= 1e-6).alias("mass_ok"),
+        (F.sum(F.abs(F.col("next_rank") - F.col("rank"))) <= 2.0 * d**iters + 1e-9).alias(
+            "residual_ok"
+        ),
+    )
     return (
-        ranks.select("node", F.round("rank", 8).alias("rank"))
-        .orderBy(F.col("rank").desc(), "node")
-        .limit(20)
+        stepped.select(
+            F.col("node").cast("long").alias("doc_id"),
+            (F.col("rank") >= F.col("floor") - 1e-12).alias("floor_ok"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", "floor_ok", "mass_ok", "residual_ok")
     )
 
 
@@ -3389,6 +3441,27 @@ def _simhash_fp_oracle() -> str:
     return f"WITH {_simhash_fp_cte()} SELECT doc, simhash FROM fp"
 
 
+def _pagerank_cert_oracle(max_hamming: int = 8) -> str:
+    """Node set = distinct endpoints of the simhash near-dup pair list
+    (the r5-green pair oracle); certificates expected true."""
+    return f"""
+WITH {_simhash_fp_cte()},
+prs AS (
+    SELECT a.doc AS da, b.doc AS db
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+nodes AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT da AS doc_id FROM prs UNION ALL SELECT db AS doc_id FROM prs
+    )
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       true AS floor_ok, true AS mass_ok, true AS residual_ok
+FROM nodes
+"""
+
+
 def _simhash_neardup_oracle(max_hamming: int) -> str:
     return f"""
 WITH {_simhash_fp_cte()}
@@ -3906,11 +3979,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clusters-family queries now read the persisted NearDupLabels
     # artifact; range_join is the r6 bench-anomaly adjudication target;
     # semantic_dedup is the late-r7 SemDeDup addition — its arrival
-    # rotates scd1_upsert, r5-certified, to 51+).
+    # rotates scd1_upsert, r5-certified, to 51+; pagerank_central_docs,
+    # reshaped self-certifying late-r7 — the LAST no-oracle query
+    # converted — joins the window in zorder_code's slot, rotating that
+    # r5-certified query to 51+).
     # Positions 12-50 rotate the LLM/streaming tier back in (r5-certified,
     # 2 rounds stale at driver scale). Positions 51+ (the relational /
-    # TPC-H tier, r6-certified last round, plus pagerank_central_docs —
-    # the one deliberate rows-only query) remain continuously verified by
+    # TPC-H tier, r6-certified last round) remain continuously verified by
     # tests/test_oracle_parity.py at sf0.001 every run and sf0.01
     # slow-marked — the driver's own scale.
     return {
@@ -3957,7 +4032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": q_ngram_lm_score,
         "jl_project": q_jl_project,
         "event_attribution": q_event_attribution,
-        "zorder_code": q_zorder_code,
+        "pagerank_central_docs": q_pagerank_central_docs,
         "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
         "corpus_curation": q_corpus_curation,
@@ -4014,7 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
-        "pagerank_central_docs": q_pagerank_central_docs,
+        "zorder_code": q_zorder_code,
         "star_join_agg": q_star_join_agg,
         "pricing_summary": q_pricing_summary,
         "scd2_history": q_scd2_history,
@@ -4247,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(16, 8, 0.5),
         "simhash_fingerprints": _simhash_fp_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(8),
+        "pagerank_central_docs": _pagerank_cert_oracle(8),
         "ann_cosine_topk": _ann_topk_oracle(k=5, max_query_id=10),
         # ann_ivf_topk / ann_ivf_index_topk (self-certifying since r7):
         # the approximate lists are engine-specific, so the queries emit
