@@ -58,6 +58,7 @@ from dataeng_azure_spotify_spark.operators.graph import (
 from dataeng_azure_spotify_spark.operators.curation import (
     cap_per_source,
     decontaminate,
+    dsir_select,
     sample_exact_n,
     chunk_documents,
     contamination_check,
@@ -3069,6 +3070,23 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_source(cat["documents"], max_per_key=10)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023): top-150 documents
+    whose hashed unigram+bigram profile is most 'en'-like, scored by
+    the add-one-smoothed log-likelihood ratio between the English
+    subcorpus and the full corpus. Weights are exact integer
+    nano-units via portable_ln (bit-identical Spark/DuckDB), so even
+    the weight column itself is hash-checked."""
+    cat = _cat(spark, sf_dir)
+    docs = cat["documents"]
+    return dsir_select(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        k=150,
+        buckets=4096,
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by (rational-idf) TF-IDF."""
     cat = _cat(spark, sf_dir)
@@ -3119,6 +3137,28 @@ _NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 def _duck_hash60(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def duck_portable_ln_sql(x: str) -> str:
+    """DuckDB twin of ``functions.mathx.portable_ln`` — the SAME fixed
+    IEEE expression tree (exact log2 via bin(), atanh-series Horner),
+    so the two engines produce bit-identical doubles (libm ``ln`` does
+    NOT: measured 78,696 last-ulp disagreements over the first 10M
+    integers). Edit together with portable_ln; pinned identical by
+    tests/test_llm_ops.py::test_portable_ln_cross_engine_exact.
+    ``x`` must be a positive integral expression."""
+    from dataeng_azure_spotify_spark.functions.mathx import LN2, _COEFFS
+
+    xl = f"CAST({x} AS BIGINT)"
+    e = f"(length(bin({xl})) - 1)"
+    m = f"(CAST({xl} AS DOUBLE) / CAST((CAST(1 AS BIGINT) << {e}) AS DOUBLE))"
+    t = f"(({m} - 1.0) / ({m} + 1.0))"
+    u = f"({t} * {t})"
+    poly = repr(_COEFFS[0])
+    for c in _COEFFS[1:]:
+        poly = f"({c!r} + {u} * ({poly}))"
+    ln_m = f"((2.0 * {t}) * (1.0 + {u} * ({poly})))"
+    return f"((CAST({e} AS DOUBLE) * {LN2!r}) + {ln_m})"
 
 
 def _text_stats_oracle() -> str:
@@ -3736,6 +3776,56 @@ FROM per GROUP BY 1
 """
 
 
+def _dsir_oracle(k: int, buckets: int) -> str:
+    """Twin of dsir_select: hashed unigram+bigram buckets, add-one
+    log-ratio in portable-ln nano-units (exact BIGINT from there)."""
+    B = int(buckets)
+    pln_t = duck_portable_ln_sql("COALESCE(t_b, 0) + 1")
+    pln_r = duck_portable_ln_sql("r_b + 1")
+    pln_rr = duck_portable_ln_sql(f"rr + {B}")
+    pln_tt = duck_portable_ln_sql(f"tt + {B}")
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS doc, lang, {_TOKS} AS t FROM documents
+), grams AS (
+    SELECT doc, lang, unnest(t) AS gram FROM toks
+    UNION ALL
+    SELECT doc, lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks WHERE len(t) >= 2
+), feats AS (
+    SELECT doc, lang, {_duck_hash60('gram')} % {B} AS b,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM grams GROUP BY 1, 2, 3
+), rb AS (
+    SELECT b, CAST(SUM(c) AS BIGINT) AS r_b FROM feats GROUP BY 1
+), tb AS (
+    SELECT b, CAST(SUM(c) AS BIGINT) AS t_b
+    FROM feats WHERE lang = 'en' GROUP BY 1
+), w AS (
+    SELECT rb.b,
+           CAST(floor(({pln_t} - {pln_r}) * 1e9 + 0.5) AS BIGINT) AS lrq
+    FROM rb LEFT JOIN tb USING (b)
+), scal AS (
+    SELECT CAST(floor(({pln_rr} - {pln_tt}) * 1e9 + 0.5) AS BIGINT) AS cq
+    FROM (SELECT CAST((SELECT SUM(t_b) FROM tb) AS BIGINT) AS tt,
+                 CAST((SELECT SUM(r_b) FROM rb) AS BIGINT) AS rr)
+), scored AS (
+    SELECT f.doc,
+           CAST(SUM(f.c) AS BIGINT) AS n_grams,
+           CAST(SUM(f.c * w.lrq) AS BIGINT) AS s
+    FROM feats f JOIN w USING (b)
+    GROUP BY 1
+)
+SELECT doc AS doc_id, n_grams,
+       s + n_grams * (SELECT cq FROM scal) AS logw_nano
+FROM scored
+ORDER BY logw_nano DESC, doc
+LIMIT {int(k)}
+"""
+
+
 def _strip_boilerplate_oracle(n: int, min_docs: int) -> str:
     """Positional twin of the word-grams CTE: DuckDB zips the aligned
     ``unnest`` calls, so (pos, gram) rows mirror Spark's
@@ -3978,10 +4068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # formerly-no-oracle queries are reshaped self-certifying; the four
     # clusters-family queries now read the persisted NearDupLabels
     # artifact; range_join is the r6 bench-anomaly adjudication target;
-    # semantic_dedup is the late-r7 SemDeDup addition — its arrival
-    # rotates scd1_upsert, r5-certified, to 51+; pagerank_central_docs,
-    # reshaped self-certifying late-r7 — the LAST no-oracle query
-    # converted — joins the window in zorder_code's slot, rotating that
+    # semantic_dedup and dsir_select are the late-r7 additions — their
+    # arrival rotates simhash_fingerprints and scd1_upsert, both
+    # r5-certified, to 51+; pagerank_central_docs, reshaped
+    # self-certifying late-r7 — the LAST no-oracle query converted —
+    # joins the window in zorder_code's slot, rotating that
     # r5-certified query to 51+).
     # Positions 12-50 rotate the LLM/streaming tier back in (r5-certified,
     # 2 rounds stale at driver scale). Positions 51+ (the relational /
@@ -3991,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "star_join_asof": q_star_join_asof,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
         "approx_distinct": q_approx_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
@@ -4337,6 +4429,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(budget=512, shards=32),
         "contamination_check": _contamination_oracle(n=5, test_mod=97),
         "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
+        "dsir_select": _dsir_oracle(k=150, buckets=4096),
         "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "ngram_lm_score": _ngram_lm_oracle(),
         "jl_project": _jl_project_oracle(out_dim=8),

@@ -149,6 +149,7 @@ class Engine:
             write_sharded=_curation.write_sharded,
             strip_boilerplate=_curation.strip_shared_boilerplate,
             lm_score=_curation.ngram_lm_score,
+            dsir_select=_curation.dsir_select,
             heavy_hitters=_sketch.heavy_hitters,
             profile=_profile.profile_table,
         )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataeng_azure_spotify_spark.functions.mathx import portable_ln
 from dataeng_azure_spotify_spark.functions.text import (
     bpe_ish_token_count,
     hash60,
@@ -648,3 +649,123 @@ def ngram_lm_score(
             / (F.sum("o").cast("double") * F.lit(1e9))
         ).alias("lm_score"),
     ).withColumnRenamed("doc", id_col)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how target-like its
+    hashed bag-of-n-grams is, and keep the top ``k``.
+
+    Features are unigrams + word bigrams hashed into ``buckets`` bins
+    (the paper's hashed n-gram feature space). With add-one-smoothed
+    bucket models p (target) and q (raw), a document with bucket
+    counts c_b has log importance weight
+
+        log w = Σ_b c_b·(ln(t_b+1) − ln(r_b+1)) + n·(ln(R+B) − ln(T+B))
+
+    where t_b/r_b are corpus bucket totals, T/R their sums, n = Σ c_b.
+    The paper samples ∝ w with Gumbel noise; this implementation takes
+    the deterministic top-k (ties broken by ascending id), which is
+    the same selection in the zero-temperature limit and keeps the
+    exact DuckDB twin.
+
+    Cross-engine exactness (the ``ngram_lm_score`` fixed-point
+    pattern, hardened): the per-bucket log-ratio is quantized ONCE to
+    integer nano-units — ``floor(lr·1e9 + 0.5)`` — so every
+    per-document aggregate is exact BIGINT arithmetic, immune to float
+    summation-order drift. The log itself is
+    :func:`~dataeng_azure_spotify_spark.functions.mathx.portable_ln`,
+    NOT libm ``ln``: Spark's and DuckDB's ``ln`` disagree in the last
+    ulp on ~0.8% of integer inputs (measured), which would flip the
+    quantization at floor boundaries; portable_ln is bit-identical
+    across engines by construction.
+    Documents with no tokens have no features and are never selected.
+
+    Returns (``id_col``, n_grams, logw_nano) for the k selected
+    documents — logw_nano is the exact integer weight, emittable and
+    hash-checkable.
+
+    Scale (100 TB): two corpus scans (raw features once —
+    checkpointed, reused for totals and scoring — target features
+    once), three partial-aggregated groupBys, one broadcast join
+    against the ≤``buckets``-row weight table, and a
+    TakeOrderedAndProject top-k. Nothing corpus-sized shuffles twice;
+    nothing quadratic; the weight table is bounded by the bucket
+    count, not the vocabulary.
+    """
+    B = int(buckets)
+
+    def _bucket_counts(df: DataFrame) -> DataFrame:
+        t = F.col("__t")
+        base = df.select(
+            F.col(id_col).alias("doc"), tokens_col(text_col).alias("__t")
+        ).filter(F.size("__t") >= 1)
+        idx = F.sequence(F.lit(0), F.size(t) - 2)
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, 2), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            base.select("doc", F.explode(F.concat(t, bigrams)).alias("gram"))
+            .select("doc", F.pmod(hash60(F.col("gram")), F.lit(B)).alias("b"))
+            .groupBy("doc", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    # raw features feed BOTH the totals and the scoring join — one lazy
+    # checkpoint so the explode+groupBy scan runs once; the target
+    # bucket table (≤ B rows) likewise feeds both the weight table and
+    # the T scalar — checkpoint it too so the target corpus is scanned
+    # once, not twice
+    raw_c = _bucket_counts(raw).localCheckpoint(eager=False)
+    tgt_b = (
+        _bucket_counts(target)
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("t_b"))
+        .localCheckpoint(eager=False)
+    )
+    raw_b = raw_c.groupBy("b").agg(F.sum("c").cast("long").alias("r_b"))
+    # per-bucket log-ratio, quantized to nano-units (exact from here on)
+    lr = portable_ln(F.col("t_b") + F.lit(1)) - portable_ln(
+        F.col("r_b") + F.lit(1)
+    )
+    w = (
+        raw_b.join(tgt_b, "b", "left")
+        .na.fill({"t_b": 0})
+        .select("b", F.floor(lr * F.lit(1e9) + F.lit(0.5)).cast("long").alias("lrq"))
+    )
+    scal = tgt_b.agg(F.sum("t_b").alias("tt")).crossJoin(
+        raw_b.agg(F.sum("r_b").alias("rr"))
+    )
+    const_q = F.floor(
+        (portable_ln(F.col("rr") + F.lit(B)) - portable_ln(F.col("tt") + F.lit(B)))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        raw_c.join(F.broadcast(w), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lrq")).cast("long").alias("s"),
+        )
+        .crossJoin(F.broadcast(scal.select(const_q.alias("cq"))))
+        .select(
+            "doc",
+            "n_grams",
+            (F.col("s") + F.col("n_grams") * F.col("cq")).alias("logw_nano"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("logw_nano").desc(), "doc")
+        .limit(int(k))
+        .select(F.col("doc").alias(id_col), "n_grams", "logw_nano")
+    )

@@ -1177,3 +1177,72 @@ def test_semantic_dedup_zero_vector_is_inert(spark):
         r.vec_id for r in base.filter(~F.col("kept")).collect()
     }
     assert pruned_with == pruned_base
+
+
+def test_portable_ln_cross_engine_exact(spark):
+    """portable_ln (Spark expression tree) is BIT-identical to its
+    DuckDB twin duck_portable_ln_sql — unlike libm ln, which the two
+    engines round differently on ~0.8% of integer inputs. Sweeps the
+    dense small range plus strided large values up to 2^40, and pins
+    accuracy vs true ln to ~1e-9 relative."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from __spark_entry__ import duck_portable_ln_sql
+    from dataeng_azure_spotify_spark.functions.mathx import portable_ln
+
+    xs = list(range(1, 50_001)) + [
+        10**6 + 7,
+        10**9 + 9,
+        2**32 - 1,
+        2**40 + 123,
+    ]
+    sdf = (
+        spark.createDataFrame([(x,) for x in xs], "x long")
+        .select("x", portable_ln(F.col("x")).alias("l"))
+        .orderBy("x")
+    )
+    s = np.array([r.l for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE xs(x BIGINT)")
+    con.executemany("INSERT INTO xs VALUES (?)", [(x,) for x in xs])
+    d = con.execute(
+        f"SELECT {duck_portable_ln_sql('x')} AS l FROM xs ORDER BY x"
+    ).fetchnumpy()["l"]
+    assert (s == d).all()  # bit-identical, not almost-equal
+    truth = np.log(np.array(sorted(xs), dtype=np.float64))
+    rel = np.abs(s[1:] - truth[1:]) / truth[1:]  # skip ln(1)=0
+    assert rel.max() < 2e-9
+    assert s[0] == 0.0  # ln(1) exact
+
+
+def test_dsir_select_semantics(spark):
+    """DSIR selection prefers target-like documents: with a target
+    subcorpus speaking a marker vocabulary, the top-k is exactly the
+    marker documents; k caps the output; ties/determinism hold; docs
+    with no tokens are never selected."""
+    from dataeng_azure_spotify_spark.operators.curation import dsir_select
+
+    marker = "zorp flim quux blarg"
+    rows = [Row(doc_id=i, text=f"{marker} sample {i}", grp="t") for i in range(10)]
+    rows += [
+        Row(doc_id=100 + i, text=f"ordinary plain filler words {i}", grp="r")
+        for i in range(30)
+    ]
+    rows.append(Row(doc_id=999, text="   ", grp="r"))  # tokenless
+    df = spark.createDataFrame(rows)
+    target = df.filter(F.col("grp") == "t")
+    out = dsir_select(df, target, k=10, id_col="doc_id", buckets=1024)
+    got = out.collect()
+    assert len(got) == 10
+    assert {r.doc_id for r in got} == set(range(10))  # exactly the markers
+    assert all(r.logw_nano > 0 for r in got)
+    # determinism
+    again = dsir_select(df, target, k=10, id_col="doc_id", buckets=1024).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # k larger than corpus: everything with tokens, never the blank doc
+    allout = dsir_select(df, target, k=1000, id_col="doc_id", buckets=1024)
+    ids = {r.doc_id for r in allout.collect()}
+    assert 999 not in ids and len(ids) == 40
