@@ -2820,20 +2820,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("long").alias("wid"),
         F.col("embedding").alias("vw"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("va"), F.col("vw"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from dataeng_azure_spotify_spark.operators.similarity import _dot_double
 
-    def _n2(c):
-        return F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # independence from the operator means avoiding its numpy prune
+    # path, not re-rolling the JVM dot-product fold — reuse it
+    dot = _dot_double(F.col("va"), F.col("vw"))
+    _n2 = lambda c: _dot_double(c, c)  # noqa: E731
 
     joined = (
         res.select(

@@ -811,17 +811,20 @@ def semantic_dedup(
     (``id_col``, centroid_id, kept boolean, witness nullable long).
     For pruned rows ``witness`` is the kept leader that suppressed them
     (cos ≥ threshold by construction). For kept rows ``witness`` is the
-    EARLIER KEPT cluster-mate with the highest cosine (null for the
-    first keeper of a cluster) — its cosine is < threshold by
-    construction. Both invariants are recomputed independently of this
-    numpy path by the ``semantic_dedup`` driver query's certificate
-    join, so a broken prune decision flips a hash-checked boolean.
+    EARLIER KEPT cluster-mate with the highest cosine — its cosine is
+    < threshold by construction; null when no such mate has a defined
+    cosine (first keeper of a cluster, or either side zero-norm). Both
+    invariants are recomputed independently of this numpy path by the
+    ``semantic_dedup`` driver query's certificate join, so a broken
+    prune decision flips a hash-checked boolean.
 
     Everything is deterministic: k-means init is the hash-ordered
     sample (:func:`kmeans_centroids`), assignment ties break by
     smallest centroid id, and the leader scan runs in ascending id
     order. Zero-norm vectors have no defined cosine; they are never
-    similar to anything (always kept, never a witness).
+    similar to anything (always kept, never cited as a witness, never
+    assigned one). Witness presence is tracked with an explicit flag,
+    not an id sentinel, so negative document ids round-trip intact.
 
     100 TB shape: clustering is what makes semantic dedup sub-quadratic
     — the corpuswide GEMM of :func:`cosine_neardup_pairs` becomes one
@@ -863,34 +866,42 @@ def semantic_dedup(
         n = len(pdf)
         vids = pdf["vid"].to_numpy()
         kept = np.zeros(n, dtype=bool)
-        witness = np.full(n, -1, dtype=np.int64)
-        kept_rows: list[int] = []
+        witness = np.zeros(n, dtype=np.int64)
+        has_w = np.zeros(n, dtype=bool)
+        # keepers eligible to be cited: kept AND nonzero-norm (a zero
+        # vector has no defined cosine, so it can neither suppress nor
+        # be anyone's closest mate)
+        cite_rows: list[int] = []
         for j in range(n):
-            if kept_rows:
-                cos = unit[kept_rows] @ unit[j]
+            if ok[j] and cite_rows:
+                cos = unit[cite_rows] @ unit[j]
                 b = int(np.argmax(cos))
-                witness[j] = vids[kept_rows[b]]
+                witness[j] = vids[cite_rows[b]]
+                has_w[j] = True
                 if cos[b] >= thr:
                     continue  # pruned: witness = suppressing leader
             kept[j] = True
-            kept_rows.append(j)
+            if ok[j]:
+                cite_rows.append(j)
         return pd.DataFrame(
             {
                 "vid": vids,
                 "cid": pdf["cid"].to_numpy(),
                 "kept": kept,
                 "witness": witness,
+                "has_w": has_w,
             }
         )
 
     out = members.groupBy("cid").applyInPandas(
-        leader_prune, schema="vid long, cid long, kept boolean, witness long"
+        leader_prune,
+        schema="vid long, cid long, kept boolean, witness long, has_w boolean",
     )
     return out.select(
         F.col("vid").alias(id_col),
         F.col("cid").alias("centroid_id"),
         "kept",
-        F.when(F.col("witness") >= 0, F.col("witness")).alias("witness"),
+        F.when(F.col("has_w"), F.col("witness")).alias("witness"),
     )
 
 

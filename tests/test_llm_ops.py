@@ -1151,24 +1151,29 @@ def test_semantic_dedup_contract_and_invariants(spark):
 
 
 def test_semantic_dedup_zero_vector_is_inert(spark):
-    """A zero-norm vector has no defined cosine: it must be kept, must
-    never be cited as a witness, and must not prune its cluster-mates."""
+    """Zero-norm vectors have no defined cosine: kept, never cited as a
+    witness (even when they sort FIRST in a cluster, where a naive
+    argmax over all-zero cosines would cite them), never assigned one,
+    and they must not perturb anyone else's prune decision."""
     from dataeng_azure_spotify_spark.operators.similarity import semantic_dedup
 
     cat = Catalog(spark, SF)
     emb = cat.load("embeddings")
     dim = len(emb.first().embedding)
-    zero = spark.createDataFrame(
-        [(5_000_000, [0.0] * dim, None)],
+    # -7 sorts before every real id → an EARLY keeper in its cluster;
+    # 5_000_000 sorts last — both must stay uncited
+    zeros = spark.createDataFrame(
+        [(-7, [0.0] * dim, None), (5_000_000, [0.0] * dim, None)],
         schema="vec_id long, embedding array<float>, label int",
     )
     out = semantic_dedup(
-        emb.unionByName(zero), threshold=0.4, k=16, iters=1
+        emb.unionByName(zeros), threshold=0.4, k=16, iters=1
     )
-    zrow = out.filter(F.col("vec_id") == 5_000_000).collect()[0]
-    assert zrow.kept
-    assert out.filter(F.col("witness") == 5_000_000).count() == 0
-    # baseline prune set unchanged by the zero vector's presence
+    for zid in (-7, 5_000_000):
+        zrow = out.filter(F.col("vec_id") == zid).collect()[0]
+        assert zrow.kept and zrow.witness is None
+        assert out.filter(F.col("witness") == zid).count() == 0
+    # baseline prune set unchanged by the zero vectors' presence
     base = semantic_dedup(emb, threshold=0.4, k=16, iters=1)
     pruned_with = {
         r.vec_id for r in out.filter(~F.col("kept")).collect()
@@ -1177,6 +1182,37 @@ def test_semantic_dedup_zero_vector_is_inert(spark):
         r.vec_id for r in base.filter(~F.col("kept")).collect()
     }
     assert pruned_with == pruned_base
+
+
+def test_semantic_dedup_negative_ids_roundtrip(spark):
+    """Witness presence is a flag, not a -1 sentinel: a planted exact
+    twin with NEGATIVE ids prunes correctly and records the negative
+    witness id verbatim (including id exactly -1)."""
+    from dataeng_azure_spotify_spark.operators.similarity import semantic_dedup
+
+    cat = Catalog(spark, SF)
+    emb = cat.load("embeddings")
+    twin_src = emb.filter(F.col("vec_id") == 7)
+    neg = twin_src.select(
+        F.lit(-3).cast("long").alias("vec_id"),
+        "embedding",
+        F.lit(None).cast("int").alias("label"),
+    ).unionByName(
+        twin_src.select(
+            F.lit(-1).cast("long").alias("vec_id"),
+            "embedding",
+            F.lit(None).cast("int").alias("label"),
+        )
+    )
+    out = semantic_dedup(
+        emb.unionByName(neg), threshold=0.4, k=16, iters=1
+    ).collect()
+    rows = {r.vec_id: r for r in out}
+    # -3 sorts first among the three identical vectors → the keeper;
+    # -1 and 7 pruned with witness -3 (negative id round-trips)
+    assert rows[-3].kept
+    assert not rows[-1].kept and rows[-1].witness == -3
+    assert not rows[7].kept and rows[7].witness == -3
 
 
 def test_portable_ln_cross_engine_exact(spark):
