@@ -242,3 +242,52 @@ def scale_measure(spark, n: int, max_hamming: int = 6) -> dict:
         "hh_certified": min_count > d_total,
         "sec": round(time.time() - t0, 1),
     }
+
+
+def semantic_scale_measure(
+    spark, n: int, k: int, threshold: float = 0.9
+) -> dict:
+    """SemDeDup growth measurement at ``n`` base vectors with ``k``
+    clusters (the scale knob — grow k ∝ n so mean cluster size stays
+    flat):
+
+    - prune quality on the planted near-dups of :func:`embedding_corpus`
+      (noised copies at cos ≈ 0.9997 vs chance ≲ 0.5): recall = planted
+      copies pruned / planted, and false prunes (non-planted docs
+      pruned — must be zero at a 0.9 threshold);
+    - cluster economics: mean cluster size n/k, max/mean skew ratio,
+      and Σc²/n — the per-document quadratic compare mass, the number
+      that must stay FLAT as n and k grow together for the per-task
+      O(c²·d) bound to hold at 100 TB.
+    """
+    t0 = time.time()
+    corpus = embedding_corpus(spark, n).localCheckpoint(eager=True)
+    n_docs = corpus.count()
+    res = S.semantic_dedup(
+        corpus, threshold=threshold, k=k, iters=1
+    ).localCheckpoint(eager=True)
+    pruned = {r.vec_id for r in res.filter(~F.col("kept")).collect()}
+    planted = {
+        r.vec_id
+        for r in corpus.filter(F.col("vec_id") >= 100_000_000).collect()
+    }
+    sizes = [
+        r.c
+        for r in res.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    mean_c = sum(sizes) / len(sizes)
+    sq_mass = sum(c * c for c in sizes)
+    return {
+        "n_docs": n_docs,
+        "k": k,
+        "planted": len(planted),
+        "pruned": len(pruned),
+        "recall": len(pruned & planted) / max(1, len(planted)),
+        "false_prunes": len(pruned - planted),
+        "mean_cluster": mean_c,
+        "max_over_mean": max(sizes) / mean_c,
+        "sq_mass_per_doc": sq_mass / n_docs,
+        "sec": round(time.time() - t0, 1),
+    }

@@ -303,3 +303,25 @@ def test_labels_index_probe_prune_and_order_tradeoff(spark):
     )
     _, pruned_big = counts["sf0.1"]
     assert pruned_big <= rarest * 1.2, (pruned_big, rarest)
+
+
+@pytest.mark.slow
+def test_semantic_dedup_growth_cluster_economics(spark):
+    """SemDeDup's 100 TB claim: with k grown ∝ n, the per-document
+    quadratic compare mass Σc²/n (what one cluster task costs) stays
+    FLAT as the corpus grows 10×, cluster skew stays bounded, recall
+    on planted ≈0.9997-cosine copies stays high, and a 0.9 threshold
+    admits zero false prunes (chance cosines ≲ 0.5)."""
+    from dataeng_azure_spotify_spark.validation import semantic_scale_measure
+
+    lo = semantic_scale_measure(spark, 2_000, k=16)
+    hi = semantic_scale_measure(spark, 20_000, k=160)
+    for m in (lo, hi):
+        assert m["false_prunes"] == 0, m
+        assert m["recall"] >= 0.9, m
+        assert m["max_over_mean"] <= 20.0, m
+    # mean cluster size flat by construction (n/k fixed); the bound that
+    # matters is the quadratic mass per doc — one 10× step may shift it
+    # by skew, but it must not grow ~10× (which would mean k isn't a
+    # real knob and per-task cost scales with the corpus)
+    assert hi["sq_mass_per_doc"] <= 3.0 * lo["sq_mass_per_doc"], (lo, hi)
