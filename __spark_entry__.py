@@ -2827,12 +2827,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = _dot_double(F.col("va"), F.col("vw"))
     _n2 = lambda c: _dot_double(c, c)  # noqa: E731
 
+    # no broadcast hint on w: it is one row per CORPUS vector, and a
+    # forced broadcast of an O(corpus) side is the scale anti-pattern
+    # this repo bans everywhere else — the parquet scan carries size
+    # stats, so Catalyst/AQE broadcasts it at test scale and falls back
+    # to a shuffled join when it grows
     joined = (
         res.select(
             F.col("vec_id").cast("long").alias("doc_id"), "kept", "witness"
         )
         .join(a, "doc_id")
-        .join(F.broadcast(w), F.col("witness") == F.col("wid"), "left")
+        .join(w, F.col("witness") == F.col("wid"), "left")
     )
     denom2 = _n2(F.col("va")) * _n2(F.col("vw"))
     cos = F.when(denom2 == 0, F.lit(0.0)).otherwise(

@@ -207,26 +207,39 @@ class Engine:
         PERMANENT catalog table raises: the temp view would shadow that
         table for every later query in the session (temp views resolve
         first), which is never what the caller meant."""
-        pre_temp = {
-            t.name
-            for t in self.spark.catalog.listTables()
-            if t.tableType == "TEMPORARY" and t.namespace in (None, [], ())
-        }
+        # catalog enumeration only when kwarg views are passed (the
+        # no-kwarg convenience path stays one spark.sql call); Spark
+        # identifiers are case-insensitive by default, so compare folded
+        pre_temp = (
+            {
+                t.name.lower()
+                for t in self.spark.catalog.listTables()
+                if t.tableType == "TEMPORARY"
+                and t.namespace in (None, [], ())
+            }
+            if tables
+            else set()
+        )
         created = []
-        for name, df in tables.items():
-            if name not in pre_temp and self.spark.catalog.tableExists(name):
-                raise ValueError(
-                    f"Engine.sql view {name!r} collides with a permanent "
-                    "catalog table — the temp view would shadow it for the "
-                    "rest of the session; pick a different kwarg name"
-                )
-            if name not in pre_temp:
-                created.append(name)
-            df.createOrReplaceTempView(name)
-        out = self.spark.sql(query)
-        for name in created:
-            self.spark.catalog.dropTempView(name)
-        return out
+        try:
+            for name, df in tables.items():
+                if name.lower() not in pre_temp and self.spark.catalog.tableExists(
+                    name
+                ):
+                    raise ValueError(
+                        f"Engine.sql view {name!r} collides with a permanent "
+                        "catalog table — the temp view would shadow it for "
+                        "the rest of the session; pick a different kwarg name"
+                    )
+                if name.lower() not in pre_temp:
+                    created.append(name)
+                df.createOrReplaceTempView(name)
+            return self.spark.sql(query)
+        finally:
+            # drop created views even when the collision check or the
+            # query itself raises — no view may outlive a failed call
+            for name in created:
+                self.spark.catalog.dropTempView(name)
 
     def run_log(self, path: str) -> RunLog:
         """Append-only run log (observability surface)."""

@@ -82,7 +82,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _doc_shingle_hashes, _verify_jaccard
+from .dedup import _doc_shingle_hashes, _prefix_len, _verify_jaccard
 from .graph import connected_components
 
 #: run tag for the initial build's shingle/prefix partitions.
@@ -103,17 +103,6 @@ FORMAT_VERSION = 2
 LABELS_SCHEMA = "doc_id long, cluster_id long, bucket int"
 SHINGLES_SCHEMA = "doc long, hshingles array<long>, n_sh int, run string"
 PREFIX_SCHEMA = "doc long, n_sh int, pos int, s long, run string"
-
-
-def _prefix_len(threshold: float):
-    """PPJoin prefix bound ``n_sh − ⌈t·n_sh⌉ + 1`` with the 1e-9 ceil
-    backoff (float products like 0.07×100 = 7.000000000000001 would
-    shorten the prefix and break recall — see dedup.py)."""
-    return (
-        F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-        + 1
-    )
 
 
 def _explode_prefix(sh: DataFrame, threshold: float) -> DataFrame:
@@ -386,12 +375,17 @@ class NearDupLabels:
 
     def runs(self) -> list[str]:
         # no meta = absent index (see labels()): surviving run markers
-        # from a crashed rebuild must not resurrect as committed runs
-        if not self.exists() or not os.path.exists(self._runs_path):
+        # from a crashed rebuild must not resurrect as committed runs.
+        # Schema-explicit read: a runs dir a crash left without any
+        # committed footer (only _temporary) must read as zero runs,
+        # not brick every later append with a schema-inference error
+        if not self.exists():
             return []
         return [
             r["run_id"]
-            for r in self.spark.read.parquet(self._runs_path).collect()  # O(runs)
+            for r in self._read_or_empty(
+                self._runs_path, "run_id string"
+            ).collect()  # O(runs)
         ]
 
     # -- incremental maintenance ---------------------------------------

@@ -109,6 +109,25 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
+def _prefix_len(threshold: float):
+    """PPJoin prefix bound ``n_sh − ⌈t·n_sh⌉ + 1`` with the 1e-9 ceil
+    backoff: float products like 0.07 × 100 = 7.000000000000001 would
+    otherwise ceil to 8, shortening the indexed prefix by one and
+    breaking the recall-1.0 contract for a pair whose only shared
+    shingle sits at the clipped rank. The backoff can only LENGTHEN
+    the prefix (ceil never lands above the exact rational value), so
+    recall is preserved in every case; exactness of the backoff
+    arithmetic is pinned in tests/test_llm_ops.py. THE canonical copy —
+    ``cluster_index`` imports it, and the cross-implementation
+    label-equality pin (tests/test_cluster_index.py) depends on both
+    sides computing the identical bound."""
+    return (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
+
+
 def _doc_shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc, hshingles: array<long>, n_sh) — distinct word-n-gram hashes,
     built without materializing gram strings: ``xxhash64(tok_i..tok_{i+n-1})``
@@ -239,19 +258,9 @@ def ngram_jaccard_candidates(
             Window.partitionBy("doc").orderBy(F.col("s_freq").asc(), F.col("s").asc())
         ),
     )
-    # ⌈t·n⌉ with a 1e-9 backoff: float products like 0.07 × 100 =
-    # 7.000000000000001 would otherwise ceil to 8, shortening the
-    # indexed prefix by one and breaking the recall-1.0 contract for a
-    # pair whose only shared shingle sits at the clipped rank. The
-    # backoff can only LENGTHEN the prefix (ceil never above the exact
-    # rational value), so recall is preserved in every case; exactness
-    # of the backoff arithmetic is pinned in tests/test_llm_ops.py.
-    prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-        + 1
+    idx = _persist(
+        ranked.filter(F.col("rk") <= _prefix_len(threshold)).select("doc", "s")
     )
-    idx = _persist(ranked.filter(F.col("rk") <= prefix_len).select("doc", "s"))
     a, b = idx.alias("a"), idx.alias("b")
     candidates = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))

@@ -455,3 +455,24 @@ def test_layout_version_reporting(spark, docs, tmp_path):
         "threshold double, n int, num_buckets int, text_col string, id_col string",
     ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
     assert NearDupLabels.load(spark, str(tmp_path / "cur")).layout_version() == 1
+
+
+def test_footerless_runs_dir_reads_as_zero_runs(spark, docs, tmp_path):
+    # a crash during _mark_run can leave runs/ existing with no committed
+    # parquet footer (only _temporary debris); the schema-explicit read
+    # must see zero runs — not brick every later append with a
+    # schema-inference AnalysisException
+    import os
+    import shutil
+
+    path = str(tmp_path / "footerless")
+    idx = NearDupLabels.build(docs, path)
+    shutil.rmtree(idx._runs_path)
+    os.makedirs(idx._runs_path)  # exists, but empty — no footer to infer
+    assert NearDupLabels.load(spark, path).runs() == []
+    # and the index remains appendable
+    more = docs.select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    ).limit(3)
+    NearDupLabels.load(spark, path).append(more, run_id="after-crash")
+    assert "after-crash" in NearDupLabels.load(spark, path).runs()

@@ -159,3 +159,48 @@ def test_engine_sql_refuses_permanent_table_shadowing(spark, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS perm_probe_t")
+
+
+def test_engine_sql_drops_views_when_query_raises(spark):
+    """Views created by a failing call must not outlive it: neither a
+    mid-loop permanent-table collision nor a bad query may leak the
+    kwarg views already created (cleanup runs in a finally)."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark import Engine
+
+    eng = Engine(spark, SF)
+    df = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(Exception):
+        eng.sql("SELECT broken syntax FROM nowhere(", leak_probe_v=df)
+    assert not spark.catalog.tableExists("leak_probe_v")
+    # mid-loop collision: first kwarg view created, second raises on a
+    # permanent-table collision — the first must still be dropped
+    spark.sql("DROP TABLE IF EXISTS perm_probe_u")
+    spark.createDataFrame([(9,)], "x long").write.saveAsTable("perm_probe_u")
+    try:
+        with _pytest.raises(ValueError):
+            eng.sql(
+                "SELECT 1", a_first_view=df, perm_probe_u=df
+            )
+        assert not spark.catalog.tableExists("a_first_view")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS perm_probe_u")
+
+
+def test_engine_sql_case_insensitive_pre_temp(spark):
+    """Spark identifiers are case-insensitive by default: a kwarg that
+    names a pre-existing temp view in different case must REPLACE it
+    (documented behavior), not be misclassified as a permanent-table
+    collision."""
+    from dataeng_azure_spotify_spark import Engine
+
+    eng = Engine(spark, SF)
+    spark.createDataFrame([(5,)], "x long").createOrReplaceTempView("CaseView")
+    try:
+        df = spark.createDataFrame([(7,)], "x long")
+        out = eng.sql("SELECT SUM(x) s FROM caseview", CASEVIEW=df)
+        assert out.collect()[0].s == 7  # replaced content
+        assert spark.catalog.tableExists("caseview")  # not dropped
+    finally:
+        spark.catalog.dropTempView("CaseView")
