@@ -150,6 +150,8 @@ class Engine:
             strip_boilerplate=_curation.strip_shared_boilerplate,
             lm_score=_curation.ngram_lm_score,
             dsir_select=_curation.dsir_select,
+            dsir_model=_curation.DsirModel,
+            dsir_admitter=_curation.DsirAdmitter,
             heavy_hitters=_sketch.heavy_hitters,
             profile=_profile.profile_table,
         )

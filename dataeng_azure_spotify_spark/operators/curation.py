@@ -24,6 +24,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -702,38 +704,57 @@ def dsir_select(
     count, not the vocabulary.
     """
     B = int(buckets)
-
-    def _bucket_counts(df: DataFrame) -> DataFrame:
-        t = F.col("__t")
-        base = df.select(
-            F.col(id_col).alias("doc"), tokens_col(text_col).alias("__t")
-        ).filter(F.size("__t") >= 1)
-        idx = F.sequence(F.lit(0), F.size(t) - 2)
-        bigrams = F.when(
-            F.size(t) >= 2,
-            F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, 2), " ")),
-        ).otherwise(F.array().cast("array<string>"))
-        return (
-            base.select("doc", F.explode(F.concat(t, bigrams)).alias("gram"))
-            .select("doc", F.pmod(hash60(F.col("gram")), F.lit(B)).alias("b"))
-            .groupBy("doc", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        )
-
     # raw features feed BOTH the totals and the scoring join — one lazy
     # checkpoint so the explode+groupBy scan runs once; the target
     # bucket table (≤ B rows) likewise feeds both the weight table and
     # the T scalar — checkpoint it too so the target corpus is scanned
     # once, not twice
-    raw_c = _bucket_counts(raw).localCheckpoint(eager=False)
+    raw_c = _dsir_bucket_counts(raw, id_col, text_col, B).localCheckpoint(
+        eager=False
+    )
     tgt_b = (
-        _bucket_counts(target)
+        _dsir_bucket_counts(target, id_col, text_col, B)
         .groupBy("b")
         .agg(F.sum("c").cast("long").alias("t_b"))
         .localCheckpoint(eager=False)
     )
+    w, cq_df = _dsir_weights(raw_c, tgt_b, B)
+    scored = _dsir_score_counts(raw_c, w, cq_df)
+    return (
+        scored.orderBy(F.col("logw_nano").desc(), "doc")
+        .limit(int(k))
+        .select(F.col("doc").alias(id_col), "n_grams", "logw_nano")
+    )
+
+
+def _dsir_bucket_counts(
+    df: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """Per-doc hashed unigram+bigram bucket counts (doc, b, c) — the
+    DSIR feature space. Tokenless documents produce no rows."""
+    t = F.col("__t")
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens_col(text_col).alias("__t")
+    ).filter(F.size("__t") >= 1)
+    idx = F.sequence(F.lit(0), F.size(t) - 2)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.select("doc", F.explode(F.concat(t, bigrams)).alias("gram"))
+        .select("doc", F.pmod(hash60(F.col("gram")), F.lit(buckets)).alias("b"))
+        .groupBy("doc", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _dsir_weights(raw_c: DataFrame, tgt_b: DataFrame, buckets: int):
+    """(weights, cq): the per-bucket nano-unit log-ratio table
+    (b, lrq) over the RAW corpus's observed buckets, and the 1-row
+    length-term constant (cq) — both exact BIGINT once quantized
+    (portable_ln; see dsir_select)."""
     raw_b = raw_c.groupBy("b").agg(F.sum("c").cast("long").alias("r_b"))
-    # per-bucket log-ratio, quantized to nano-units (exact from here on)
     lr = portable_ln(F.col("t_b") + F.lit(1)) - portable_ln(
         F.col("r_b") + F.lit(1)
     )
@@ -746,26 +767,159 @@ def dsir_select(
         raw_b.agg(F.sum("r_b").alias("rr"))
     )
     const_q = F.floor(
-        (portable_ln(F.col("rr") + F.lit(B)) - portable_ln(F.col("tt") + F.lit(B)))
+        (
+            portable_ln(F.col("rr") + F.lit(buckets))
+            - portable_ln(F.col("tt") + F.lit(buckets))
+        )
         * F.lit(1e9)
         + F.lit(0.5)
     ).cast("long")
-    scored = (
-        raw_c.join(F.broadcast(w), "b")
+    return w, scal.select(const_q.alias("cq"))
+
+
+def _dsir_score_counts(
+    counts: DataFrame, w: DataFrame, cq_df: DataFrame
+) -> DataFrame:
+    """(doc, n_grams, logw_nano) from bucket counts + weight table.
+    LEFT join: a bucket never seen in the training raw corpus has
+    r_b = t_b = 0, so its exact log-ratio is ln(1) − ln(1) = 0 — the
+    coalesce IS the model's value for unseen features, not a fudge."""
+    return (
+        counts.join(F.broadcast(w), "b", "left")
+        .na.fill({"lrq": 0})
         .groupBy("doc")
         .agg(
             F.sum("c").cast("long").alias("n_grams"),
             F.sum(F.col("c") * F.col("lrq")).cast("long").alias("s"),
         )
-        .crossJoin(F.broadcast(scal.select(const_q.alias("cq"))))
+        .crossJoin(F.broadcast(cq_df))
         .select(
             "doc",
             "n_grams",
             (F.col("s") + F.col("n_grams") * F.col("cq")).alias("logw_nano"),
         )
     )
-    return (
-        scored.orderBy(F.col("logw_nano").desc(), "doc")
-        .limit(int(k))
-        .select(F.col("doc").alias(id_col), "n_grams", "logw_nano")
-    )
+
+
+class DsirModel:
+    """Persisted DSIR importance model — the fit-once / score-many
+    artifact form of :func:`dsir_select` (the IvfIndex / NearDupLabels
+    pattern applied to data selection): at 100 TB nobody re-featurizes
+    the raw corpus per selection run, and a streaming filter needs
+    FIXED weights to stay deterministic across micro-batches.
+
+    Layout under ``path``: ``weights/`` parquet (b, lrq — ≤ ``buckets``
+    rows) and ``meta/`` parquet (cq, buckets, id_col, text_col),
+    written LAST so a crashed fit reads as absent (the artifact crash
+    discipline shared with NearDupLabels).
+
+    :meth:`score` applies the frozen weights to ANY corpus: buckets
+    never seen when fitting carry lrq = 0 — which is the model's exact
+    value for them (r_b = t_b = 0 ⇒ ln(1) − ln(1)), not a fallback.
+    Scoring is stateless row-parallel DataFrame algebra, so it drops
+    into ``foreachBatch`` unchanged — :class:`DsirAdmitter` wraps it
+    for :func:`...streaming.admission.run_admission_stream`.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        self._weights_path = os.path.join(path, "weights")
+        self._meta_path = os.path.join(path, "meta")
+
+    # -- lifecycle -------------------------------------------------------
+    @classmethod
+    def fit(
+        cls,
+        raw: DataFrame,
+        target: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        buckets: int = 8192,
+    ) -> "DsirModel":
+        B = int(buckets)
+        spark = raw.sparkSession
+        raw_c = _dsir_bucket_counts(raw, id_col, text_col, B).localCheckpoint(
+            eager=False
+        )
+        tgt_b = (
+            _dsir_bucket_counts(target, id_col, text_col, B)
+            .groupBy("b")
+            .agg(F.sum("c").cast("long").alias("t_b"))
+            .localCheckpoint(eager=False)
+        )
+        w, cq_df = _dsir_weights(raw_c, tgt_b, B)
+        model = cls(spark, path)
+        w.write.mode("overwrite").parquet(model._weights_path)
+        cq = cq_df.first()["cq"]  # O(1) scalar
+        spark.createDataFrame(
+            [(int(cq), B, id_col, text_col)],
+            "cq long, buckets int, id_col string, text_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(model._meta_path)
+        return model
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DsirModel":
+        model = cls(spark, path)
+        if not model.exists():
+            raise FileNotFoundError(f"no DsirModel at {path!r}")
+        return model
+
+    def exists(self) -> bool:
+        # meta is the commit marker (written last by fit)
+        return os.path.exists(self._meta_path)
+
+    def _meta(self):
+        return self.spark.read.schema(
+            "cq long, buckets int, id_col string, text_col string"
+        ).parquet(self._meta_path).first()
+
+    def weights(self) -> DataFrame:
+        return self.spark.read.schema("b long, lrq long").parquet(
+            self._weights_path
+        )
+
+    # -- scoring ---------------------------------------------------------
+    def score(self, df: DataFrame) -> DataFrame:
+        """(id_col, n_grams, logw_nano) for every tokenful document of
+        ``df`` under the frozen weights. Works on batch DataFrames and
+        inside ``foreachBatch``; deterministic across replays."""
+        m = self._meta()
+        counts = _dsir_bucket_counts(df, m.id_col, m.text_col, m.buckets)
+        cq_df = self.spark.createDataFrame([(int(m.cq),)], "cq long")
+        return _dsir_score_counts(counts, self.weights(), cq_df).select(
+            F.col("doc").alias(m.id_col), "n_grams", "logw_nano"
+        )
+
+    def select(self, df: DataFrame, k: int) -> DataFrame:
+        """Deterministic top-``k`` most target-like documents of ``df``
+        (ties broken by ascending id) — :func:`dsir_select` semantics
+        under the frozen weights."""
+        m = self._meta()
+        return (
+            self.score(df)
+            .orderBy(F.col("logw_nano").desc(), m.id_col)
+            .limit(int(k))
+        )
+
+
+class DsirAdmitter:
+    """Streaming admission by target-likeness: admit the documents of
+    each micro-batch whose frozen-model log-weight clears
+    ``min_logw_nano``. Stateless and deterministic (the model is a
+    read-only artifact), so a replayed epoch reproduces its rows
+    exactly — the ``run_id`` the admission framework passes needs no
+    tracking. Drop into
+    :func:`...streaming.admission.run_admission_stream` as-is."""
+
+    def __init__(self, model: DsirModel, min_logw_nano: int):
+        self.model = model
+        self.min_logw_nano = int(min_logw_nano)
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        m = self.model._meta()
+        keep = self.model.score(batch).filter(
+            F.col("logw_nano") >= self.min_logw_nano
+        )
+        return batch.join(keep.select(m.id_col), m.id_col, "semi")

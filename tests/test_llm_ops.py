@@ -1282,3 +1282,85 @@ def test_dsir_select_semantics(spark):
     allout = dsir_select(df, target, k=1000, id_col="doc_id", buckets=1024)
     ids = {r.doc_id for r in allout.collect()}
     assert 999 not in ids and len(ids) == 40
+
+
+def test_dsir_model_artifact_and_streaming_admission(spark, tmp_path):
+    """The persisted DsirModel: (a) select() on the training corpus is
+    row-identical to the one-shot dsir_select; (b) scoring a NEW corpus
+    with unseen vocabulary gives exactly the length-term weight
+    (lrq = 0 is the model's true value for never-seen buckets);
+    (c) a weights dir without meta reads as absent (crash discipline);
+    (d) DsirAdmitter drops into run_admission_stream and the streamed
+    admission equals the batch filter over the same docs."""
+    from dataeng_azure_spotify_spark.operators.curation import (
+        DsirAdmitter,
+        DsirModel,
+        dsir_select,
+    )
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        read_admitted,
+        run_admission_stream,
+    )
+
+    marker = "zorp flim quux blarg"
+    rows = [Row(doc_id=i, text=f"{marker} sample {i}") for i in range(10)]
+    rows += [
+        Row(doc_id=100 + i, text=f"ordinary plain filler words {i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    target = df.filter(F.col("doc_id") < 10)
+    path = str(tmp_path / "dsir_model")
+    model = DsirModel.fit(df, target, path, buckets=1024)
+
+    # (a) frozen-model selection == one-shot operator
+    a = dsir_select(df, target, k=10, buckets=1024).collect()
+    b = DsirModel.load(spark, path).select(df, k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # (b) unseen vocabulary: every bucket misses the weight table, so
+    # logw = n_grams * cq exactly
+    cq = model._meta().cq
+    novel = spark.createDataFrame(
+        [Row(doc_id=7_000, text="xylophonic quibbleflark omnitron")]
+    )
+    srow = model.score(novel).collect()[0]
+    assert srow.logw_nano == srow.n_grams * cq
+
+    # (c) crash discipline: meta is the commit marker
+    import shutil
+
+    shutil.rmtree(model._meta_path)
+    assert not DsirModel(spark, path).exists()
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        DsirModel.load(spark, path)
+    model = DsirModel.fit(df, target, path, buckets=1024)  # refit
+
+    # (d) streaming admission == batch filter
+    threshold = sorted(
+        (r.logw_nano for r in model.score(df).collect()), reverse=True
+    )[9]  # admit exactly the top-10 (the marker docs)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    df.filter(F.col("doc_id") < 105).write.mode("append").parquet(inp)
+
+    def drain():
+        src = spark.readStream.schema("doc_id long, text string").parquet(inp)
+        run_admission_stream(
+            src, DsirAdmitter(model, threshold), out, chk
+        )
+
+    drain()
+    df.filter(F.col("doc_id") >= 105).write.mode("append").parquet(inp)
+    drain()
+    streamed = {r.doc_id for r in read_admitted(spark, out).collect()}
+    batch = {
+        r.doc_id
+        for r in model.score(df)
+        .filter(F.col("logw_nano") >= threshold)
+        .collect()
+    }
+    assert streamed == batch == set(range(10))
