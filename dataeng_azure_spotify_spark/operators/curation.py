@@ -871,9 +871,17 @@ class DsirModel:
         return os.path.exists(self._meta_path)
 
     def _meta(self):
-        return self.spark.read.schema(
-            "cq long, buckets int, id_col string, text_col string"
-        ).parquet(self._meta_path).first()
+        # memoized: meta is immutable once fit commits it, and the
+        # streaming admitter calls score() once per micro-batch
+        if getattr(self, "_meta_row", None) is None:
+            self._meta_row = (
+                self.spark.read.schema(
+                    "cq long, buckets int, id_col string, text_col string"
+                )
+                .parquet(self._meta_path)
+                .first()
+            )
+        return self._meta_row
 
     def weights(self) -> DataFrame:
         return self.spark.read.schema("b long, lrq long").parquet(
