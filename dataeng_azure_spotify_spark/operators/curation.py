@@ -704,20 +704,7 @@ def dsir_select(
     count, not the vocabulary.
     """
     B = int(buckets)
-    # raw features feed BOTH the totals and the scoring join — one lazy
-    # checkpoint so the explode+groupBy scan runs once; the target
-    # bucket table (≤ B rows) likewise feeds both the weight table and
-    # the T scalar — checkpoint it too so the target corpus is scanned
-    # once, not twice
-    raw_c = _dsir_bucket_counts(raw, id_col, text_col, B).localCheckpoint(
-        eager=False
-    )
-    tgt_b = (
-        _dsir_bucket_counts(target, id_col, text_col, B)
-        .groupBy("b")
-        .agg(F.sum("c").cast("long").alias("t_b"))
-        .localCheckpoint(eager=False)
-    )
+    raw_c, tgt_b = _dsir_fit_tables(raw, target, id_col, text_col, B)
     w, cq_df = _dsir_weights(raw_c, tgt_b, B)
     scored = _dsir_score_counts(raw_c, w, cq_df)
     return (
@@ -725,6 +712,28 @@ def dsir_select(
         .limit(int(k))
         .select(F.col("doc").alias(id_col), "n_grams", "logw_nano")
     )
+
+
+def _dsir_fit_tables(
+    raw: DataFrame, target: DataFrame, id_col: str, text_col: str, buckets: int
+):
+    """(raw_c, tgt_b) — the two featurization tables every DSIR fit
+    needs (shared by :func:`dsir_select` and :meth:`DsirModel.fit` so
+    the feature pipeline cannot drift between them). Raw features feed
+    BOTH the totals and the scoring join — one lazy checkpoint so the
+    explode+groupBy scan runs once; the target bucket table (≤ buckets
+    rows) likewise feeds both the weight table and the T scalar —
+    checkpointed too so the target corpus is scanned once, not twice."""
+    raw_c = _dsir_bucket_counts(raw, id_col, text_col, buckets).localCheckpoint(
+        eager=False
+    )
+    tgt_b = (
+        _dsir_bucket_counts(target, id_col, text_col, buckets)
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("t_b"))
+        .localCheckpoint(eager=False)
+    )
+    return raw_c, tgt_b
 
 
 def _dsir_bucket_counts(
@@ -751,21 +760,31 @@ def _dsir_bucket_counts(
 
 def _dsir_weights(raw_c: DataFrame, tgt_b: DataFrame, buckets: int):
     """(weights, cq): the per-bucket nano-unit log-ratio table
-    (b, lrq) over the RAW corpus's observed buckets, and the 1-row
-    length-term constant (cq) — both exact BIGINT once quantized
-    (portable_ln; see dsir_select)."""
+    (b, lrq) over every bucket observed in EITHER corpus, and the
+    1-row length-term constant (cq) — both exact BIGINT once
+    quantized (portable_ln; see dsir_select).
+
+    FULL outer join: a bucket seen only in the target corpus carries
+    its true positive weight ln(t_b+1) − ln(1) — dropping it (a left
+    join from the raw side) would under-score exactly the most
+    target-like NEW documents when the persisted model scores a
+    corpus beyond the one it was fit on. For :func:`dsir_select`
+    itself the extra rows are unreachable (every scored bucket has
+    r_b ≥ 1), so its oracle twin is unaffected."""
     raw_b = raw_c.groupBy("b").agg(F.sum("c").cast("long").alias("r_b"))
     lr = portable_ln(F.col("t_b") + F.lit(1)) - portable_ln(
         F.col("r_b") + F.lit(1)
     )
     w = (
-        raw_b.join(tgt_b, "b", "left")
-        .na.fill({"t_b": 0})
+        raw_b.join(tgt_b, "b", "full")
+        .na.fill({"t_b": 0, "r_b": 0})
         .select("b", F.floor(lr * F.lit(1e9) + F.lit(0.5)).cast("long").alias("lrq"))
     )
-    scal = tgt_b.agg(F.sum("t_b").alias("tt")).crossJoin(
-        raw_b.agg(F.sum("r_b").alias("rr"))
-    )
+    # coalesce: an empty corpus sums to NULL, which would silently
+    # NULL every downstream weight — 0 keeps the algebra total
+    scal = tgt_b.agg(
+        F.coalesce(F.sum("t_b"), F.lit(0)).alias("tt")
+    ).crossJoin(raw_b.agg(F.coalesce(F.sum("r_b"), F.lit(0)).alias("rr")))
     const_q = F.floor(
         (
             portable_ln(F.col("rr") + F.lit(buckets))
@@ -838,23 +857,35 @@ class DsirModel:
         text_col: str = "text",
         buckets: int = 8192,
     ) -> "DsirModel":
+        import shutil
+
         B = int(buckets)
         spark = raw.sparkSession
-        raw_c = _dsir_bucket_counts(raw, id_col, text_col, B).localCheckpoint(
-            eager=False
-        )
-        tgt_b = (
-            _dsir_bucket_counts(target, id_col, text_col, B)
-            .groupBy("b")
-            .agg(F.sum("c").cast("long").alias("t_b"))
-            .localCheckpoint(eager=False)
-        )
+        raw_c, tgt_b = _dsir_fit_tables(raw, target, id_col, text_col, B)
         w, cq_df = _dsir_weights(raw_c, tgt_b, B)
         model = cls(spark, path)
+        # fail BEFORE anything is written: a model fit on a featureless
+        # corpus scores every document identically and is never what
+        # the caller meant
+        scal = cq_df.first()
+        if tgt_b.first() is None or raw_c.first() is None:
+            raise ValueError(
+                "DsirModel.fit: raw and target must each contain at "
+                "least one tokenful document — an empty side makes "
+                "every weight degenerate"
+            )
+        cq = int(scal["cq"])
+        # refit crash discipline: meta is the COMMIT MARKER and must go
+        # first on a re-fit — otherwise a crash between the weights
+        # overwrite and the meta overwrite leaves OLD meta (e.g. a
+        # different bucket count) committed over NEW weights, a corrupt
+        # artifact that loads cleanly. Deleting meta up front makes any
+        # mid-refit crash read as absent, same as a crashed first fit.
+        if os.path.exists(model._meta_path):
+            shutil.rmtree(model._meta_path)
         w.write.mode("overwrite").parquet(model._weights_path)
-        cq = cq_df.first()["cq"]  # O(1) scalar
         spark.createDataFrame(
-            [(int(cq), B, id_col, text_col)],
+            [(cq, B, id_col, text_col)],
             "cq long, buckets int, id_col string, text_col string",
         ).coalesce(1).write.mode("overwrite").parquet(model._meta_path)
         return model
@@ -870,23 +901,35 @@ class DsirModel:
         # meta is the commit marker (written last by fit)
         return os.path.exists(self._meta_path)
 
-    def _meta(self):
-        # memoized: meta is immutable once fit commits it, and the
-        # streaming admitter calls score() once per micro-batch
-        if getattr(self, "_meta_row", None) is None:
-            self._meta_row = (
+    def _snapshot(self):
+        """(meta row, weights) loaded TOGETHER and memoized: the
+        weights are pinned with an eager localCheckpoint at the same
+        moment the meta row is read, so a handle always scores with a
+        consistent frozen model — a concurrent re-fit of the same path
+        can never pair this handle's cached meta (bucket count, cq)
+        with newer on-disk weights. One read per model instance; the
+        streaming admitter calls score() once per micro-batch."""
+        if getattr(self, "_snap", None) is None:
+            meta = (
                 self.spark.read.schema(
                     "cq long, buckets int, id_col string, text_col string"
                 )
                 .parquet(self._meta_path)
                 .first()
             )
-        return self._meta_row
+            w = (
+                self.spark.read.schema("b long, lrq long")
+                .parquet(self._weights_path)
+                .localCheckpoint(eager=True)
+            )
+            self._snap = (meta, w)
+        return self._snap
+
+    def _meta(self):
+        return self._snapshot()[0]
 
     def weights(self) -> DataFrame:
-        return self.spark.read.schema("b long, lrq long").parquet(
-            self._weights_path
-        )
+        return self._snapshot()[1]
 
     # -- scoring ---------------------------------------------------------
     def score(self, df: DataFrame) -> DataFrame:

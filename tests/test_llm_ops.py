@@ -1364,3 +1364,53 @@ def test_dsir_model_artifact_and_streaming_admission(spark, tmp_path):
         .collect()
     }
     assert streamed == batch == set(range(10))
+
+
+def test_dsir_model_target_only_vocab_and_refit(spark, tmp_path):
+    """(a) Vocabulary seen ONLY in the target corpus must carry its
+    true positive weight ln(t_b+1) in the persisted table — dropping
+    it would under-score exactly the most target-like new documents;
+    (b) re-fitting the same path commits a consistent artifact (fresh
+    bucket count, fresh weights); (c) fitting on an empty corpus
+    raises before anything is written."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark.operators.curation import DsirModel
+
+    raw = spark.createDataFrame(
+        [Row(doc_id=i, text=f"plain filler words {i}") for i in range(20)]
+    )
+    target = spark.createDataFrame(
+        [Row(doc_id=1_000 + i, text="zorp zorp wonderful prose") for i in range(5)]
+    )
+    path = str(tmp_path / "m")
+    model = DsirModel.fit(raw, target, path, buckets=1024)
+    cq = model._meta().cq
+    # 'zorp'-bearing new doc must outscore the same-length doc without
+    # it: the target-only buckets carry lrq = floor(ln(t_b+1)*1e9+.5) > 0
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="zorp zorp zorp"),
+            Row(doc_id=2, text="gleeb florp snag"),  # unseen anywhere
+        ]
+    )
+    s = {r.doc_id: r for r in model.score(probe).collect()}
+    assert s[2].logw_nano == s[2].n_grams * cq  # absent-everywhere = cq only
+    assert s[1].logw_nano > s[1].n_grams * cq  # target-only vocab scores UP
+
+    # refit with a different bucket count: a fresh handle is consistent
+    m2 = DsirModel.fit(raw, target, path, buckets=512)
+    assert m2._meta().buckets == 512
+    assert m2.score(probe).count() == 2
+    # stale-handle safety: the OLD handle keeps its frozen snapshot
+    # (meta and weights pinned together) — same scores as before refit
+    s_again = {r.doc_id: r for r in model.score(probe).collect()}
+    assert s_again[1].logw_nano == s[1].logw_nano
+
+    # empty target refuses before writing anything
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="tokenful"):
+        DsirModel.fit(raw, empty, str(tmp_path / "bad"))
+    import os
+
+    assert not os.path.exists(str(tmp_path / "bad" / "meta"))
