@@ -68,6 +68,7 @@ from dataeng_azure_spotify_spark.operators.curation import (
     ngram_lm_score,
     source_mix,
     stratified_sample,
+    temperature_mix,
     strip_shared_boilerplate,
 )
 from dataeng_azure_spotify_spark.operators.ranking import (
@@ -3084,6 +3085,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source mixing: exactly 200 docs with per-source
+    quotas ∝ sqrt(source size) by largest-remainder apportionment —
+    the mT5/XLM-R rebalance that up-samples small sources. sqrt is the
+    one fractional power IEEE requires correctly rounded, so the
+    nano-quantized weights are bit-equal across engines and the whole
+    apportionment is exact BIGINT arithmetic."""
+    cat = _cat(spark, sf_dir)
+    return temperature_mix(cat["documents"], total_n=200, alpha=0.5)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by (rational-idf) TF-IDF."""
     cat = _cat(spark, sf_dir)
@@ -3823,6 +3835,50 @@ LIMIT {int(k)}
 """
 
 
+def _temperature_mix_oracle(total_n: int) -> str:
+    """Twin of temperature_mix(alpha=0.5): sqrt weights nano-quantized
+    (sqrt is IEEE-correctly-rounded — bit-equal across engines), then
+    exact-integer largest-remainder apportionment."""
+    h = _duck_hash60("'samp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH counts AS (
+    SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS c_s
+    FROM documents GROUP BY 1
+), weighted AS (
+    SELECT src, c_s,
+           CAST(floor(sqrt(CAST(c_s AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS wq
+    FROM counts
+), tot AS (
+    SELECT CAST(SUM(wq) AS BIGINT) AS sw FROM weighted
+), seats AS (
+    SELECT src, c_s,
+           CAST(({total_n} * wq) // sw AS BIGINT) AS base,
+           CAST(({total_n} * wq) % sw AS BIGINT) AS rem
+    FROM weighted, tot
+), quotas AS (
+    SELECT src, c_s,
+           LEAST(
+               base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, src ASC)
+                                <= {total_n} - (SELECT SUM(base) FROM seats)
+                           THEN 1 ELSE 0 END,
+               c_s
+           ) AS src_quota
+    FROM seats
+), ranked AS (
+    SELECT doc_id, source AS src,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY {h}, doc_id
+           ) AS pos
+    FROM documents
+)
+SELECT r.doc_id, r.src AS source,
+       CAST(q.src_quota AS BIGINT) AS src_quota,
+       CAST(q.c_s AS BIGINT) AS src_available
+FROM ranked r JOIN quotas q USING (src)
+WHERE r.pos <= q.src_quota
+"""
+
+
 def _strip_boilerplate_oracle(n: int, min_docs: int) -> str:
     """Positional twin of the word-grams CTE: DuckDB zips the aligned
     ``unnest`` calls, so (pos, gram) rows mirror Spark's
@@ -4065,9 +4121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # formerly-no-oracle queries are reshaped self-certifying; the four
     # clusters-family queries now read the persisted NearDupLabels
     # artifact; range_join is the r6 bench-anomaly adjudication target;
-    # semantic_dedup and dsir_select are the late-r7 additions — their
-    # arrival rotates simhash_fingerprints and scd1_upsert, both
-    # r5-certified, to 51+; pagerank_central_docs, reshaped
+    # semantic_dedup, dsir_select, and temperature_mix are the late-r7
+    # additions — their arrival rotates simhash_fingerprints,
+    # scd1_upsert, and dedup_minhash_lsh, all r5-certified, to 51+; pagerank_central_docs, reshaped
     # self-certifying late-r7 — the LAST no-oracle query converted —
     # joins the window in zorder_code's slot, rotating that
     # r5-certified query to 51+).
@@ -4080,6 +4136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_asof": q_star_join_asof,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
+        "temperature_mix": q_temperature_mix,
         "approx_distinct": q_approx_distinct,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
@@ -4427,6 +4484,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _contamination_oracle(n=5, test_mod=97),
         "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
         "dsir_select": _dsir_oracle(k=150, buckets=4096),
+        "temperature_mix": _temperature_mix_oracle(total_n=200),
         "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "ngram_lm_score": _ngram_lm_oracle(),
         "jl_project": _jl_project_oracle(out_dim=8),

@@ -144,6 +144,7 @@ class Engine:
             length_quantile_filter=_curation.length_quantile_filter,
             chunk=_curation.chunk_documents,
             source_mix=_curation.source_mix,
+            temperature_mix=_curation.temperature_mix,
             cap_per_source=_curation.cap_per_source,
             shard=_curation.shard_corpus,
             write_sharded=_curation.write_sharded,

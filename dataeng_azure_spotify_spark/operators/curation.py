@@ -974,3 +974,110 @@ class DsirAdmitter:
             F.col("logw_nano") >= self.min_logw_nano
         )
         return batch.join(keep.select(m.id_col), m.id_col, "semi")
+
+
+def temperature_mix(
+    df: DataFrame,
+    total_n: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-pretraining
+    rebalance of mT5 / XLM-R): draw exactly ``total_n`` documents with
+    per-source quotas ∝ ``c_s^alpha`` — ``alpha`` < 1 up-samples small
+    sources so head sources stop dominating the mixture.
+
+    Cross-engine exactness: ``alpha`` must be 1.0 (proportional — pure
+    integer weights) or 0.5 (sqrt — the ONE fractional power IEEE 754
+    requires correctly rounded, so Spark and DuckDB agree bit-for-bit;
+    a general ``pow`` is libm and diverges across engines the same way
+    ln does, see ``functions/mathx.py``). Weights are quantized to
+    nano-units once, then apportionment is pure BIGINT arithmetic:
+    base quota = ⌊total_n·w_s / Σw⌋ with the leftover seats assigned
+    by LARGEST REMAINDER (ties to the lexicographically smaller
+    source) — the standard apportionment that sums exactly to
+    ``total_n``. A quota larger than a source's population is capped
+    at the population (the shortfall is reported, not silently
+    redistributed — redistribution loops are sequential and the gap is
+    the caller's signal to lower alpha or total_n).
+
+    Within a source, the quota picks the ``hash60(salt || id)``-
+    smallest documents (ties by id) — the :func:`sample_exact_n`
+    seeded-shuffle discipline, replay-safe, no RNG state.
+
+    Returns the selected documents: (``id_col``, ``source_col``,
+    src_quota, src_available). Scale: one grouped count (tiny), the
+    apportionment window over the SOURCE table (≤ #sources rows), one
+    per-source selection window over the corpus — a single corpus
+    shuffle on ``source_col``; skewed sources parallelize within the
+    rank window's partition only, so salt very-hot sources upstream if
+    one source is most of the corpus.
+    """
+    if alpha not in (0.5, 1.0):
+        raise ValueError(
+            "temperature_mix: alpha must be 0.5 (sqrt, IEEE-exact in "
+            "every engine) or 1.0 (proportional) — general pow is libm "
+            "and breaks cross-engine determinism (see functions/mathx.py)"
+        )
+    counts = df.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_s")
+    )
+    if alpha == 1.0:
+        wq = F.col("c_s") * F.lit(1_000_000_000)
+    else:
+        wq = F.floor(
+            F.sqrt(F.col("c_s").cast("double")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long")
+    weighted = counts.select("src", "c_s", wq.alias("wq"))
+    tot = weighted.agg(F.sum("wq").alias("sw"))
+    seats = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "c_s",
+            (F.lit(int(total_n)) * F.col("wq")).alias("num"),
+            "sw",
+        )
+        .select(
+            "src",
+            "c_s",
+            # integer `div`, not double `/`+cast: a double quotient can
+            # round up across the floor boundary at large magnitudes
+            F.expr("num div sw").alias("base"),
+            F.pmod(F.col("num"), F.col("sw")).alias("rem"),
+        )
+    )
+    wrem = Window.orderBy(F.col("rem").desc(), F.col("src").asc())
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quotas = (
+        seats.withColumn("rk", F.row_number().over(wrem))
+        .withColumn("extra", F.lit(int(total_n)) - F.sum("base").over(wtot))
+        .select(
+            "src",
+            "c_s",
+            F.least(
+                F.col("base")
+                + (F.col("rk") <= F.col("extra")).cast("long"),
+                F.col("c_s"),
+            ).alias("src_quota"),
+        )
+    )
+    rank = hash60(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    wsel = Window.partitionBy("src").orderBy("__rk", id_col)
+    return (
+        df.select(F.col(id_col), F.col(source_col).alias("src"))
+        .withColumn("__rk", rank)
+        .join(F.broadcast(quotas), "src")
+        .withColumn("__pos", F.row_number().over(wsel))
+        .filter(F.col("__pos") <= F.col("src_quota"))
+        .select(
+            id_col,
+            F.col("src").alias(source_col),
+            "src_quota",
+            F.col("c_s").alias("src_available"),
+        )
+    )

@@ -1414,3 +1414,52 @@ def test_dsir_model_target_only_vocab_and_refit(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "bad" / "meta"))
+
+
+def test_temperature_mix_apportionment_properties(spark):
+    """Largest-remainder temperature mixing: exactly total_n selected
+    (when no source is capped), quotas monotone in sqrt(source size),
+    alpha=0.5 up-samples small sources vs proportional, per-source caps
+    bind when a quota exceeds the population, and unsupported alpha
+    raises (general pow is libm — cross-engine nondeterministic)."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark.operators.curation import temperature_mix
+
+    rows = []
+    sizes = {"big": 400, "mid": 100, "tiny": 25}
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append(Row(doc_id=i, source=src))
+            i += 1
+    df = spark.createDataFrame(rows)
+
+    out = temperature_mix(df, total_n=105, alpha=0.5, id_col="doc_id")
+    got = out.collect()
+    assert len(got) == 105  # exact total via largest remainder
+    per = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + 1
+    # sqrt weights: 20/10/5 → proportional shares 60/30/15
+    assert per == {"big": 60, "mid": 30, "tiny": 15}
+    quota_cols = {(r.source, r.src_quota, r.src_available) for r in got}
+    assert ("tiny", 15, 25) in quota_cols
+    # proportional (alpha=1) gives small sources LESS than sqrt does
+    prop = temperature_mix(df, total_n=105, alpha=1.0, id_col="doc_id")
+    per1 = {}
+    for r in prop.collect():
+        per1[r.source] = per1.get(r.source, 0) + 1
+    assert per1["tiny"] < per["tiny"] and per1["big"] > per["big"]
+    # cap binds: ask for more than tiny can supply at sqrt weights
+    capped = temperature_mix(df, total_n=500, alpha=0.5, id_col="doc_id")
+    perc = {}
+    for r in capped.collect():
+        perc[r.source] = perc.get(r.source, 0) + 1
+    assert perc["tiny"] == 25  # population-capped, shortfall reported
+    assert sum(perc.values()) < 500
+    # determinism
+    again = temperature_mix(df, total_n=105, alpha=0.5, id_col="doc_id")
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, total_n=10, alpha=0.7)
