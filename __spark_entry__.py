@@ -3086,14 +3086,15 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-0.5 source mixing: exactly 200 docs with per-source
-    quotas ∝ sqrt(source size) by largest-remainder apportionment —
-    the mT5/XLM-R rebalance that up-samples small sources. sqrt is the
-    one fractional power IEEE requires correctly rounded, so the
-    nano-quantized weights are bit-equal across engines and the whole
+    """Temperature-0.7 source mixing: exactly 200 docs with per-source
+    quotas ∝ (source size)^0.7 by largest-remainder apportionment —
+    the real mT5/XLM-R rebalance temperature, previously blocked by
+    libm pow's cross-engine divergence and unlocked in r8 by
+    portable_pow (exp(alpha·ln c) over fixed IEEE trees, bit-identical
+    in Spark and DuckDB). Weights are nano-quantized once; the whole
     apportionment is exact BIGINT arithmetic."""
     cat = _cat(spark, sf_dir)
-    return temperature_mix(cat["documents"], total_n=200, alpha=0.5)
+    return temperature_mix(cat["documents"], total_n=200, alpha=0.7)
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3168,6 +3169,48 @@ def duck_portable_ln_sql(x: str) -> str:
         poly = f"({c!r} + {u} * ({poly}))"
     ln_m = f"((2.0 * {t}) * (1.0 + {u} * ({poly})))"
     return f"((CAST({e} AS DOUBLE) * {LN2!r}) + {ln_m})"
+
+
+def duck_portable_exp_sql(x: str) -> str:
+    """DuckDB twin of ``functions.mathx.portable_exp`` — the SAME fixed
+    IEEE tree (round-to-nearest power-of-two reduction with the
+    Cody–Waite ln2 split, Taylor–Horner to 1/15!, exact 2^n bit
+    shift), so the engines agree bit-for-bit. Edit together with
+    portable_exp; pinned by test_portable_pow_cross_engine_exact.
+    ``x`` must be a DOUBLE expression with |x| ≤ 40."""
+    from dataeng_azure_spotify_spark.functions.mathx import (
+        _EXP_COEFFS,
+        INV_LN2,
+        LN2_HI,
+        LN2_LO,
+    )
+
+    n = f"CAST(floor(({x}) * {INV_LN2!r} + 0.5) AS INTEGER)"
+    nd = f"CAST({n} AS DOUBLE)"
+    r = f"((({x}) - {nd} * {LN2_HI!r}) - {nd} * {LN2_LO!r})"
+    poly = repr(_EXP_COEFFS[0])
+    for c in _EXP_COEFFS[1:]:
+        poly = f"({c!r} + {r} * ({poly}))"
+    exp_r = f"((1.0 + {r}) + (({r} * {r}) * ({poly})))"
+    # clamped shift amounts: neither CASE branch can fault under
+    # DuckDB's vectorized whole-column evaluation
+    two_n = (
+        f"(CASE WHEN {n} >= 0"
+        f" THEN CAST((CAST(1 AS BIGINT) << greatest({n}, 0)) AS DOUBLE)"
+        f" ELSE 1.0 / CAST((CAST(1 AS BIGINT) << greatest(-{n}, 0)) AS DOUBLE)"
+        f" END)"
+    )
+    return f"({two_n} * {exp_r})"
+
+
+def duck_portable_pow_sql(c: str, alpha: float) -> str:
+    """DuckDB twin of ``functions.mathx.portable_pow``:
+    ``exp(alpha · ln(c))`` with both legs the portable fixed trees and
+    ``alpha`` embedded as a repr literal (parses to the identical
+    double in every engine)."""
+    return duck_portable_exp_sql(
+        f"({float(alpha)!r} * {duck_portable_ln_sql(c)})"
+    )
 
 
 def _text_stats_oracle() -> str:
@@ -3835,18 +3878,29 @@ LIMIT {int(k)}
 """
 
 
-def _temperature_mix_oracle(total_n: int) -> str:
-    """Twin of temperature_mix(alpha=0.5): sqrt weights nano-quantized
-    (sqrt is IEEE-correctly-rounded — bit-equal across engines), then
+def _temperature_mix_oracle(total_n: int, alpha: float = 0.5) -> str:
+    """Twin of temperature_mix: c^alpha weights nano-quantized —
+    alpha=1.0 pure integer, alpha=0.5 sqrt (IEEE-correctly-rounded,
+    bit-equal across engines), any other alpha via duck_portable_pow_sql
+    (fixed IEEE trees, bit-equal to Spark's portable_pow) — then
     exact-integer largest-remainder apportionment."""
     h = _duck_hash60("'samp|' || CAST(doc_id AS VARCHAR)")
+    if alpha == 1.0:
+        wq = "c_s * CAST(1000000000 AS BIGINT)"
+    elif alpha == 0.5:
+        wq = "CAST(floor(sqrt(CAST(c_s AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
+    else:
+        wq = (
+            f"CAST(floor({duck_portable_pow_sql('c_s', alpha)} * 1e9 + 0.5)"
+            " AS BIGINT)"
+        )
     return f"""
 WITH counts AS (
     SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS c_s
     FROM documents GROUP BY 1
 ), weighted AS (
     SELECT src, c_s,
-           CAST(floor(sqrt(CAST(c_s AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS wq
+           {wq} AS wq
     FROM counts
 ), tot AS (
     SELECT CAST(SUM(wq) AS BIGINT) AS sw FROM weighted
@@ -4484,7 +4538,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _contamination_oracle(n=5, test_mod=97),
         "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
         "dsir_select": _dsir_oracle(k=150, buckets=4096),
-        "temperature_mix": _temperature_mix_oracle(total_n=200),
+        "temperature_mix": _temperature_mix_oracle(total_n=200, alpha=0.7),
         "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "ngram_lm_score": _ngram_lm_oracle(),
         "jl_project": _jl_project_oracle(out_dim=8),

@@ -44,6 +44,17 @@ LN2 = math.log(2.0)
 #: atanh-series coefficients 1/(2k+1), innermost first (k = 7 … 1).
 _COEFFS = [1.0 / k for k in (15, 13, 11, 9, 7, 5, 3)]
 
+#: Cody–Waite split of ln2 (the fdlibm constants): ``LN2_HI`` carries
+#: only the top 33 significant bits, so ``n·LN2_HI`` is EXACT for
+#: |n| < 2^20 and the range reduction ``r = (x − n·LN2_HI) − n·LN2_LO``
+#: loses no precision to cancellation.
+LN2_HI = 6.93147180369123816490e-01
+LN2_LO = 1.90821492927058770002e-10
+INV_LN2 = 1.0 / LN2
+#: Taylor coefficients 1/k! for exp, innermost first (k = 15 … 2);
+#: truncation ≤ r^16/16! ≈ 2e-21 for |r| ≤ ln2/2.
+_EXP_COEFFS = [1.0 / math.factorial(k) for k in range(15, 1, -1)]
+
 
 def portable_ln(x: Column) -> Column:
     """ln(x) for a positive integral-valued column (LONG-safe range),
@@ -67,3 +78,55 @@ def portable_ln(x: Column) -> Column:
         poly = F.lit(c) + u * poly
     ln_m = F.lit(2.0) * t * (F.lit(1.0) + u * poly)
     return e.cast("double") * F.lit(LN2) + ln_m
+
+
+def portable_exp(x: Column) -> Column:
+    """exp(x) for a DOUBLE column, bit-identical across engines (libm
+    ``exp`` is faithfully-, not correctly-, rounded — same divergence
+    class as ``ln``, module docstring). Fixed IEEE tree:
+
+        n = ⌊x/ln2 + ½⌋                       -- nearest power of two
+        r = (x − n·LN2_HI) − n·LN2_LO         -- Cody–Waite, |r| ≤ ln2/2
+        exp(r) ≈ 1 + r + r²·Horner(1/2! … 1/15!)
+        exp(x) = 2ⁿ · exp(r)                  -- 2ⁿ exact via bit shift
+
+    Every step is a correctly-rounded IEEE op (+, −, ×, ÷, floor,
+    shiftleft), so two engines evaluating this tree agree bit-for-bit;
+    the DuckDB twin is ``duck_portable_exp_sql`` in ``__spark_entry__``
+    (edit together — pinned by ``test_portable_pow_cross_engine_exact``).
+    Truncation ≈ 2e-21 relative. Domain: |x| ≤ 40 (|n| ≤ 58, so the
+    2ⁿ shift never overflows a LONG); callers outside that range get a
+    silently wrong sign from the shift — keep inputs bounded.
+    """
+    n = F.floor(x * F.lit(INV_LN2) + F.lit(0.5)).cast("int")
+    nd = n.cast("double")
+    r = (x - nd * F.lit(LN2_HI)) - nd * F.lit(LN2_LO)
+    poly = F.lit(_EXP_COEFFS[0])
+    for c in _EXP_COEFFS[1:]:
+        poly = F.lit(c) + r * poly
+    exp_r = F.lit(1.0) + r + r * r * poly
+    # both shift amounts are clamped non-negative so neither branch of
+    # the CASE can fault under vectorized whole-column evaluation
+    shift_pos = F.greatest(n, F.lit(0))
+    shift_neg = F.greatest(-n, F.lit(0))
+    one = F.lit(1).cast("long")
+    two_n = F.when(
+        n >= 0, F.call_function("shiftleft", one, shift_pos).cast("double")
+    ).otherwise(
+        F.lit(1.0) / F.call_function("shiftleft", one, shift_neg).cast("double")
+    )
+    return two_n * exp_r
+
+
+def portable_pow(c: Column, alpha: float) -> Column:
+    """``c^alpha`` for a positive integral-valued column and a Python
+    float exponent, bit-identical across engines: composes the two
+    portable primitives as ``exp(alpha · ln(c))`` — the general power
+    libm computes the same way, but here both legs are fixed IEEE
+    trees (and ``alpha`` is embedded as a repr literal, which parses to
+    the identical double everywhere). Relative error ~1e-9 (inherited
+    from ``portable_ln``) — irrelevant for weighting/ranking, and
+    IDENTICAL on both sides, which is the property that matters.
+    DuckDB twin: ``duck_portable_pow_sql``. Domain: ``c ≥ 1`` and
+    ``c^alpha ≲ 2^58`` (the ``portable_exp`` shift bound)."""
+    return portable_exp(F.lit(float(alpha)) * portable_ln(c))

@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataeng_azure_spotify_spark.functions.mathx import portable_ln
+from dataeng_azure_spotify_spark.functions.mathx import portable_ln, portable_pow
 from dataeng_azure_spotify_spark.functions.text import (
     bpe_ish_token_count,
     hash60,
@@ -989,11 +989,13 @@ def temperature_mix(
     per-source quotas ∝ ``c_s^alpha`` — ``alpha`` < 1 up-samples small
     sources so head sources stop dominating the mixture.
 
-    Cross-engine exactness: ``alpha`` must be 1.0 (proportional — pure
-    integer weights) or 0.5 (sqrt — the ONE fractional power IEEE 754
-    requires correctly rounded, so Spark and DuckDB agree bit-for-bit;
-    a general ``pow`` is libm and diverges across engines the same way
-    ln does, see ``functions/mathx.py``). Weights are quantized to
+    Cross-engine exactness: ``alpha`` may be any value in (0, 1].
+    1.0 is proportional (pure integer weights); 0.5 uses sqrt (the ONE
+    fractional power IEEE 754 requires correctly rounded, bit-equal
+    everywhere); any other alpha — e.g. the 0.3/0.7 real mT5/XLM-R
+    settings — goes through :func:`...functions.mathx.portable_pow`
+    (``exp(alpha·ln c)`` over fixed IEEE trees), which is bit-identical
+    across engines where libm ``pow`` is not. Weights are quantized to
     nano-units once, then apportionment is pure BIGINT arithmetic:
     base quota = ⌊total_n·w_s / Σw⌋ with the leftover seats assigned
     by LARGEST REMAINDER (ties to the lexicographically smaller
@@ -1015,20 +1017,26 @@ def temperature_mix(
     rank window's partition only, so salt very-hot sources upstream if
     one source is most of the corpus.
     """
-    if alpha not in (0.5, 1.0):
+    if not (0.0 < alpha <= 1.0):
         raise ValueError(
-            "temperature_mix: alpha must be 0.5 (sqrt, IEEE-exact in "
-            "every engine) or 1.0 (proportional) — general pow is libm "
-            "and breaks cross-engine determinism (see functions/mathx.py)"
+            "temperature_mix: alpha must be in (0, 1] — alpha > 1 "
+            "down-samples small sources (never the rebalance intent) "
+            "and pushes portable_pow outside its exactness domain"
         )
     counts = df.groupBy(F.col(source_col).alias("src")).agg(
         F.count(F.lit(1)).cast("long").alias("c_s")
     )
     if alpha == 1.0:
         wq = F.col("c_s") * F.lit(1_000_000_000)
-    else:
+    elif alpha == 0.5:
+        # sqrt is correctly rounded by IEEE mandate — keep the cheaper,
+        # exactly-rounded path for the most common temperature
         wq = F.floor(
             F.sqrt(F.col("c_s").cast("double")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long")
+    else:
+        wq = F.floor(
+            portable_pow(F.col("c_s"), alpha) * F.lit(1e9) + F.lit(0.5)
         ).cast("long")
     weighted = counts.select("src", "c_s", wq.alias("wq"))
     tot = weighted.agg(F.sum("wq").alias("sw"))

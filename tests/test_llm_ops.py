@@ -1254,6 +1254,63 @@ def test_portable_ln_cross_engine_exact(spark):
     assert s[0] == 0.0  # ln(1) exact
 
 
+def test_portable_pow_cross_engine_exact(spark):
+    """portable_pow (exp(alpha·portable_ln) over fixed IEEE trees) is
+    BIT-identical to its DuckDB twin duck_portable_pow_sql for the
+    real mixing temperatures (0.3 / 0.7) plus edge alphas, across a
+    dense small range and strided large counts; accuracy vs true pow
+    pinned ~1e-9 relative. Also pins portable_exp bit-equality on
+    negative/fractional inputs (both CASE branches of the 2^n shift)."""
+    import duckdb
+    import numpy as np
+
+    from __spark_entry__ import duck_portable_exp_sql, duck_portable_pow_sql
+    from dataeng_azure_spotify_spark.functions.mathx import (
+        portable_exp,
+        portable_pow,
+    )
+
+    xs = list(range(1, 20_001)) + [10**6 + 7, 10**9 + 9, 2**40 + 123]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE xs(x BIGINT)")
+    con.executemany("INSERT INTO xs VALUES (?)", [(x,) for x in xs])
+    base = spark.createDataFrame([(x,) for x in xs], "x long")
+    for alpha in (0.3, 0.7, 0.9, 0.1):
+        sdf = base.select(portable_pow(F.col("x"), alpha).alias("p")).orderBy(
+            "x"
+        )
+        s = np.array([r.p for r in sdf.collect()])
+        d = con.execute(
+            f"SELECT {duck_portable_pow_sql('x', alpha)} AS p FROM xs"
+            " ORDER BY x"
+        ).fetchnumpy()["p"]
+        assert (s == d).all(), f"alpha={alpha}: cross-engine bit mismatch"
+        truth = np.power(np.array(sorted(xs), dtype=np.float64), alpha)
+        rel = np.abs(s - truth) / truth
+        assert rel.max() < 5e-9
+        assert s[0] == 1.0  # 1^alpha exact
+    # portable_exp on signed fractional inputs: exercises the negative-n
+    # (divide-by-2^|n|) branch of the exact power-of-two construction
+    vs = [i / 7.0 - 20.0 for i in range(281)]  # [-20, 20.1]
+    con.execute("CREATE TABLE vs(v DOUBLE)")
+    con.executemany("INSERT INTO vs VALUES (?)", [(v,) for v in vs])
+    se = np.array(
+        [
+            r.e
+            for r in spark.createDataFrame([(v,) for v in vs], "v double")
+            .select("v", portable_exp(F.col("v")).alias("e"))
+            .orderBy("v")
+            .collect()
+        ]
+    )
+    de = con.execute(
+        f"SELECT {duck_portable_exp_sql('v')} AS e FROM vs ORDER BY v"
+    ).fetchnumpy()["e"]
+    assert (se == de).all()
+    truth = np.exp(np.array(sorted(vs), dtype=np.float64))
+    assert (np.abs(se - truth) / truth).max() < 1e-15
+
+
 def test_dsir_select_semantics(spark):
     """DSIR selection prefers target-like documents: with a target
     subcorpus speaking a marker vocabulary, the top-k is exactly the
@@ -1461,5 +1518,15 @@ def test_temperature_mix_apportionment_properties(spark):
     # determinism
     again = temperature_mix(df, total_n=105, alpha=0.5, id_col="doc_id")
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
-    with _pytest.raises(ValueError, match="alpha"):
-        temperature_mix(df, total_n=10, alpha=0.7)
+    # general alpha (r8, portable_pow): 0.7 interpolates between the
+    # sqrt (0.5) and proportional (1.0) shares for every source
+    per7 = {}
+    for r in temperature_mix(df, total_n=105, alpha=0.7, id_col="doc_id").collect():
+        per7[r.source] = per7.get(r.source, 0) + 1
+    assert sum(per7.values()) == 105
+    assert per1["tiny"] <= per7["tiny"] <= per["tiny"]
+    assert per["big"] <= per7["big"] <= per1["big"]
+    # out-of-domain alphas still raise
+    for bad in (0.0, -0.3, 1.5):
+        with _pytest.raises(ValueError, match="alpha"):
+            temperature_mix(df, total_n=10, alpha=bad)
