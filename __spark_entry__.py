@@ -3056,6 +3056,28 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_shared_boilerplate(cat["documents"], n=3, min_docs=2)
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. ExactSubstr): per-document
+    duplicated-span coverage over word 8-grams repeated ≥2 times
+    corpus-wide by multiplicity (within-doc repeats count). Emits the
+    exact interval-union token coverage and span structure every doc —
+    the fraction a curation pipeline thresholds on."""
+    from dataeng_azure_spotify_spark.operators.substring import dup_span_stats
+
+    cat = _cat(spark, sf_dir)
+    return dup_span_stats(cat["documents"], k=8, min_count=2)
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans per document: merged [pos, pos+8)
+    intervals of corpus-duplicated word 8-grams — the span table
+    backing dup_span_stats, exposed for span-level trimming."""
+    from dataeng_azure_spotify_spark.operators.substring import duplicate_spans
+
+    cat = _cat(spark, sf_dir)
+    return duplicate_spans(cat["documents"], k=8, min_count=2)
+
+
 def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exactly-100 uniform sample of the documents table."""
     cat = _cat(spark, sf_dir)
@@ -3933,6 +3955,79 @@ WHERE r.pos <= q.src_quota
 """
 
 
+def _dup_span_ctes(k: int, min_count: int) -> str:
+    """Shared CTE chain for the substring-dedup twins: gram table with
+    positionally-zipped ``unnest``s (0-based pos aligned with the
+    1-based slice index, mirroring Spark's 0-based sequence +
+    slice(toks, i+1, k)), occurrence-count duplicate marking (by
+    multiplicity — within-doc repeats count, per Lee et al.), and
+    interval-union span merging (gap ≤ k ⇒ same span)."""
+    g = _duck_hash60(f"array_to_string(t[i:i+{k - 1}], ' ')")
+    return f"""
+toks AS (
+    SELECT doc_id AS doc, {_TOKS} AS t FROM documents
+), gramrows AS (
+    SELECT doc,
+           unnest(generate_series(0, len(t) - {k})) AS pos,
+           unnest(list_transform(generate_series(1, len(t) - {k - 1}),
+                                 i -> {g})) AS g
+    FROM toks WHERE len(t) >= {k}
+), dupg AS (
+    SELECT g FROM gramrows GROUP BY g HAVING COUNT(*) >= {min_count}
+), dup AS (
+    SELECT doc, pos FROM gramrows JOIN dupg USING (g)
+), marked AS (
+    SELECT doc, pos,
+           CASE WHEN LAG(pos) OVER w IS NULL
+                     OR pos - LAG(pos) OVER w > {k}
+                THEN 1 ELSE 0 END AS new_span
+    FROM dup WINDOW w AS (PARTITION BY doc ORDER BY pos)
+), sp AS (
+    SELECT doc, pos,
+           SUM(new_span) OVER (PARTITION BY doc ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM marked
+), spans AS (
+    SELECT doc, span_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k} - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM sp GROUP BY doc, span_id
+)"""
+
+
+def _substring_dup_spans_oracle(k: int, min_count: int) -> str:
+    return f"""
+WITH {_dup_span_ctes(k, min_count)}
+SELECT doc AS doc_id, span_start, span_len, n_grams FROM spans
+"""
+
+
+def _dup_span_stats_oracle(k: int, min_count: int) -> str:
+    return f"""
+WITH {_dup_span_ctes(k, min_count)},
+stats AS (
+    SELECT doc,
+           CAST(SUM(n_grams) AS BIGINT) AS n_dup_positions,
+           CAST(SUM(span_len) AS BIGINT) AS covered_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_len) AS BIGINT) AS max_span_len
+    FROM spans GROUP BY doc
+), base AS (
+    SELECT doc, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+)
+SELECT base.doc AS doc_id, n_tokens,
+       CAST(COALESCE(n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(max_span_len, 0) AS BIGINT) AS max_span_len,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE CAST(COALESCE(covered_tokens, 0) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE) END AS dup_token_frac
+FROM base LEFT JOIN stats USING (doc)
+"""
+
+
 def _strip_boilerplate_oracle(n: int, min_docs: int) -> str:
     """Positional twin of the word-grams CTE: DuckDB zips the aligned
     ``unnest`` calls, so (pos, gram) rows mirror Spark's
@@ -4187,6 +4282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py at sf0.001 every run and sf0.01
     # slow-marked — the driver's own scale.
     return {
+        "dup_span_stats": q_dup_span_stats,
+        "substring_dup_spans": q_substring_dup_spans,
         "star_join_asof": q_star_join_asof,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
@@ -4539,6 +4636,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
         "dsir_select": _dsir_oracle(k=150, buckets=4096),
         "temperature_mix": _temperature_mix_oracle(total_n=200, alpha=0.7),
+        "dup_span_stats": _dup_span_stats_oracle(k=8, min_count=2),
+        "substring_dup_spans": _substring_dup_spans_oracle(k=8, min_count=2),
         "strip_boilerplate": _strip_boilerplate_oracle(n=3, min_docs=2),
         "ngram_lm_score": _ngram_lm_oracle(),
         "jl_project": _jl_project_oracle(out_dim=8),

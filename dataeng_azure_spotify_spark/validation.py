@@ -244,6 +244,44 @@ def scale_measure(spark, n: int, max_hamming: int = 6) -> dict:
     }
 
 
+def substring_scale_measure(spark, n: int, k: int = 8) -> dict:
+    """Substring-tier (Lee et al. span dedup) growth measurement at
+    ``n`` base docs on the :func:`near_dup_corpus` fixture (planted
+    whole-doc near-copies ⇒ long shared k-token runs, linear in n):
+
+    - ``gram_rows``: the gram-table volume (one row per token
+      position) — the quantity shuffled once; must grow ∝ token count;
+    - ``dup_positions``: duplicated k-gram starts — tracks planted
+      duplicate MASS (linear), the substring analogue of the PPJoin
+      candidates == true-pairs claim. A pairwise (doc_a, doc_b, span)
+      formulation would grow ∝ Σ C(m_g, 2) over gram frequencies
+      instead — quadratic in a boilerplate gram's document frequency;
+    - ``span_rows`` / ``stat_rows``: merged-interval outputs, bounded
+      by dup_positions and n respectively.
+    """
+    from .operators import substring as SS
+
+    t0 = time.time()
+    corpus = near_dup_corpus(spark, n).localCheckpoint(eager=True)
+    n_docs = corpus.count()
+    gram_rows = SS.kgram_position_table(corpus, k=k).count()
+    dup_positions = SS._dup_positions(corpus, "text", "doc_id", k, 2).count()
+    span_rows = SS.duplicate_spans(corpus, k=k).count()
+    stats = SS.dup_span_stats(corpus, k=k).localCheckpoint(eager=True)
+    stat_rows = stats.count()
+    docs_with_dups = stats.filter(F.col("n_spans") > 0).count()
+    corpus.unpersist()
+    return {
+        "n_docs": n_docs,
+        "gram_rows": gram_rows,
+        "dup_positions": dup_positions,
+        "span_rows": span_rows,
+        "stat_rows": stat_rows,
+        "docs_with_dups": docs_with_dups,
+        "sec": round(time.time() - t0, 1),
+    }
+
+
 def semantic_scale_measure(
     spark, n: int, k: int, threshold: float = 0.9
 ) -> dict:

@@ -1530,3 +1530,68 @@ def test_temperature_mix_apportionment_properties(spark):
     for bad in (0.0, -0.3, 1.5):
         with _pytest.raises(ValueError, match="alpha"):
             temperature_mix(df, total_n=10, alpha=bad)
+
+
+def test_substring_dedup_spans_semantics(spark):
+    """Substring-level dedup (Lee et al. ExactSubstr over word k-grams):
+    cross-doc shared runs become merged spans with exact interval-union
+    coverage; WITHIN-doc repeats count as duplicated (multiplicity, not
+    distinct-docs — the property strip_shared_boilerplate lacks);
+    nearby spans merge iff the start gap is ≤ k; sub-k docs and
+    dup-free docs get zero rows with the fraction 0.0."""
+    from dataeng_azure_spotify_spark.operators.substring import (
+        dup_span_stats,
+        duplicate_spans,
+    )
+
+    rows = [
+        # A and B share the 4-token run "c d e f" -> grams at pos 2,3
+        Row(doc_id=1, text="a b c d e f g h"),
+        Row(doc_id=2, text="p q c d e f r s"),
+        # within-doc repeat of "x y z" at pos 0 and 7 (gap 7 > k=3:
+        # two separate spans)
+        Row(doc_id=3, text="x y z a1 b1 c1 d1 x y z"),
+        Row(doc_id=4, text="just two"),  # < k tokens
+        Row(doc_id=5, text="totally unique filler words here now"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    spans = {
+        (r.doc_id, r.span_start, r.span_len, r.n_grams)
+        for r in duplicate_spans(df, k=3, min_count=2).collect()
+    }
+    assert spans == {
+        (1, 2, 4, 2),  # starts {2,3} merge (gap 1 <= 3); covers [2,6)
+        (2, 2, 4, 2),
+        (3, 0, 3, 1),  # the two x-y-z occurrences stay separate spans
+        (3, 7, 3, 1),
+    }
+
+    stats = {r.doc_id: r for r in dup_span_stats(df, k=3, min_count=2).collect()}
+    assert set(stats) == {1, 2, 3, 4, 5}  # every input doc appears
+    a = stats[1]
+    assert (a.n_tokens, a.n_dup_positions, a.covered_tokens, a.n_spans,
+            a.max_span_len) == (8, 2, 4, 1, 4)
+    assert a.dup_token_frac == 4.0 / 8.0
+    c = stats[3]
+    assert (c.n_tokens, c.n_dup_positions, c.covered_tokens, c.n_spans,
+            c.max_span_len) == (10, 2, 6, 2, 3)
+    assert c.dup_token_frac == 6.0 / 10.0
+    for did in (4, 5):
+        z = stats[did]
+        assert (z.n_dup_positions, z.covered_tokens, z.n_spans,
+                z.max_span_len, z.dup_token_frac) == (0, 0, 0, 0, 0.0)
+    assert stats[4].n_tokens == 2
+
+    # adjacent-but-not-overlapping starts (gap exactly k) still merge:
+    # "m n o" at pos 0 and pos 3 -> one contiguous covered run [0,6)
+    df2 = spark.createDataFrame(
+        [Row(doc_id=10, text="m n o m n o tail1 tail2"),
+         Row(doc_id=11, text="m n o other filler m n o")]
+    )
+    sp2 = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(df2, k=3, min_count=2).collect()
+    }
+    assert (10, 0, 6) in sp2  # merged: gap 3 == k
+    assert (11, 0, 3) in sp2 and (11, 5, 3) in sp2  # gap 5 > k: split

@@ -325,3 +325,21 @@ def test_semantic_dedup_growth_cluster_economics(spark):
     # by skew, but it must not grow ~10× (which would mean k isn't a
     # real knob and per-task cost scales with the corpus)
     assert hi["sq_mass_per_doc"] <= 3.0 * lo["sq_mass_per_doc"], (lo, hi)
+
+
+@pytest.mark.slow
+def test_substring_dup_growth_linear_10x(spark):
+    """Substring-tier 100 TB claim, measured: gram-table volume grows
+    with token count and duplicated positions track planted duplicate
+    MASS (both ~10x at 10x docs) — never pairwise in a gram's document
+    frequency. Committed 1x/10x/100x table in docs/BENCH_NOTES.md."""
+    from dataeng_azure_spotify_spark.validation import substring_scale_measure
+
+    lo = substring_scale_measure(spark, 2_000)
+    hi = substring_scale_measure(spark, 20_000)
+    assert 9 <= hi["gram_rows"] / lo["gram_rows"] <= 11
+    assert 8 <= hi["dup_positions"] / lo["dup_positions"] <= 12
+    assert 8 <= hi["span_rows"] / lo["span_rows"] <= 12
+    # every doc gets a stats row; planted near-dups are the dup'd docs
+    assert hi["stat_rows"] == hi["n_docs"]
+    assert hi["docs_with_dups"] >= 2 * (20_000 // 10)
