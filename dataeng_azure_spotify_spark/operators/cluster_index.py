@@ -592,6 +592,203 @@ class NearDupLabels:
         self._mark_run(run_id)
         return self.labels().join(new_ids, "doc_id")
 
+    def remove(self, ids: DataFrame, run_id: str) -> dict:
+        """Retract documents from the index (the right-to-be-forgotten
+        path): their label rows disappear, their clusters re-converge
+        WITHOUT them (removing the witness doc that bridged a component
+        splits the cluster — the structurally hard case), and their
+        shingle/prefix rows are purged so no future append can link a
+        new document to a deleted one. ``ids``'s first column is the
+        doc id. Returns a summary dict; after commit,
+        ``labels()`` ≡ a from-scratch ``build`` on the remaining corpus.
+
+        Cost: O(touched components) for the re-converge — survivors'
+        candidate edges are regenerated from the STORED prefix index
+        restricted to the affected clusters' surviving members (removal
+        can only delete edges, never create them, so clusters the batch
+        doesn't touch cannot change) — plus O(touched buckets / touched
+        run-partitions) rewrites. The corpus-proportional reads are the
+        same 2-column label scan appends pay and one shingle/prefix
+        scan to locate the docs' run partitions.
+
+        Exactly-once like ``append``: a committed ``run_id`` replays as
+        a no-op; a crashed attempt replays deterministically — each
+        phase (label re-converge+rewrite, then shingle purge, then
+        prefix purge, marker last) detects already-done work as empty
+        (docs already gone from the table it reads) and converges, and
+        the label write runs BEFORE the emptied-bucket clean so a
+        crash between them leaves duplicate rows the replay re-derives
+        from (the append discipline), never lost rows. Removed ids may
+        be re-admitted later under a NEW run_id (their artifact rows
+        are gone, so the double-admit guard passes).
+        """
+        if run_id == BUILD_RUN:
+            raise ValueError(f"run_id {BUILD_RUN!r} is reserved for build()")
+        self._check_version()
+        meta = self.meta
+        threshold = float(meta["threshold"])
+        nb = int(meta["num_buckets"])
+        rm = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if run_id in self.runs():  # committed replay → no-op
+            return {"removed_labels": 0, "affected_clusters": 0,
+                    "touched_buckets": [], "replay": True}
+        bucket = lambda c: F.pmod(F.col(c), F.lit(nb)).cast("int")  # noqa: E731
+
+        # -- phase 1: label re-convergence over touched components only
+        cur = self._read_or_empty(self._labels_path, LABELS_SCHEMA)
+        n_removed = cur.join(F.broadcast(rm), "doc_id").count()
+        affected_clusters = (
+            cur.join(F.broadcast(rm), "doc_id")
+            .select("cluster_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_affected = affected_clusters.count()
+        touched_buckets: list[int] = []
+        if n_affected:
+            aff_buckets = {
+                int(r["b"])
+                for r in affected_clusters.select(
+                    bucket("cluster_id").alias("b")
+                ).distinct().collect()  # O(touched clusters)
+            }
+            # members of affected clusters: the bucket filter prunes the
+            # partitioned label table to the touched partitions
+            members = cur.filter(
+                F.col("bucket").isin(sorted(aff_buckets))
+            ).join(F.broadcast(affected_clusters), "cluster_id")
+            survivors = (
+                members.join(F.broadcast(rm), "doc_id", "left_anti")
+                .select("doc_id")
+                .localCheckpoint(eager=True)  # feeds prefix, shingles, CC
+            )
+            surv_doc = survivors.select(F.col("doc_id").alias("doc"))
+            # candidate edges among survivors, from the stored hash-order
+            # prefix index (same recall-1.0 join as build/append)
+            prefix = (
+                self._read_or_empty(self._prefix_path, PREFIX_SCHEMA)
+                .drop("run")
+                .join(surv_doc, "doc")
+            )
+            a, b = prefix.alias("a"), prefix.alias("b")
+            candidates = (
+                a.join(
+                    b,
+                    (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc") < F.col("b.doc"))
+                    & _ppjoin_prune(
+                        F.col("a.n_sh"), F.col("a.pos"),
+                        F.col("b.n_sh"), F.col("b.pos"), threshold,
+                    ),
+                )
+                .select(
+                    F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+                )
+                .distinct()
+            )
+            sh = (
+                self._read_or_empty(self._shingles_path, SHINGLES_SCHEMA)
+                .drop("run")
+                .join(surv_doc, "doc")
+            )
+            pairs = _verify_jaccard(
+                candidates, sh, threshold, shingle_col="hshingles"
+            )
+            new_labels = (
+                connected_components(
+                    pairs.select(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    nodes=survivors.select(F.col("doc_id").alias("node")),
+                )
+                .select(
+                    F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)  # read 2× below
+            )
+            all_affected = aff_buckets | {
+                int(r["b"])
+                for r in new_labels.select(bucket("cluster_id").alias("b"))
+                .distinct()
+                .collect()
+            }
+            # rewrite: rows of OTHER clusters in the touched buckets stay
+            # as-is; affected clusters' rows are replaced wholesale by the
+            # survivor re-labeling (removed docs simply have no new row)
+            current = cur.filter(F.col("bucket").isin(sorted(all_affected)))
+            keep_others = current.join(
+                F.broadcast(affected_clusters), "cluster_id", "left_anti"
+            ).select("doc_id", "cluster_id")
+            rewritten = (
+                keep_others.union(new_labels)
+                .dropDuplicates(["doc_id"])  # crash-replay safety
+                .withColumn("bucket", bucket("cluster_id"))
+                .localCheckpoint(eager=True)  # reads the files it replaces
+            )
+            (
+                rewritten.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self._labels_path)
+            )
+            kept = {
+                int(r["bucket"])
+                for r in rewritten.select("bucket").distinct().collect()
+            }
+            self._clean_emptied(all_affected - kept)
+            touched_buckets = sorted(all_affected)
+
+        # -- phase 2: purge the docs' shingle/prefix rows (their run
+        # partitions rewrite in place; fully-emptied partitions removed)
+        import shutil
+
+        rm_doc = rm.select(F.col("doc_id").alias("doc"))
+        for path, schema in (
+            (self._shingles_path, SHINGLES_SCHEMA),
+            (self._prefix_path, PREFIX_SCHEMA),
+        ):
+            tbl = self._read_or_empty(path, schema)
+            truns = [
+                r["run"]
+                for r in tbl.join(F.broadcast(rm_doc), "doc")
+                .select("run")
+                .distinct()
+                .collect()  # O(touched runs)
+            ]
+            if not truns:
+                continue
+            remaining = (
+                tbl.filter(F.col("run").isin(truns))
+                .join(F.broadcast(rm_doc), "doc", "left_anti")
+                .localCheckpoint(eager=True)  # reads the files it replaces
+            )
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run")
+                .parquet(path)
+            )
+            kept_runs = {
+                r["run"] for r in remaining.select("run").distinct().collect()
+            }
+            for r in set(truns) - kept_runs:
+                d = os.path.join(path, f"run={r}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+
+        self._mark_run(run_id)
+        return {
+            "removed_labels": int(n_removed),
+            "affected_clusters": int(n_affected),
+            "touched_buckets": touched_buckets,
+            "replay": False,
+        }
+
     # -- internals ------------------------------------------------------
     def _old_side(self, path: str, run_id: str) -> DataFrame:
         """Stored run partitions EXCLUDING ``run_id`` — a crashed

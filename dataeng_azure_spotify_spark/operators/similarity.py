@@ -1016,6 +1016,77 @@ class IvfIndex:
             .parquet(self._buckets_path)
         )
 
+    def remove(self, ids: DataFrame) -> list[int]:
+        """Retract vectors from the index (right-to-be-forgotten):
+        bucket-partition rewrite restricted to the centroids that hold
+        the ids — committed balanced buckets are never rewritten.
+        ``ids``'s first column is the vector id; returns the touched
+        centroid ids (empty = none of the ids were indexed).
+
+        Centroids stay (a zero-row bucket is a legal state — probes
+        find nothing there, ``rebalance`` re-splits if ingest later
+        refills it); drift/size stats are computed on read, so the
+        "count refresh" is automatic. Crash-safe without a run marker
+        because removal is idempotent from any intermediate state:
+        fully-emptied partitions are deleted FIRST (idempotent rmtree),
+        then the partially-touched partitions dynamic-overwrite — a
+        replay sees only the ids still present and redoes exactly the
+        remaining work. Cost: one 2-column scan to locate the ids
+        (buckets are partitioned by centroid, not id — the same
+        locality trade the label table makes) + a rewrite of touched
+        partitions only."""
+        import os
+        import shutil
+
+        rm = (
+            ids.select(F.col(ids.columns[0]).alias(self.id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        hit = (
+            self.buckets()
+            .join(F.broadcast(rm), self.id_col, "semi")
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rm"))
+        )
+        sizes = (
+            self.buckets()
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .join(hit, "centroid_id")
+        )
+        touched = {
+            int(r["centroid_id"]): (int(r["n"]), int(r["n_rm"]))
+            for r in sizes.toLocalIterator()  # O(touched centroids)
+        }
+        if not touched:
+            return []
+        emptied = sorted(c for c, (n, n_rm) in touched.items() if n == n_rm)
+        partial = sorted(c for c, (n, n_rm) in touched.items() if n > n_rm)
+        # emptied partitions first: dynamic overwrite never touches a
+        # partition absent from the written data, and deleting them
+        # up front keeps every intermediate state replay-convergent
+        for c in emptied:
+            d = os.path.join(self._buckets_path, f"centroid_id={c}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        if partial:
+            remaining = (
+                self.buckets()
+                .filter(F.col("centroid_id").isin(partial))
+                .join(F.broadcast(rm), self.id_col, "anti")
+                # the rewrite reads the very files it replaces —
+                # materialize first (the rebalance discipline)
+                .localCheckpoint(eager=True)
+            )
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("centroid_id")
+                .parquet(self._buckets_path)
+            )
+        return sorted(touched)
+
     def query(
         self,
         queries: DataFrame,

@@ -476,3 +476,209 @@ def test_footerless_runs_dir_reads_as_zero_runs(spark, docs, tmp_path):
     ).limit(3)
     NearDupLabels.load(spark, path).append(more, run_id="after-crash")
     assert "after-crash" in NearDupLabels.load(spark, path).runs()
+
+
+# -- remove (right-to-be-forgotten) ------------------------------------
+
+T_A = "alpha beta gamma delta epsilon zeta eta theta"
+T_B = "one two three four five six seven eight"
+BRIDGE = "alpha beta gamma delta epsilon zeta one two three four five six"
+
+
+def _ids_df(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+
+
+def test_remove_equals_build_on_remaining(spark, docs, tmp_path):
+    # remove a spread of docs (every 7th — lands inside real clusters)
+    # from the corpus-scale index; labels must equal a from-scratch
+    # build on the remaining corpus
+    idx = NearDupLabels.build(docs, str(tmp_path / "rm"))
+    rm_ids = [r.doc_id for r in docs.select("doc_id").collect()][::7]
+    out = idx.remove(_ids_df(spark, rm_ids), run_id="gdpr1")
+    assert out["removed_labels"] == len(rm_ids) and not out["replay"]
+    remaining = docs.join(_ids_df(spark, rm_ids), "doc_id", "left_anti")
+    want = _as_dict(
+        NearDupLabels.build(remaining, str(tmp_path / "rm_full")).labels()
+    )
+    assert _as_dict(idx.labels()) == want
+
+
+def test_remove_splits_bridged_cluster(spark, tmp_path):
+    # doc 20 is the witness bridging {1,2} and {10,11}; removing it must
+    # SPLIT the merged cluster back into two components
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=T_A),
+            Row(doc_id=2, text=T_A + " extra"),
+            Row(doc_id=10, text=T_B),
+            Row(doc_id=11, text=T_B + " more"),
+            Row(doc_id=20, text=BRIDGE),
+        ]
+    )
+    idx = NearDupLabels.build(base, str(tmp_path / "sp"), threshold=0.3)
+    assert set(_as_dict(idx.labels()).values()) == {1}  # one merged cluster
+    out = idx.remove(_ids_df(spark, [20]), run_id="forget20")
+    assert out["affected_clusters"] == 1
+    got = _as_dict(idx.labels())
+    # {1,2} and {10,11} are each internally near-dup pairs: the merged
+    # cluster splits back into exactly those two components
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10}
+    want = _as_dict(
+        NearDupLabels.build(
+            base.filter(F.col("doc_id") != 20),
+            str(tmp_path / "sp_full"),
+            threshold=0.3,
+        ).labels()
+    )
+    assert got == want
+
+
+def test_remove_purges_shingles_so_no_ghost_links(spark, tmp_path):
+    # after removal, a new near-dup of the REMOVED doc must become a
+    # singleton (no candidate edge to a deleted document), and the
+    # stored shingle/prefix partitions must no longer contain the doc
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="completely separate subject matter here"),
+         Row(doc_id=2, text=T_A)]
+    )
+    path = str(tmp_path / "gh")
+    idx = NearDupLabels.build(base, path, threshold=0.3)
+    idx.remove(_ids_df(spark, [2]), run_id="forget2")
+    assert _as_dict(idx.labels()) == {1: 1}
+    for part in ("shingles", "prefix"):
+        stored = spark.read.parquet(os.path.join(path, part))
+        assert stored.filter(F.col("doc") == 2).count() == 0
+    # the would-be near-dup of the deleted doc arrives later
+    idx.append(
+        spark.createDataFrame([Row(doc_id=50, text=T_A + " near")]),
+        run_id="later",
+    )
+    assert _as_dict(idx.labels()) == {1: 1, 50: 50}
+    # and the removed id itself may be re-admitted under a new run
+    idx.append(spark.createDataFrame([Row(doc_id=2, text=T_A)]), run_id="back")
+    got = _as_dict(idx.labels())
+    assert got[2] == got[50] == 2  # re-linked to the new near-dup
+
+
+def test_remove_committed_replay_is_noop(spark, tmp_path):
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text=T_A), Row(doc_id=2, text=T_A + " extra")]
+    )
+    idx = NearDupLabels.build(base, str(tmp_path / "rn"), threshold=0.3)
+    first = idx.remove(_ids_df(spark, [2]), run_id="g1")
+    assert first["removed_labels"] == 1
+    again = idx.remove(_ids_df(spark, [2]), run_id="g1")
+    assert again["replay"] and again["removed_labels"] == 0
+    assert idx.runs().count("g1") == 1
+    assert _as_dict(idx.labels()) == {1: 1}
+
+
+def test_remove_crash_replay_converges(spark, tmp_path, monkeypatch):
+    # crash BEFORE the run marker: replaying the same run_id must
+    # converge to the same final state (split case included)
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=T_A),
+            Row(doc_id=2, text=T_A + " extra"),
+            Row(doc_id=10, text=T_B),
+            Row(doc_id=11, text=T_B + " more"),
+            Row(doc_id=20, text=BRIDGE),
+        ]
+    )
+    idx = NearDupLabels.build(base, str(tmp_path / "cr"), threshold=0.3)
+
+    def boom(self, run_id):
+        raise RuntimeError("simulated crash before run-marker commit")
+
+    monkeypatch.setattr(NearDupLabels, "_mark_run", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.remove(_ids_df(spark, [20]), run_id="g1")
+    monkeypatch.undo()
+
+    idx.remove(_ids_df(spark, [20]), run_id="g1")  # replay, same run_id
+    got = _as_dict(idx.labels())
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10}
+    assert idx.labels().count() == 4
+    for part in ("shingles", "prefix"):
+        stored = spark.read.parquet(os.path.join(str(tmp_path / "cr"), part))
+        assert stored.filter(F.col("doc") == 20).count() == 0
+
+
+def test_remove_crash_between_write_and_clean_converges(
+    spark, tmp_path, monkeypatch
+):
+    # whole-cluster removal empties its bucket; crash AFTER the label
+    # write but BEFORE the emptied-bucket clean leaves the stale rows —
+    # the replay must re-derive the removal from them and converge
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=2, text=T_A),
+            Row(doc_id=3, text=T_A + " extra"),
+            Row(doc_id=10, text=T_B),
+        ]
+    )
+    idx = NearDupLabels.build(base, str(tmp_path / "wc"), threshold=0.3)
+    assert _as_dict(idx.labels()) == {2: 2, 3: 2, 10: 10}
+    real_clean = NearDupLabels._clean_emptied
+
+    def boom(self, buckets):
+        if buckets:
+            raise RuntimeError("simulated crash before emptied-bucket clean")
+        real_clean(self, buckets)
+
+    monkeypatch.setattr(NearDupLabels, "_clean_emptied", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.remove(_ids_df(spark, [2, 3]), run_id="g1")
+    # stale rows of the emptied bucket are visible mid-crash
+    assert {r.doc_id for r in idx.labels().collect()} >= {2, 3}
+
+    monkeypatch.setattr(NearDupLabels, "_clean_emptied", real_clean)
+    idx.remove(_ids_df(spark, [2, 3]), run_id="g1")
+    assert _as_dict(idx.labels()) == {10: 10}
+    assert idx.labels().count() == 1
+
+
+def test_remove_rewrites_only_touched_buckets(spark, tmp_path):
+    # removing one cluster's doc must leave every other bucket's files
+    # byte-untouched (dynamic partition overwrite + targeted clean)
+    rows = [
+        Row(doc_id=i, text=f"unique content block number {i} with distinct words w{i}")
+        for i in range(40)
+    ]
+    t = "shared near duplicate text body for the touched cluster"
+    rows += [Row(doc_id=100, text=t), Row(doc_id=101, text=t + " v2")]
+    base = spark.createDataFrame(rows)
+    path = str(tmp_path / "tb")
+    idx = NearDupLabels.build(base, path, threshold=0.3, num_buckets=8)
+
+    lbl_dir = os.path.join(path, "labels")
+
+    def snapshot():
+        out = {}
+        for b in os.listdir(lbl_dir):
+            if not b.startswith("bucket="):
+                continue
+            d = os.path.join(lbl_dir, b)
+            out[b] = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    before = snapshot()
+    # cluster {100, 101} lives in bucket 100 % 8 == 4; removing 100
+    # relabels the survivor to cluster 101 — bucket 101 % 8 == 5
+    idx.remove(_ids_df(spark, [100]), run_id="t1")
+    after = snapshot()
+    touched = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    assert touched == {"bucket=4", "bucket=5"}
+    untouched = set(before) - touched
+    assert untouched and all(before[b] == after[b] for b in untouched)
+    got = _as_dict(idx.labels())
+    assert got[101] == 101 and 100 not in got
+
+
+def test_remove_absent_ids_is_safe(spark, tmp_path):
+    base = spark.createDataFrame([Row(doc_id=1, text=T_A)])
+    idx = NearDupLabels.build(base, str(tmp_path / "ab"), threshold=0.3)
+    out = idx.remove(_ids_df(spark, [999]), run_id="g0")
+    assert out["removed_labels"] == 0 and out["affected_clusters"] == 0
+    assert _as_dict(idx.labels()) == {1: 1}

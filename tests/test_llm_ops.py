@@ -436,6 +436,93 @@ def test_ivf_index_persists_and_prunes_partitions(spark, tmp_path):
     assert idx.centroids().count() <= 16
 
 
+def test_ivf_index_remove_touches_only_hit_buckets(spark, tmp_path):
+    """IvfIndex.remove: removed ids vanish from the index (probes never
+    return them), only the buckets holding them are rewritten (other
+    partitions' files byte-untouched), a fully-emptied bucket's
+    partition disappears while its centroid row stays, absent ids are
+    a no-op, and a partial crash (emptied-dirs deleted, rewrite not
+    run) replays to the same state."""
+    import os
+
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    emb = Catalog(spark, SF).load("embeddings")
+    path = str(tmp_path / "ivfrm")
+    idx = IvfIndex.build(emb, path, num_centroids=16)
+    n0 = idx.buckets().count()
+    cent0 = idx.centroids().count()
+
+    bdir = os.path.join(path, "buckets")
+
+    def snapshot():
+        out = {}
+        for b in os.listdir(bdir):
+            if b.startswith("centroid_id="):
+                d = os.path.join(bdir, b)
+                out[b] = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    # pick one full bucket to empty and a couple of ids from another
+    sizes = idx.buckets().groupBy("centroid_id").agg(
+        F.collect_list("vec_id").alias("ids")
+    ).collect()
+    sizes.sort(key=lambda r: len(r.ids))
+    empty_all = sizes[0]  # smallest bucket: remove every row
+    partial = sizes[-1]  # biggest: remove two rows
+    rm_ids = list(empty_all.ids) + list(partial.ids[:2])
+    before = snapshot()
+    touched = idx.remove(
+        spark.createDataFrame([(int(i),) for i in rm_ids], "vec_id long")
+    )
+    assert set(touched) == {int(empty_all.centroid_id), int(partial.centroid_id)}
+    after = snapshot()
+    changed = {
+        b for b in set(before) | set(after) if before.get(b) != after.get(b)
+    }
+    assert changed == {
+        f"centroid_id={int(empty_all.centroid_id)}",
+        f"centroid_id={int(partial.centroid_id)}",
+    }
+    # emptied partition is gone; centroid row remains (legal zero-row
+    # bucket); counts refresh on read
+    assert f"centroid_id={int(empty_all.centroid_id)}" not in after
+    assert idx.centroids().count() == cent0
+    assert idx.buckets().count() == n0 - len(rm_ids)
+    assert idx.buckets().filter(
+        F.col("vec_id").isin([int(i) for i in rm_ids])
+    ).count() == 0
+    # probes never surface removed ids
+    qs = emb.filter(F.col("vec_id") < 10)
+    res = idx.query(qs, k=5, nprobe=16, exclude_self=False)
+    assert res.filter(
+        F.col("neighbor_id").isin([int(i) for i in rm_ids])
+    ).count() == 0
+    # absent ids: no-op
+    assert idx.remove(
+        spark.createDataFrame([(999_999,)], "vec_id long")
+    ) == []
+
+    # partial-crash replay: delete an emptied dir by hand (simulating a
+    # crash after the emptied-first phase), then remove() the same ids —
+    # must converge without error
+    sizes2 = idx.buckets().groupBy("centroid_id").agg(
+        F.collect_list("vec_id").alias("ids")
+    ).collect()
+    sizes2.sort(key=lambda r: len(r.ids))
+    victim = sizes2[0]
+    import shutil
+
+    shutil.rmtree(os.path.join(bdir, f"centroid_id={int(victim.centroid_id)}"))
+    again = idx.remove(
+        spark.createDataFrame([(int(i),) for i in victim.ids], "vec_id long")
+    )
+    assert again == []  # already gone — replay finds nothing left to do
+    assert idx.buckets().filter(
+        F.col("vec_id").isin([int(i) for i in victim.ids])
+    ).count() == 0
+
+
 def test_incremental_dedup_across_batches(spark, tmp_path):
     """Cross-run exact dedup: batch 2 must not re-admit content already
     admitted in batch 1 (even under a different doc_id), in-batch dup
