@@ -905,6 +905,337 @@ def semantic_dedup(
     )
 
 
+#: SemanticDedupIndex on-disk layout version (the NearDupLabels
+#: versioning discipline — reads refuse a mismatched layout).
+SEMDEDUP_FORMAT_VERSION = 1
+_SEM_KEEPERS_SCHEMA = "vid long, vec array<float>, cid long, run string"
+#: run tag for the initial build's keeper partitions.
+_SEM_BUILD_RUN = "build"
+
+
+class SemanticDedupIndex:
+    """Persisted SemDeDup state — the fit-once / admit-many artifact
+    form of :func:`semantic_dedup` (the IvfIndex / NearDupLabels /
+    DsirModel pattern, fourth application): the k-means centroid table
+    plus each cluster's KEEPER set (kept docs with their vectors),
+    partitioned by cluster so an incremental admission touches only the
+    clusters its batch lands in.
+
+    Layout under ``path``: ``centroids/`` (O(k) rows), ``keepers/``
+    parquet partitioned by ``(cid, run)`` — cluster-first for probe
+    locality, run-second so a replayed epoch's rewrite is an idempotent
+    dynamic overwrite of its own partitions — and ``meta/`` (threshold,
+    id/vec cols, format_version) written LAST so a crashed build reads
+    as absent (the DsirModel crash discipline).
+
+    **Equivalence contract** (pinned by
+    ``test_incremental_semantic_equals_batch_on_union``): greedy leader
+    selection is order-dependent, so the incremental labeling equals
+    ``semantic_dedup(union, centroids=<this index's centroids>)``
+    exactly WHEN document ids arrive in ascending order across batches
+    (each batch's ids all exceed the previous batches') — then arrival
+    order ≡ id order and the two greedy scans visit documents
+    identically. For out-of-order arrival the kept/pruned sets may
+    differ from the batch run (a late small id meets keepers the batch
+    scan would have visited after it), but the SemDeDup INVARIANT holds
+    unconditionally: every pruned doc has a stored keeper at cosine ≥
+    threshold in its cluster, and every kept doc cleared every keeper
+    stored before it. Centroids are frozen at build (the IVF ingest
+    trade — rebuild to re-center after drift).
+
+    Scale: admission cost is O(batch·k) for the assignment GEMM plus
+    one per-touched-cluster kernel over (stored keepers + batch
+    members) — the keeper read partition-prunes on ``cid``, so an
+    epoch that lands in 5 clusters reads 5 partitions of state no
+    matter how large the corpus grew.
+    """
+
+    CENTROIDS = "centroids"
+    KEEPERS = "keepers"
+    META = "meta"
+
+    def __init__(self, spark, path: str) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self._centroids_path = os.path.join(path, self.CENTROIDS)
+        self._keepers_path = os.path.join(path, self.KEEPERS)
+        self._meta_path = os.path.join(path, self.META)
+        self._meta: dict | None = None
+
+    # -- lifecycle ------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.85,
+        k: int = 64,
+        iters: int = 2,
+    ) -> "SemanticDedupIndex":
+        import shutil
+        import os
+
+        spark = corpus.sparkSession
+        idx = cls(spark, path)
+        # meta (the commit marker) is deleted FIRST on rebuild: a crash
+        # mid-rebuild must read as absent, never as half-rebuilt
+        for p in (idx._meta_path, idx._keepers_path, idx._centroids_path):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        idx._meta = None
+        cent = kmeans_centroids(
+            corpus, id_col, vec_col, k=k, iters=iters
+        ).localCheckpoint(eager=True)  # feeds decisions AND the artifact
+        decisions = semantic_dedup(
+            corpus, id_col, vec_col, threshold, centroids=cent
+        )
+        vecs = corpus.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.col(vec_col).cast("array<float>").alias("vec"),
+        )
+        keepers = (
+            decisions.filter(F.col("kept"))
+            .select(
+                F.col(id_col).cast("long").alias("vid"),
+                F.col("centroid_id").alias("cid"),
+            )
+            .join(vecs, "vid")
+            .select("vid", "vec", "cid", F.lit(_SEM_BUILD_RUN).alias("run"))
+        )
+        keepers.write.mode("overwrite").partitionBy("cid", "run").parquet(
+            idx._keepers_path
+        )
+        cent.write.mode("overwrite").parquet(idx._centroids_path)
+        spark.createDataFrame(
+            [(float(threshold), id_col, vec_col, int(k),
+              SEMDEDUP_FORMAT_VERSION)],
+            "threshold double, id_col string, vec_col string, k int, "
+            "format_version int",
+        ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+        return idx
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SemanticDedupIndex":
+        return cls(spark, path)
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._meta_path)
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            self._meta = self.spark.read.parquet(self._meta_path).first().asDict()
+        return self._meta
+
+    def _check_version(self) -> None:
+        ver = int(self.meta.get("format_version") or 0)
+        if ver != SEMDEDUP_FORMAT_VERSION:
+            direction = (
+                "rebuild the index with build() to upgrade it"
+                if ver < SEMDEDUP_FORMAT_VERSION
+                else "upgrade this engine; rebuilding would destroy the newer index"
+            )
+            raise ValueError(
+                f"SemanticDedupIndex at {self.path!r} has artifact format "
+                f"v{ver}; this code speaks v{SEMDEDUP_FORMAT_VERSION} — "
+                f"{direction}"
+            )
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self._centroids_path)
+
+    def keepers(self) -> DataFrame:
+        """(vid, vec, cid, run) — every stored keeper."""
+        import os
+
+        if not os.path.exists(self._keepers_path):
+            return self.spark.createDataFrame([], _SEM_KEEPERS_SCHEMA)
+        return self.spark.read.schema(_SEM_KEEPERS_SCHEMA).parquet(
+            self._keepers_path
+        )
+
+    # -- incremental admission -----------------------------------------
+    def admit_batch(self, batch: DataFrame, run_id: str) -> DataFrame:
+        """Admit the semantically-novel slice of ``batch``: each doc is
+        assigned to its frozen centroid and greedily checked (ascending
+        id within the batch) against that cluster's stored keepers plus
+        the batch's own earlier keepers; survivors append to the keeper
+        store under ``run_id``. Returns the admitted rows.
+
+        Replay-deterministic without a marker: the decision is a pure
+        function of (keepers stored by OTHER runs, batch) — this run's
+        own partitions are excluded from the old side (the NearDupLabels
+        replay discipline) — and the keeper write is a dynamic overwrite
+        of this run's ``(cid, run)`` partitions, so a crashed epoch
+        re-runs to an identical state. Batch ids already kept by another
+        run are dropped outright; a previously-PRUNED id resubmitted
+        under a new run re-evaluates (its suppressor is still stored, so
+        it re-prunes — unless a :meth:`remove`-style retraction freed
+        it)."""
+        self._check_version()
+        meta = self.meta
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        thr = float(meta["threshold"])
+        _require_integral_id(batch, id_col, "SemanticDedupIndex.admit_batch")
+        old = self.keepers().filter(F.col("run") != F.lit(run_id))
+        batch_new = batch.join(
+            old.select(F.col("vid").alias(id_col)), id_col, "left_anti"
+        )
+        assigned = ivf_assign(
+            batch_new, self.centroids(), id_col=id_col, vec_col=vec_col
+        )
+        members = (
+            batch_new.select(
+                F.col(id_col).cast("long").alias("vid"),
+                F.col(vec_col).cast("array<float>").alias("vec"),
+            )
+            .join(
+                assigned.select(
+                    F.col(id_col).cast("long").alias("vid"),
+                    F.col("centroid_id").alias("cid"),
+                ),
+                "vid",
+            )
+            .localCheckpoint(eager=True)  # feeds touched-cid list + kernel
+        )
+        touched = [
+            int(r["cid"])
+            for r in members.select("cid").distinct().collect()  # O(touched)
+        ]
+        if not touched:
+            return batch_new.limit(0)
+        stored = (
+            old.filter(F.col("cid").isin(touched))  # partition-pruned read
+            .select("vid", "vec", "cid", F.lit(True).alias("is_old"))
+        )
+        both = members.select(
+            "vid", "vec", "cid", F.lit(False).alias("is_old")
+        ).unionByName(stored)
+
+        import numpy as np
+        import pandas as pd
+
+        def leader_admit(pdf: pd.DataFrame) -> pd.DataFrame:
+            olds = pdf[pdf["is_old"]]
+            news = pdf[~pdf["is_old"]].sort_values("vid")
+            mats = []
+            for part in (olds, news):
+                m = (
+                    np.array(list(part["vec"]), dtype=np.float64)
+                    if len(part)
+                    else np.zeros((0, 1))
+                )
+                mats.append(m)
+            def unitize(m):
+                if m.size == 0:
+                    return m, np.zeros(len(m), dtype=bool)
+                norms = np.sqrt((m * m).sum(axis=1))
+                ok = norms > 0.0
+                return (
+                    np.where(ok[:, None], m / np.where(ok, norms, 1.0)[:, None], 0.0),
+                    ok,
+                )
+            # stored keepers: frozen leader set (zero-norm ones have no
+            # defined cosine and can never suppress — same contract as
+            # semantic_dedup)
+            u_old, ok_old = unitize(mats[0])
+            u_new, ok_new = unitize(mats[1])
+            cite = [u_old[i] for i in range(len(u_old)) if ok_old[i]]
+            vids = news["vid"].to_numpy()
+            kept = np.zeros(len(news), dtype=bool)
+            for j in range(len(news)):
+                if ok_new[j] and cite:
+                    cos = np.stack(cite) @ u_new[j]
+                    if float(cos.max()) >= thr:
+                        continue  # pruned by a stored/earlier keeper
+                kept[j] = True
+                if ok_new[j]:
+                    cite.append(u_new[j])
+            return pd.DataFrame(
+                {
+                    "vid": vids,
+                    "cid": news["cid"].to_numpy(),
+                    "kept": kept,
+                }
+            )
+
+        decisions = both.groupBy("cid").applyInPandas(
+            leader_admit, schema="vid long, cid long, kept boolean"
+        )
+        new_keepers = (
+            members.join(
+                decisions.filter(F.col("kept")).select("vid"), "vid"
+            )
+            .select("vid", "vec", "cid", F.lit(run_id).alias("run"))
+            # the write replaces this run's own partitions, which the
+            # replay lineage read — materialize first
+            .localCheckpoint(eager=True)
+        )
+        (
+            new_keepers.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid", "run")
+            .parquet(self._keepers_path)
+        )
+        return batch_new.join(
+            new_keepers.select(F.col("vid").alias(id_col)), id_col
+        )
+
+
+class IncrementalSemanticDedup:
+    """Cross-run SEMANTIC admission over a persisted
+    :class:`SemanticDedupIndex` — the fourth incremental-admission
+    variant (exact: ``dedup.IncrementalDedup``; text near-dup:
+    ``dedup.IncrementalLsh``; embedding: ``IncrementalEmbeddingDedup``)
+    — closing the tier that previously had no streaming leg: new docs
+    assign to the frozen k-means centroids and greedy-prune against
+    each cluster's STORED keepers, never re-running the corpus pass.
+    Drops into :func:`...streaming.admission.run_admission_stream`
+    unchanged (``admit(batch, run_id=)``); the first batch bootstraps
+    the index (build on the batch), like the embedding admitter."""
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        threshold: float = 0.85,
+        k: int = 64,
+        iters: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.index = SemanticDedupIndex(spark, state_dir)
+        self.state_dir = state_dir
+        self.threshold = threshold
+        self.k = k
+        self.iters = iters
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        rid = run_id if run_id is not None else "adhoc"
+        if not self.index.exists():
+            batch = batch.localCheckpoint(eager=True)  # read by build + below
+            idx = SemanticDedupIndex.build(
+                batch,
+                self.state_dir,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                threshold=self.threshold,
+                k=self.k,
+                iters=self.iters,
+            )
+            kept = idx.keepers().select(F.col("vid").alias(self.id_col))
+            return batch.join(kept, self.id_col)
+        return self.index.admit_batch(batch, rid)
+
+
 class IvfIndex:
     """Persisted IVF index: the amortization path for repeated ANN
     queries that :func:`ivf_topk` (which re-runs k-means per call) only

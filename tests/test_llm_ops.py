@@ -1682,3 +1682,117 @@ def test_substring_dedup_spans_semantics(spark):
     }
     assert (10, 0, 6) in sp2  # merged: gap 3 == k
     assert (11, 0, 3) in sp2 and (11, 5, 3) in sp2  # gap 5 > k: split
+
+
+def test_incremental_semantic_equals_batch_on_union(spark, tmp_path):
+    """The pinned equivalence contract: with ascending-id batches
+    (arrival order == id order) the incremental semantic admission over
+    the persisted index equals batch semantic_dedup on the union under
+    the index's frozen centroids — same kept set, same keeper store."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+        semantic_dedup,
+    )
+
+    emb = Catalog(spark, SF).load("embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    b1 = emb.filter(F.col("vec_id") <= c1)
+    b2 = emb.filter((F.col("vec_id") > c1) & (F.col("vec_id") <= c2))
+    b3 = emb.filter(F.col("vec_id") > c2)
+
+    adm = IncrementalSemanticDedup(
+        spark, str(tmp_path / "sem"), threshold=0.9, k=16
+    )
+    a1 = {r.vec_id for r in adm.admit(b1, run_id="e0").collect()}
+    a2 = {r.vec_id for r in adm.admit(b2, run_id="e1").collect()}
+    a3 = {r.vec_id for r in adm.admit(b3, run_id="e2").collect()}
+    assert a1 and (a1 & a2) == set() and (a2 & a3) == set()
+
+    batch = semantic_dedup(
+        emb, threshold=0.9, centroids=adm.index.centroids()
+    )
+    want = {r.vec_id for r in batch.filter(F.col("kept")).collect()}
+    got = a1 | a2 | a3
+    assert got == want
+    stored = {r.vid for r in adm.index.keepers().collect()}
+    assert stored == want  # the keeper artifact IS the kept set
+
+
+def test_incremental_semantic_replay_idempotent(spark, tmp_path):
+    """Replaying an epoch with the same run_id returns the identical
+    admitted set and leaves the keeper store without duplicates (the
+    crashed-epoch re-delivery shape of run_admission_stream)."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+
+    emb = Catalog(spark, SF).load("embeddings")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    b1 = emb.filter(F.col("vec_id") <= cut)
+    b2 = emb.filter(F.col("vec_id") > cut)
+    adm = IncrementalSemanticDedup(
+        spark, str(tmp_path / "rp"), threshold=0.9, k=16
+    )
+    adm.admit(b1, run_id="e0")
+    first = {r.vec_id for r in adm.admit(b2, run_id="e1").collect()}
+    again = {r.vec_id for r in adm.admit(b2, run_id="e1").collect()}
+    assert first == again
+    keeps = adm.index.keepers()
+    assert keeps.count() == keeps.select("vid").distinct().count()
+
+
+def test_incremental_semantic_out_of_order_prunes_against_stored(
+    spark, tmp_path
+):
+    """Out-of-order arrival (smaller ids later) is the documented
+    divergence from the batch run: a late twin of a stored keeper is
+    PRUNED even though its smaller id would have made it the leader in
+    a batch scan — the invariant that always holds is keeper-witnessed
+    suppression, not global id order. Novel vectors still admit."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    adm = IncrementalSemanticDedup(
+        spark, str(tmp_path / "oo"), threshold=0.9, k=2
+    )
+    assert {r.vec_id for r in adm.admit(b1, run_id="e0").collect()} == {10, 11}
+    # id 1 < 10, but 10 is already a stored keeper at cosine ~1
+    b2 = spark.createDataFrame(
+        [
+            (1, [0.999, 0.001, 0.0, 0.0]),   # twin of stored keeper 10
+            (2, [0.0, 0.0, 1.0, 0.0]),       # novel direction
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id for r in adm.admit(b2, run_id="e1").collect()}
+    assert got == {2}
+    stored = {r.vid for r in adm.index.keepers().collect()}
+    assert stored == {10, 11, 2}
+
+
+def test_semantic_index_version_refusal(spark, tmp_path):
+    """A layout-version mismatch is refused loudly in both directions
+    (the NearDupLabels versioning discipline)."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        SemanticDedupIndex,
+    )
+
+    emb = Catalog(spark, SF).load("embeddings").limit(50)
+    path = str(tmp_path / "vr")
+    SemanticDedupIndex.build(emb, path, k=4)
+    idx = SemanticDedupIndex.load(spark, path)
+    idx._meta = dict(idx.meta, format_version=99)  # simulate newer layout
+    with _pytest.raises(ValueError, match="upgrade this engine"):
+        idx.admit_batch(emb.limit(1), run_id="x")

@@ -725,3 +725,60 @@ def test_admission_stream_maintains_labels_index(spark, tmp_path):
         (r.doc_id, r.cluster_id) for r in idx.labels().collect()
     } == want
     assert idx.labels().count() == 4
+
+
+def test_semantic_admission_stream_with_replay(spark, tmp_path):
+    """The fourth admitter (IncrementalSemanticDedup) through the same
+    checkpointed foreachBatch front-end: the streamed end-state admits
+    exactly the semantically-novel vectors, and a replayed epoch (same
+    run_id) re-returns identical admissions without duplicating the
+    keeper store."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        read_admitted,
+        run_admission_stream,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    schema = "vec_id long, embedding array<float>"
+    b1 = [(1, vec(1, 0, 0, 0)), (2, vec(1, 0.01, 0, 0)), (3, vec(0, 1, 0, 0))]
+    b2 = [(10, vec(0.99, 0.01, 0, 0)), (11, vec(0, 0, 1, 0))]
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(inp)
+        admitter = IncrementalSemanticDedup(
+            spark, str(tmp_path / "idx"), threshold=0.95, k=2
+        )
+        run_admission_stream(src, admitter, out, str(tmp_path / "chk"))
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(inp)
+    drain()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(inp)
+    drain()
+    got = {r.vec_id for r in read_admitted(spark, out).collect()}
+    assert got == {1, 3, 11}  # 2 ~ 1 in-batch; 10 ~ stored keeper 1
+
+    # crash-replay of epoch 1: same run_id re-returns {11}, keeper
+    # store unchanged (dynamic overwrite of the run's own partitions)
+    admitter = IncrementalSemanticDedup(
+        spark, str(tmp_path / "idx"), threshold=0.95, k=2
+    )
+    n_keep = admitter.index.keepers().count()
+    import hashlib
+    import os as _os
+
+    ns = hashlib.md5(
+        _os.path.abspath(str(tmp_path / "chk")).encode()
+    ).hexdigest()[:12]
+    replay = admitter.admit(
+        spark.createDataFrame(b2, schema), run_id=f"{ns}-epoch-1"
+    )
+    assert {r.vec_id for r in replay.collect()} == {11}
+    assert admitter.index.keepers().count() == n_keep
