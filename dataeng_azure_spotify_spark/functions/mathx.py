@@ -128,5 +128,15 @@ def portable_pow(c: Column, alpha: float) -> Column:
     from ``portable_ln``) — irrelevant for weighting/ranking, and
     IDENTICAL on both sides, which is the property that matters.
     DuckDB twin: ``duck_portable_pow_sql``. Domain: ``c ≥ 1`` and
-    ``c^alpha ≲ 2^58`` (the ``portable_exp`` shift bound)."""
+    ``c^alpha ≲ 2^58`` (the ``portable_exp`` shift bound).
+
+    PLANNING caveat: this composes the two trees in ONE Column
+    expression — the exp tree references its argument ~50 times, and
+    Column trees have no let-binding, so the whole ln subtree inlines
+    into every reference; Catalyst re-expands the shared DAG on every
+    transform and re-optimizes per action (measured r8: ~5s of
+    driver-side planning PER action, at any data size). Fine for
+    one-off scalar/test use; in an operator, STAGE the ln leg into its
+    own projection and call ``portable_exp`` on the attribute — see
+    ``operators/curation.py::temperature_mix``."""
     return portable_exp(F.lit(float(alpha)) * portable_ln(c))

@@ -29,7 +29,11 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataeng_azure_spotify_spark.functions.mathx import portable_ln, portable_pow
+from dataeng_azure_spotify_spark.functions.mathx import (
+    portable_exp,
+    portable_ln,
+    portable_pow,
+)
 from dataeng_azure_spotify_spark.functions.text import (
     bpe_ish_token_count,
     hash60,
@@ -1035,8 +1039,22 @@ def temperature_mix(
             F.sqrt(F.col("c_s").cast("double")) * F.lit(1e9) + F.lit(0.5)
         ).cast("long")
     else:
+        # c^alpha = exp(alpha·ln c), STAGED across two projections.
+        # Column trees have no let-binding, so the one-expression
+        # portable_pow(c_s, alpha) inlines the ~250-node portable_ln
+        # tree into every one of the exp tree's ~50 references to its
+        # argument; Catalyst expands that shared DAG to a tree on every
+        # transform, and each action re-optimizes — measured r8:
+        # ~5s of driver-side planning PER count() at any sf
+        # (docs/BENCH_NOTES.md). With the ln staged as an attribute
+        # both trees stay small; CollapseProject keeps the projections
+        # split because the intermediate is non-cheap and
+        # multiply-referenced.
+        counts = counts.withColumn(
+            "__alnc", F.lit(float(alpha)) * portable_ln(F.col("c_s"))
+        )
         wq = F.floor(
-            portable_pow(F.col("c_s"), alpha) * F.lit(1e9) + F.lit(0.5)
+            portable_exp(F.col("__alnc")) * F.lit(1e9) + F.lit(0.5)
         ).cast("long")
     weighted = counts.select("src", "c_s", wq.alias("wq"))
     tot = weighted.agg(F.sum("wq").alias("sw"))
