@@ -3107,6 +3107,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter (operators/quality_nb.py): binary Naive
+    Bayes over hashed unigram+bigram buckets, fit on the Gopher
+    heuristic's pass flag as the weak label and scoring the same
+    corpus — the GPT-3/CCNet quality-classifier recipe (heuristic
+    labels in, generalizing classifier out). score_nano is the exact
+    integer log-odds in nano-units (portable_ln over exact BIGINT
+    counts, quantized once per bucket), so the whole row is
+    hash-checkable; pred_hq = score_nano > 0."""
+    from dataeng_azure_spotify_spark.operators.quality_nb import (
+        nb_quality_train_score,
+    )
+    from dataeng_azure_spotify_spark.functions.text import gopher_pass_col
+
+    cat = _cat(spark, sf_dir)
+    return nb_quality_train_score(
+        cat["documents"], gopher_pass_col("text"), buckets=4096
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.7 source mixing: exactly 200 docs with per-source
     quotas ∝ (source size)^0.7 by largest-remainder apportionment —
@@ -3900,6 +3920,103 @@ LIMIT {int(k)}
 """
 
 
+def _quality_nb_oracle(buckets: int) -> str:
+    """Twin of nb_quality_train_score: the Gopher pass flag recomputed
+    as the weak label (same metric SQL as _gopher_quality_oracle,
+    unrounded comparisons), hashed unigram+bigram buckets (the DSIR
+    feature CTEs), per-bucket discriminative log-ratio + length + prior
+    terms in portable-ln nano-units — exact BIGINT from there."""
+    from dataeng_azure_spotify_spark.functions.text import STOPWORDS_EN
+
+    B = int(buckets)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    pln_p = duck_portable_ln_sql("p_b + 1")
+    pln_q = duck_portable_ln_sql("q_b + 1")
+    pln_qq = duck_portable_ln_sql(f"qq + {B}")
+    pln_pp = duck_portable_ln_sql(f"pp + {B}")
+    pln_dp = duck_portable_ln_sql("dp")
+    pln_dq = duck_portable_ln_sql("dq")
+    return f"""
+WITH tk AS (
+    SELECT doc_id AS doc, text, {_TOKS} AS t FROM documents
+), lab AS (
+    SELECT doc,
+           (len(t) >= 40 AND len(t) <= 100000
+            AND mwl >= 3.0 AND mwl <= 10.0
+            AND swr <= 0.1 AND awr >= 0.8
+            AND stop_hits >= 2) AS hq
+    FROM (
+        SELECT doc, t,
+               CASE WHEN len(t) > 0
+                    THEN CAST(list_sum(list_transform(t,
+                              x -> CAST(len(x) AS BIGINT)))
+                              AS DOUBLE) / len(t)
+                    ELSE 0.0 END AS mwl,
+               CASE WHEN len(t) > 0
+                    THEN CAST(len(text) - len(replace(text, '#', ''))
+                              + len(regexp_extract_all(text, '[.][.][.]'))
+                              AS DOUBLE) / len(t)
+                    ELSE 0.0 END AS swr,
+               CASE WHEN len(t) > 0
+                    THEN CAST(len(list_filter(t,
+                              x -> regexp_matches(x, '[A-Za-z]')))
+                              AS DOUBLE) / len(t)
+                    ELSE 0.0 END AS awr,
+               len(list_filter(t, x -> x IN ({stop_list}))) AS stop_hits
+        FROM tk
+    )
+), grams AS (
+    SELECT doc, unnest(t) AS gram FROM tk WHERE len(t) >= 1
+    UNION ALL
+    SELECT doc,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM tk WHERE len(t) >= 2
+), feats AS (
+    SELECT doc, {_duck_hash60('gram')} % {B} AS b,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM grams GROUP BY 1, 2
+), featsl AS (
+    SELECT f.doc, f.b, f.c, lab.hq FROM feats f JOIN lab USING (doc)
+), byb AS (
+    SELECT b,
+           CAST(SUM(CASE WHEN hq THEN c ELSE 0 END) AS BIGINT) AS p_b,
+           CAST(SUM(CASE WHEN NOT hq THEN c ELSE 0 END) AS BIGINT) AS q_b
+    FROM featsl GROUP BY 1
+), w AS (
+    SELECT b,
+           CAST(floor(({pln_p} - {pln_q}) * 1e9 + 0.5) AS BIGINT) AS lrq
+    FROM byb
+), consts AS (
+    SELECT CAST(floor(({pln_qq} - {pln_pp}) * 1e9 + 0.5) AS BIGINT) AS cq,
+           CAST(floor(({pln_dp} - {pln_dq}) * 1e9 + 0.5) AS BIGINT)
+               AS prior_nano
+    FROM (
+        SELECT CAST(SUM(CASE WHEN hq THEN c ELSE 0 END) AS BIGINT) AS pp,
+               CAST(SUM(CASE WHEN NOT hq THEN c ELSE 0 END) AS BIGINT) AS qq,
+               CAST(COUNT(DISTINCT CASE WHEN hq THEN doc END) AS BIGINT)
+                   AS dp,
+               CAST(COUNT(DISTINCT CASE WHEN NOT hq THEN doc END) AS BIGINT)
+                   AS dq
+        FROM featsl
+    )
+), scored AS (
+    SELECT f.doc,
+           CAST(SUM(f.c) AS BIGINT) AS n_grams,
+           CAST(SUM(f.c * w.lrq) AS BIGINT) AS s
+    FROM feats f JOIN w USING (b)
+    GROUP BY 1
+)
+SELECT s.doc AS doc_id, s.n_grams,
+       s.s + s.n_grams * (SELECT cq FROM consts)
+           + (SELECT prior_nano FROM consts) AS score_nano,
+       (s.s + s.n_grams * (SELECT cq FROM consts)
+            + (SELECT prior_nano FROM consts)) > 0 AS pred_hq,
+       lab.hq AS label_hq
+FROM scored s JOIN lab USING (doc)
+"""
+
+
 def _temperature_mix_oracle(total_n: int, alpha: float = 0.5) -> str:
     """Twin of temperature_mix: c^alpha weights nano-quantized —
     alpha=1.0 pure integer, alpha=0.5 sqrt (IEEE-correctly-rounded,
@@ -4281,6 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": q_substring_dup_spans,
         "temperature_mix": q_temperature_mix,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "quality_nb_score": q_quality_nb_score,
         "pricing_summary": q_pricing_summary,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
@@ -4326,8 +4444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_summary": q_percentile_summary,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
-        "bucketize_case_when": q_bucketize,
         # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
+        "bucketize_case_when": q_bucketize,
         "star_join_asof": q_star_join_asof,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
@@ -4629,6 +4747,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _contamination_oracle(n=5, test_mod=97),
         "decontaminate": _decontaminate_oracle(n=5, test_mod=97),
         "dsir_select": _dsir_oracle(k=150, buckets=4096),
+        "quality_nb_score": _quality_nb_oracle(buckets=4096),
         "temperature_mix": _temperature_mix_oracle(total_n=200, alpha=0.7),
         "dup_span_stats": _dup_span_stats_oracle(k=8, min_count=2),
         "substring_dup_spans": _substring_dup_spans_oracle(k=8, min_count=2),

@@ -232,6 +232,33 @@ def gopher_quality(
     Thresholds are the paper's defaults scaled to this corpus's short
     synthetic docs (``min_words`` 40 vs the paper's 50).
     """
+    m = _gopher_metrics(text_col)
+    checks = gopher_pass_col(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stop_hits=min_stop_hits,
+    )
+    return df.select(
+        F.col(id_col),
+        m["n_words"].cast("long").alias("n_words"),
+        F.round(m["mean_word_len"], 8).alias("mean_word_len"),
+        F.round(m["symbol_ratio"], 8).alias("symbol_word_ratio"),
+        F.round(m["alpha_ratio"], 8).alias("alpha_word_ratio"),
+        m["stop_hits"].cast("long").alias("stop_hits"),
+        checks.alias("gopher_pass"),
+    )
+
+
+def _gopher_metrics(text_col: str) -> dict:
+    """The five Gopher per-document metrics as Column expressions
+    (shared by :func:`gopher_quality` and :func:`gopher_pass_col` so
+    the projection form and the label-column form cannot drift).
+    Duplicated subtrees across callers are CSE'd at codegen."""
     c = F.col(text_col)
     toks = tokens_col(text_col)
     n_words = F.size(toks)
@@ -253,23 +280,38 @@ def gopher_quality(
         F.lit(0.0)
     )
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
-    checks = (
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (mean_word_len >= min_mean_word_len)
-        & (mean_word_len <= max_mean_word_len)
-        & (symbol_ratio <= max_symbol_word_ratio)
-        & (alpha_ratio >= min_alpha_word_ratio)
-        & (stop_hits >= min_stop_hits)
-    )
-    return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_word_len, 8).alias("mean_word_len"),
-        F.round(symbol_ratio, 8).alias("symbol_word_ratio"),
-        F.round(alpha_ratio, 8).alias("alpha_word_ratio"),
-        stop_hits.cast("long").alias("stop_hits"),
-        checks.alias("gopher_pass"),
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_pass_col(
+    text_col: str = "text",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The :func:`gopher_quality` pass flag as a single boolean Column
+    — the weak-label form consumed by the trained quality classifier
+    (``operators/quality_nb.py``): heuristic labels in, generalizing
+    classifier out, the GPT-3/CCNet quality-filter recipe."""
+    m = _gopher_metrics(text_col)
+    return (
+        (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+        & (m["symbol_ratio"] <= max_symbol_word_ratio)
+        & (m["alpha_ratio"] >= min_alpha_word_ratio)
+        & (m["stop_hits"] >= min_stop_hits)
     )
 
 

@@ -741,13 +741,22 @@ def _dsir_fit_tables(
 
 
 def _dsir_bucket_counts(
-    df: DataFrame, id_col: str, text_col: str, buckets: int
+    df: DataFrame, id_col: str, text_col: str, buckets: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc hashed unigram+bigram bucket counts (doc, b, c) — the
-    DSIR feature space. Tokenless documents produce no rows."""
+    DSIR feature space. Tokenless documents produce no rows.
+
+    ``carry`` names extra per-document columns of ``df`` to thread
+    through the explode and the grouping (they're functionally
+    dependent on doc, so the groups are unchanged) — how the NB
+    quality fit (``operators/quality_nb.py``) keeps its label on the
+    gram table WITHOUT a second corpus-sized shuffle to join it back.
+    """
     t = F.col("__t")
+    extras = [F.col(c) for c in carry]
     base = df.select(
-        F.col(id_col).alias("doc"), tokens_col(text_col).alias("__t")
+        F.col(id_col).alias("doc"), *extras, tokens_col(text_col).alias("__t")
     ).filter(F.size("__t") >= 1)
     idx = F.sequence(F.lit(0), F.size(t) - 2)
     bigrams = F.when(
@@ -755,9 +764,13 @@ def _dsir_bucket_counts(
         F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, 2), " ")),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        base.select("doc", F.explode(F.concat(t, bigrams)).alias("gram"))
-        .select("doc", F.pmod(hash60(F.col("gram")), F.lit(buckets)).alias("b"))
-        .groupBy("doc", "b")
+        base.select("doc", *carry, F.explode(F.concat(t, bigrams)).alias("gram"))
+        .select(
+            "doc",
+            *carry,
+            F.pmod(hash60(F.col("gram")), F.lit(buckets)).alias("b"),
+        )
+        .groupBy("doc", *carry, "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
 

@@ -1,0 +1,331 @@
+"""Hashed-token Naive Bayes quality classifier — the trained
+"quality filter" tier of the curation family (beyond-reference
+surface; the reference repo has no ML-filter stage, cf.
+local_spotify_dab/src/silver/Silver_Dimensions.py which gates rows on
+declarative expectations only).
+
+The canonical pretraining pipeline (GPT-3, LLaMA, CCNet) trains a
+cheap linear classifier on weak labels — "pages a heuristic likes" vs
+"pages it doesn't" — and scores the whole corpus with it, because the
+classifier generalizes past the heuristic's hard thresholds. This
+module is that stage as pure DataFrame algebra: binary Naive Bayes
+over hashed unigram+bigram buckets (the fasttext-style feature space),
+fit with one grouped aggregation, scored with one broadcast join.
+
+Relationship to DSIR (``operators/curation.py::dsir_select``): the
+per-bucket weight here is the DISCRIMINATIVE twin of DSIR's generative
+importance ratio — ln of smoothed positive-class counts over
+negative-class counts instead of target-corpus over raw-corpus. The
+two deliberately share the featurizer (``_dsir_bucket_counts``) and
+the nano-unit fixed-point discipline; what NB adds is the labeled fit,
+the class-prior term, and per-document classification (score > 0)
+rather than corpus-level top-k selection.
+
+Cross-engine exactness (the DSIR/portable_ln discipline): every ln is
+:func:`...functions.mathx.portable_ln` on an exact BIGINT (bit-equal
+to the DuckDB twin by construction), each per-bucket weight is
+nano-quantized ONCE in the ≤ ``buckets``-row weight table, and every
+per-document aggregate from there is exact BIGINT arithmetic — the
+emitted ``score_nano`` is hash-checkable.
+
+Scale (100 TB): fit = one corpus scan (explode → partial-aggregated
+groupBy on (doc, bucket), checkpointed), two bucket-level grouped sums
+(≤ ``buckets`` rows each), and scalar class totals; score = the same
+per-doc counts joined against the broadcast weight table (≤ ``buckets``
+rows — bounded by construction, never vocabulary-sized) and one
+grouped BIGINT sum. Nothing corpus-sized shuffles twice; in-corpus
+fit+score reuses the checkpointed feature table so the corpus is
+scanned once. The persisted :class:`NbQualityModel` is the
+fit-once / score-many artifact (the DsirModel pattern, same crash
+discipline), and :class:`NbQualityAdmitter` drops the frozen model
+into the streaming admission framework.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.functions.mathx import portable_ln
+from dataeng_azure_spotify_spark.operators.curation import _dsir_bucket_counts
+
+
+def _nb_weight_tables(
+    counts_lab: DataFrame, buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """(weights, consts) from labeled per-doc bucket counts
+    (doc, b, c, hq).
+
+    weights: (b, lrq) — nano-quantized ln((p_b+1)/(q_b+1)) over every
+    bucket observed in EITHER class (full outer union via groupBy over
+    the label, so a bucket seen only in one class keeps its one-sided
+    weight — the DSIR full-join rationale, same failure mode).
+
+    consts: one row (cq, prior_nano) — the per-gram length term
+    nano(ln(Q+B) − ln(P+B)) and the class-prior term
+    nano(ln(D_pos) − ln(D_neg)); P/Q are class gram totals, D the
+    class doc counts. Both exact BIGINT after one quantization.
+    """
+    B = int(buckets)
+    by_b = counts_lab.groupBy("b").agg(
+        F.sum(F.when(F.col("hq"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("p_b"),
+        F.sum(F.when(~F.col("hq"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("q_b"),
+    )
+    lr = portable_ln(F.col("p_b") + F.lit(1)) - portable_ln(
+        F.col("q_b") + F.lit(1)
+    )
+    w = by_b.select(
+        "b", F.floor(lr * F.lit(1e9) + F.lit(0.5)).cast("long").alias("lrq")
+    )
+    scal = counts_lab.agg(
+        F.sum(F.when(F.col("hq"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pp"),
+        F.sum(F.when(~F.col("hq"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("qq"),
+        F.countDistinct(F.when(F.col("hq"), F.col("doc")))
+        .cast("long")
+        .alias("dp"),
+        F.countDistinct(F.when(~F.col("hq"), F.col("doc")))
+        .cast("long")
+        .alias("dq"),
+    )
+    cq = F.floor(
+        (
+            portable_ln(F.col("qq") + F.lit(B))
+            - portable_ln(F.col("pp") + F.lit(B))
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    prior = F.floor(
+        (portable_ln(F.col("dp")) - portable_ln(F.col("dq")))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return w, scal.select(cq.alias("cq"), prior.alias("prior_nano"))
+
+
+def _nb_score_counts(
+    counts: DataFrame, w: DataFrame, consts: DataFrame,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc, *carry, n_grams, score_nano, pred_hq) from per-doc bucket
+    counts. LEFT join: a bucket the fit never saw has p_b = q_b = 0, so
+    its exact weight is ln(1) − ln(1) = 0 — the coalesce IS the model's
+    value for unseen features (the DSIR rationale). ``carry`` threads
+    per-doc columns (e.g. the training label) through the grouping so
+    in-corpus fit+score needs no per-doc join afterwards."""
+    return (
+        counts.join(F.broadcast(w), "b", "left")
+        .na.fill({"lrq": 0})
+        .groupBy("doc", *carry)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lrq")).cast("long").alias("s"),
+        )
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc",
+            *carry,
+            "n_grams",
+            (
+                F.col("s")
+                + F.col("n_grams") * F.col("cq")
+                + F.col("prior_nano")
+            ).alias("score_nano"),
+        )
+        .withColumn("pred_hq", F.col("score_nano") > 0)
+    )
+
+
+def nb_quality_train_score(
+    df: DataFrame,
+    label: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Fit binary NB on ``label`` (a boolean Column over ``df``'s
+    columns — e.g. ``gopher_quality``'s pass flag) and score the SAME
+    corpus; the in-corpus one-shot form (the persisted-artifact form
+    is :class:`NbQualityModel`).
+
+    Returns (``id_col``, n_grams, score_nano, pred_hq, label_hq) for
+    every tokenful document — score_nano is the exact integer
+    log-odds in nano-units, pred_hq the classification, label_hq the
+    training label (so downstream can compute agreement without
+    re-deriving the heuristic). Tokenless documents have no features
+    and are excluded, the DSIR convention.
+
+    Raises if either class has no documents — a one-class fit makes
+    every weight degenerate and is never what the caller meant.
+    """
+    B = int(buckets)
+    # the label rides the featurization as a carried column (it is a
+    # pure function of the document row), so fit + in-corpus score is
+    # ONE corpus scan and ONE shuffle — no corpus-sized label join
+    labeled = df.withColumn("__hq", label)
+    counts_lab = (
+        _dsir_bucket_counts(labeled, id_col, text_col, B, carry=("__hq",))
+        .withColumnRenamed("__hq", "hq")
+        .localCheckpoint(eager=False)
+    )
+    w, consts = _nb_weight_tables(counts_lab, B)
+    # the check must run over TOKENFUL docs (counts_lab): a class whose
+    # only members are tokenless contributes no grams, and
+    # portable_ln(0) on its zero doc count is garbage, not NULL
+    n_classes = counts_lab.select("hq").distinct().limit(2).count()
+    if n_classes < 2:
+        raise ValueError(
+            "nb_quality_train_score: need at least one TOKENFUL "
+            "document of each class — a one-class fit makes every "
+            "weight degenerate"
+        )
+    return _nb_score_counts(counts_lab, w, consts, carry=("hq",)).select(
+        F.col("doc").alias(id_col),
+        "n_grams",
+        "score_nano",
+        "pred_hq",
+        F.col("hq").alias("label_hq"),
+    )
+
+
+class NbQualityModel:
+    """Persisted NB quality model — fit-once / score-many (the
+    DsirModel artifact pattern, same layout and crash discipline):
+    ``weights/`` parquet (b, lrq — ≤ ``buckets`` rows) and ``meta/``
+    parquet (cq, prior_nano, buckets, id_col, text_col) written LAST
+    as the commit marker, so a crashed fit reads as absent and a
+    mid-refit crash can never pair old meta with new weights."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        self._weights_path = os.path.join(path, "weights")
+        self._meta_path = os.path.join(path, "meta")
+
+    # -- lifecycle -------------------------------------------------------
+    @classmethod
+    def fit(
+        cls,
+        df: DataFrame,
+        label: F.Column,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        buckets: int = 4096,
+    ) -> "NbQualityModel":
+        import shutil
+
+        B = int(buckets)
+        spark = df.sparkSession
+        labeled = df.withColumn("__hq", label)
+        counts_lab = (
+            _dsir_bucket_counts(
+                labeled, id_col, text_col, B, carry=("__hq",)
+            )
+            .withColumnRenamed("__hq", "hq")
+            .localCheckpoint(eager=False)
+        )
+        w, consts = _nb_weight_tables(counts_lab, B)
+        # tokenful-docs class check (portable_ln(0) on an absent
+        # class's zero doc count is garbage, not NULL — see
+        # nb_quality_train_score)
+        if counts_lab.select("hq").distinct().limit(2).count() < 2:
+            raise ValueError(
+                "NbQualityModel.fit: need at least one TOKENFUL "
+                "document of each class — a one-class or empty fit "
+                "makes every weight degenerate"
+            )
+        row = consts.first()
+        model = cls(spark, path)
+        # refit crash discipline (DsirModel): delete the commit marker
+        # BEFORE touching weights so any mid-refit crash reads as absent
+        if os.path.exists(model._meta_path):
+            shutil.rmtree(model._meta_path)
+        w.write.mode("overwrite").parquet(model._weights_path)
+        spark.createDataFrame(
+            [(int(row["cq"]), int(row["prior_nano"]), B, id_col, text_col)],
+            "cq long, prior_nano long, buckets int, "
+            "id_col string, text_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(model._meta_path)
+        return model
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NbQualityModel":
+        model = cls(spark, path)
+        if not model.exists():
+            raise FileNotFoundError(f"no NbQualityModel at {path!r}")
+        return model
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    def _snapshot(self):
+        """Meta + weights loaded together and memoized (the DsirModel
+        consistency rationale: a concurrent re-fit can never pair this
+        handle's cached constants with newer on-disk weights)."""
+        if getattr(self, "_snap", None) is None:
+            meta = (
+                self.spark.read.schema(
+                    "cq long, prior_nano long, buckets int, "
+                    "id_col string, text_col string"
+                )
+                .parquet(self._meta_path)
+                .first()
+            )
+            w = (
+                self.spark.read.schema("b long, lrq long")
+                .parquet(self._weights_path)
+                .localCheckpoint(eager=True)
+            )
+            self._snap = (meta, w)
+        return self._snap
+
+    def _meta(self):
+        return self._snapshot()[0]
+
+    def weights(self) -> DataFrame:
+        return self._snapshot()[1]
+
+    # -- scoring ---------------------------------------------------------
+    def score(self, df: DataFrame) -> DataFrame:
+        """(id_col, n_grams, score_nano, pred_hq) for every tokenful
+        document under the frozen weights; deterministic across
+        replays, batch or ``foreachBatch``."""
+        m = self._meta()
+        counts = _dsir_bucket_counts(df, m.id_col, m.text_col, m.buckets)
+        consts = self.spark.createDataFrame(
+            [(int(m.cq), int(m.prior_nano))], "cq long, prior_nano long"
+        )
+        return _nb_score_counts(counts, self.weights(), consts).select(
+            F.col("doc").alias(m.id_col), "n_grams", "score_nano", "pred_hq"
+        )
+
+
+class NbQualityAdmitter:
+    """Streaming quality gate: admit the documents of each micro-batch
+    the frozen NB model classifies positive (or clears
+    ``min_score_nano``). Stateless and deterministic — the DsirAdmitter
+    contract — so replayed epochs reproduce exactly."""
+
+    def __init__(self, model: NbQualityModel, min_score_nano: int = 0):
+        self.model = model
+        self.min_score_nano = int(min_score_nano)
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        m = self.model._meta()
+        keep = self.model.score(batch).filter(
+            F.col("score_nano") > self.min_score_nano
+        )
+        return batch.join(
+            keep.select(m.id_col), m.id_col, "left_semi"
+        )
