@@ -1,0 +1,136 @@
+"""BPE tokenizer training (operators/bpe.py): the distributed trainer
+must match a straightforward single-node reference implementation
+merge-for-merge (counts, tie-breaks, early stop), and tokenize() must
+reproduce end-of-training symbol states on the training corpus."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.operators.bpe import (
+    END_OF_WORD,
+    BpeTokenizer,
+    bpe_train,
+)
+
+
+def _ref_bpe(texts, num_merges, min_pair_count=2):
+    """Single-node reference BPE (Sennrich alg. 1): word-freq table,
+    per round count adjacent pairs, merge the (count desc, pair asc)
+    best greedily left-to-right non-overlapping."""
+    wf = Counter(w for t in texts for w in t.split())
+    words = {w: tuple(list(w) + [END_OF_WORD]) for w in wf}
+    merges = []
+    for rank in range(num_merges):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, a + b, cnt))
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges, words, wf
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest new low",
+    "the the the the a a an an",
+    "aaaa aaa aa aaaa",  # overlap chains exercise the greedy fold
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    """Merge-for-merge equality with the single-node reference on a
+    corpus with ties and overlapping-pair chains, at two budgets."""
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
+    for k in (5, 30):
+        got = [
+            tuple(r)
+            for r in bpe_train(df, num_merges=k).orderBy("rank").collect()
+        ]
+        want, _, _ = _ref_bpe(CORPUS, k)
+        assert got == want, f"k={k}: {got} != {want}"
+
+
+def test_bpe_train_early_stop_and_determinism(spark):
+    """No pair reaches min_pair_count twice -> training stops early;
+    repeated runs are identical (lexicographic tie-breaks)."""
+    df = spark.createDataFrame([Row(doc_id=0, text="ab cd ef")])
+    # every pair occurs once -> zero merges at the default threshold
+    assert bpe_train(df, num_merges=10).count() == 0
+    big = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)]
+    )
+    a = [tuple(r) for r in bpe_train(big, num_merges=12).orderBy("rank").collect()]
+    b = [tuple(r) for r in bpe_train(big, num_merges=12).orderBy("rank").collect()]
+    assert a == b and len(a) > 0
+
+
+def test_bpe_tokenizer_artifact_and_replay(spark, tmp_path):
+    """(a) tokenize() on the training corpus reproduces the reference
+    trainer's end-of-training symbol state per word; (b) unseen words
+    segment deterministically under the frozen merges; (c) meta is the
+    commit marker (crash discipline)."""
+    import shutil
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)])
+    path = str(tmp_path / "bpe")
+    tok = BpeTokenizer.fit(df, path, num_merges=20)
+
+    _, ref_words, _ = _ref_bpe(CORPUS, 20)
+    got = {
+        r.doc_id: r.tokens.split(" ")
+        for r in tok.tokenize(df).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        want = [s for w in t.split() for s in ref_words[w]]
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+    novel = spark.createDataFrame([Row(doc_id=99, text="lowly newfangled")])
+    n1 = tok.tokenize(novel).collect()[0]
+    n2 = BpeTokenizer.load(spark, path).tokenize(novel).collect()[0]
+    assert (n1.n_tokens, n1.tokens) == (n2.n_tokens, n2.tokens)
+    assert n1.tokens.endswith(END_OF_WORD)
+
+    shutil.rmtree(tok._meta_path)
+    assert not BpeTokenizer(spark, path).exists()
+    with pytest.raises(FileNotFoundError):
+        BpeTokenizer.load(spark, path)
+
+
+def test_bpe_merge_fold_overlap_semantics(spark):
+    """The JVM fold implements greedy left-to-right NON-overlapping
+    replacement: (a,a) over 'aaaa' gives 'aa aa', over 'aaa' gives
+    'aa a' (never the overlapping 'a aa' / 'aaa')."""
+    from dataeng_azure_spotify_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame(
+        [(list("aaaa"),), (list("aaa"),), (list("aba"),)], "syms array<string>"
+    )
+    got = [
+        r.m
+        for r in df.select(
+            _merge_fold(F.col("syms"), "a", "a", "aa").alias("m")
+        ).collect()
+    ]
+    assert got == [["aa", "aa"], ["aa", "a"], ["a", "b", "a"]]
