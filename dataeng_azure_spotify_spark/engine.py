@@ -39,7 +39,9 @@ from .observability import RunLog
 from .operators import analytics as _analytics
 from .operators import asof as _asof
 from .operators import cluster_index as _cluster_index
+from .operators import bpe as _bpe
 from .operators import curation as _curation
+from .operators import quality_nb as _quality_nb
 from .operators import dedup as _dedup
 from .operators import graph as _graph
 from .operators import ivm as _ivm
@@ -128,6 +130,7 @@ class Engine:
             fingerprint=_text.fingerprint,
             kgram_fingerprints=_text.kgram_fingerprints,
             gopher_quality=_text.gopher_quality,
+            gopher_pass=_text.gopher_pass_col,
             compression_ratio=_text.compression_ratio,
             stats=_text.text_stats,
             sentences=_sentences.split_sentences,
@@ -153,6 +156,11 @@ class Engine:
             dsir_select=_curation.dsir_select,
             dsir_model=_curation.DsirModel,
             dsir_admitter=_curation.DsirAdmitter,
+            nb_quality=_quality_nb.nb_quality_train_score,
+            nb_quality_model=_quality_nb.NbQualityModel,
+            nb_quality_admitter=_quality_nb.NbQualityAdmitter,
+            bpe_train=_bpe.bpe_train,
+            bpe_tokenizer=_bpe.BpeTokenizer,
             heavy_hitters=_sketch.heavy_hitters,
             profile=_profile.profile_table,
         )

@@ -263,8 +263,14 @@ class BpeTokenizer:
                 return got
 
             for pdf in batch_iter:
+                # None/NaN text -> no tokens (the tokens_col convention
+                # the trainer uses), NOT str(None)
                 toks = [
-                    [s for w in str(t).split() for s in word_syms(w)]
+                    [
+                        s
+                        for w in (t.split() if isinstance(t, str) else [])
+                        for s in word_syms(w)
+                    ]
                     for t in pdf["__text"]
                 ]
                 yield pd.DataFrame(

@@ -1079,6 +1079,18 @@ class SemanticDedupIndex:
         it re-prunes — unless a :meth:`remove`-style retraction freed
         it)."""
         self._check_version()
+        import re
+
+        # run_id becomes a partition DIRECTORY name; restrict it to
+        # characters Spark never escapes so that remove()'s
+        # emptied-partition delete (a literal path construction) can
+        # always find the directory it targets
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
+            raise ValueError(
+                "SemanticDedupIndex.admit_batch: run_id must be "
+                "non-empty [A-Za-z0-9._-]+ (it names a partition "
+                f"directory); got {run_id!r}"
+            )
         meta = self.meta
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         thr = float(meta["threshold"])
@@ -1186,6 +1198,79 @@ class SemanticDedupIndex:
         return batch_new.join(
             new_keepers.select(F.col("vid").alias(id_col)), id_col
         )
+
+    # -- retraction -----------------------------------------------------
+    def remove(self, ids: DataFrame) -> list[int]:
+        """Retract stored keepers (right-to-be-forgotten): rewrite only
+        the ``(cid, run)`` partitions that hold the ids — the
+        IvfIndex.remove discipline (emptied partitions deleted FIRST,
+        idempotent from any intermediate state; partially-touched
+        partitions dynamic-overwrite). Returns the touched cluster ids
+        (empty = none of the ids were stored keepers).
+
+        Contract — deliberately WEAKER than ``NearDupLabels.remove``'s
+        re-convergence: documents this keeper pruned were never stored
+        (SemDeDup keeps no pruned set), so there is nothing to
+        re-converge — the removed doc's data is gone from the artifact,
+        and a formerly-pruned twin RESUBMITTED through
+        :meth:`admit_batch` now re-evaluates against the surviving
+        keepers (it may be admitted — the freed-slot behavior the
+        admit_batch docstring promises). Centroids are untouched: they
+        are a frozen partition of the space, not per-doc state."""
+        import os
+        import shutil
+
+        self._check_version()
+        rm = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("vid"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        keep = self.keepers()
+        hit = (
+            keep.join(F.broadcast(rm), "vid", "semi")
+            .groupBy("cid", "run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rm"))
+        )
+        sizes = (
+            keep.groupBy("cid", "run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .join(hit, ["cid", "run"])
+        )
+        touched = {
+            (int(r["cid"]), str(r["run"])): (int(r["n"]), int(r["n_rm"]))
+            for r in sizes.toLocalIterator()  # O(touched partitions)
+        }
+        if not touched:
+            return []
+        emptied = sorted(k for k, (n, n_rm) in touched.items() if n == n_rm)
+        partial = sorted(k for k, (n, n_rm) in touched.items() if n > n_rm)
+        # emptied partitions first: dynamic overwrite never touches a
+        # partition absent from the written data (the r7 lesson), and
+        # deleting them up front keeps every intermediate crash state
+        # replay-convergent
+        for c, r in emptied:
+            d = os.path.join(self._keepers_path, f"cid={c}", f"run={r}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        if partial:
+            want = [f"{c}§{r}" for c, r in partial]
+            key = F.concat_ws("§", F.col("cid"), F.col("run"))
+            remaining = (
+                self.keepers()
+                .filter(key.isin(want))  # only truly-touched partitions
+                .join(F.broadcast(rm), "vid", "anti")
+                # the rewrite reads the very files it replaces —
+                # materialize first (the rebalance discipline)
+                .localCheckpoint(eager=True)
+            )
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cid", "run")
+                .parquet(self._keepers_path)
+            )
+        return sorted({c for c, _ in touched})
 
 
 class IncrementalSemanticDedup:

@@ -106,11 +106,20 @@ def test_bpe_tokenizer_artifact_and_replay(spark, tmp_path):
         want = [s for w in t.split() for s in ref_words[w]]
         assert got[i] == want, f"doc {i}: {got[i]} != {want}"
 
-    novel = spark.createDataFrame([Row(doc_id=99, text="lowly newfangled")])
-    n1 = tok.tokenize(novel).collect()[0]
-    n2 = BpeTokenizer.load(spark, path).tokenize(novel).collect()[0]
-    assert (n1.n_tokens, n1.tokens) == (n2.n_tokens, n2.tokens)
+    novel = spark.createDataFrame(
+        [(99, "lowly newfangled"), (100, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in tok.tokenize(novel).collect()}
+    n2 = {
+        r.doc_id: r
+        for r in BpeTokenizer.load(spark, path).tokenize(novel).collect()
+    }
+    n1 = rows[99]
+    assert (n1.n_tokens, n1.tokens) == (n2[99].n_tokens, n2[99].tokens)
     assert n1.tokens.endswith(END_OF_WORD)
+    # NULL text segments to zero tokens (the trainer's tokens_col
+    # convention), never the literal "None"
+    assert rows[100].n_tokens == 0 and rows[100].tokens == ""
 
     shutil.rmtree(tok._meta_path)
     assert not BpeTokenizer(spark, path).exists()

@@ -1982,3 +1982,67 @@ def test_nb_quality_model_artifact_and_admission(spark, tmp_path):
         for r in model.score(df).filter(F.col("score_nano") > 0).collect()
     }
     assert streamed == batch == set(range(12))
+
+
+def test_semantic_index_remove_retracts_and_frees(spark, tmp_path):
+    """SemanticDedupIndex.remove (right-to-be-forgotten for the
+    semantic tier): (a) removed keepers leave the store; (b) a twin the
+    removed keeper previously pruned is ADMITTED on resubmission under
+    a new run (the freed-slot contract); (c) removing every keeper of a
+    partition deletes the partition directory (no stale files — the
+    dynamic-overwrite gap); (d) unknown ids are a no-op returning [];
+    (e) a filesystem-unsafe run_id is refused up front."""
+    import os
+
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        SemanticDedupIndex,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "semrm")
+    idx = SemanticDedupIndex.build(base, path, threshold=0.9, k=2, iters=1)
+
+    # twin of keeper 1 prunes under the live keeper
+    twin = spark.createDataFrame(
+        [(10, [0.999, 0.001, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert idx.admit_batch(twin, run_id="e0").count() == 0
+
+    # (e) unsafe run_id refused before any state is touched
+    with _pytest.raises(ValueError, match="run_id"):
+        idx.admit_batch(twin, run_id="bad run/id")
+
+    # (d) unknown ids: no-op
+    ghost = spark.createDataFrame([(777,)], "vec_id long")
+    assert idx.remove(ghost) == []
+
+    # (a)+(b) remove keeper 1 -> twin resubmits under a NEW run and is
+    # admitted against the surviving keepers
+    assert idx.remove(spark.createDataFrame([(1,)], "vec_id long")) != []
+    assert 1 not in {r.vid for r in idx.keepers().collect()}
+    assert {r.vec_id for r in idx.admit_batch(twin, run_id="e1").collect()} == {
+        10
+    }
+
+    # (c) removing the remaining build keepers empties their build-run
+    # partitions on disk
+    idx.remove(spark.createDataFrame([(2,), (3,)], "vec_id long"))
+    stored = {r.vid for r in idx.keepers().collect()}
+    assert stored == {10}  # only the e1 admission survives
+    kdir = idx._keepers_path
+    leftover_build = [
+        os.path.join(r, d)
+        for r, ds, _ in os.walk(kdir)
+        for d in ds
+        if d == "run=build"
+    ]
+    assert leftover_build == []
