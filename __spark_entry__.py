@@ -4382,11 +4382,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # entries in dict order. Round-8 rotation: positions 1-4 are this
+    # entries in dict order. Round-8 rotation: positions 1-5 are this
     # round's new/changed queries (dup_span_stats + substring_dup_spans
     # are the new substring-dedup tier; temperature_mix switched to the
     # general-alpha portable_pow path; ann_lsh_topk, added late-r7, has
-    # never held a driver-window slot). Positions 5-50 rotate the
+    # never held a driver-window slot; quality_nb_score is the new
+    # trained quality filter). Positions 6-50 rotate the
     # relational / TPC-H / SURVEY-2 tier back in (r6-certified, two
     # rounds stale at driver scale). Everything below 50 — the LLM /
     # streaming tier driver-certified in r7 plus the relational

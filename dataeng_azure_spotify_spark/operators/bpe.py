@@ -65,9 +65,14 @@ MERGES_SCHEMA = (
 
 def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) — the corpus→vocabulary reduction (one scan, one
-    shuffle); empty/whitespace-only docs contribute nothing."""
+    shuffle). Empty-string tokens are dropped: ``tokens_col`` trims
+    only ASCII spaces before its ``\\s+`` split, so text with a
+    leading/trailing newline/tab yields '' entries — without the
+    filter, pairs like ('', '</w>') occur ~once per document and junk
+    merges win top ranks of the budget (review r8, reproduced)."""
     return (
         df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
@@ -221,6 +226,15 @@ class BpeTokenizer:
             self._merges_path
         )
 
+    def _meta(self):
+        if getattr(self, "_meta_row", None) is None:
+            self._meta_row = (
+                self.spark.read.schema("num_merges int, text_col string")
+                .parquet(self._meta_path)
+                .first()
+            )
+        return self._meta_row
+
     def _merge_list(self) -> list[tuple[str, str]]:
         if getattr(self, "_ml", None) is None:
             rows = self.merges().orderBy("rank").collect()  # O(num_merges)
@@ -228,23 +242,37 @@ class BpeTokenizer:
         return self._ml
 
     def tokenize(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        text_col: str | None = None,
+        id_col: str = "doc_id",
     ) -> DataFrame:
         """(id_col, n_tokens, tokens) — BPE segmentation of every
         document under the frozen merge table; ``tokens`` is the
         space-joined symbol string (symbols never contain spaces —
         words are whitespace-split — so the join is lossless).
+        ``text_col`` defaults to the column the merges were FIT on
+        (persisted meta — the NbQualityModel contract); pass it only
+        to tokenize a different column deliberately.
 
         mapInPandas replay: the merge list rides the closure (≤
         num_merges pairs); each batch memoizes segmentation per
         DISTINCT word, so the sequential replay cost is per-vocabulary,
-        not per-token. Deterministic, stateless, streaming-safe."""
+        not per-token. Deterministic, stateless, streaming-safe.
+        Word splitting matches the trainer's ``tokens_col`` exactly:
+        ASCII-``\\s+`` with empties dropped (Java ``\\s`` does not
+        match NBSP and friends — Python's Unicode-aware ``str.split``
+        would segment such words differently than they were trained)."""
+        text_col = text_col or self._meta().text_col
         ml = self._merge_list()
         eow = END_OF_WORD
 
         def seg(batch_iter):
+            import re
+
             import pandas as pd
 
+            split_ws = re.compile(r"\s+", re.ASCII)
             cache: dict[str, list[str]] = {}
 
             def word_syms(w: str) -> list[str]:
@@ -268,7 +296,10 @@ class BpeTokenizer:
                 toks = [
                     [
                         s
-                        for w in (t.split() if isinstance(t, str) else [])
+                        for w in (
+                            split_ws.split(t) if isinstance(t, str) else []
+                        )
+                        if w
                         for s in word_syms(w)
                     ]
                     for t in pdf["__text"]

@@ -146,6 +146,53 @@ def _nb_score_counts(
     )
 
 
+def _nb_fit_tables(
+    df: DataFrame,
+    label: F.Column,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    caller: str,
+):
+    """Shared fit path for the one-shot and persisted forms (so the
+    guard and featurization can never diverge): labeled per-doc bucket
+    counts (checkpointed — one corpus scan), weight + constant tables,
+    and the degenerate-fit guard.
+
+    The guard inspects the DISTINCT label values among TOKENFUL docs
+    (≤3 rows collected): a NULL label is refused — NULL rows would
+    count toward NEITHER class yet still be scored, and a {true, null}
+    labeling would otherwise slip past a 2-distinct-values check with
+    a zero class count feeding portable_ln(0) garbage (review r8,
+    reproduced); a one-class corpus is refused because every weight
+    degenerates; a class whose only members are tokenless counts as
+    absent."""
+    B = int(buckets)
+    labeled = df.withColumn("__hq", label)
+    counts_lab = (
+        _dsir_bucket_counts(labeled, id_col, text_col, B, carry=("__hq",))
+        .withColumnRenamed("__hq", "hq")
+        .localCheckpoint(eager=False)
+    )
+    seen = {
+        r["hq"] for r in counts_lab.select("hq").distinct().limit(3).collect()
+    }
+    if None in seen:
+        raise ValueError(
+            f"{caller}: the label column is NULL for some tokenful "
+            "documents — a NULL label belongs to neither class but "
+            "would still be scored; make the label total "
+            "(e.g. coalesce it) before fitting"
+        )
+    if len(seen) < 2:
+        raise ValueError(
+            f"{caller}: need at least one TOKENFUL document of each "
+            "class — a one-class fit makes every weight degenerate"
+        )
+    w, consts = _nb_weight_tables(counts_lab, B)
+    return counts_lab, w, consts
+
+
 def nb_quality_train_score(
     df: DataFrame,
     label: F.Column,
@@ -168,27 +215,12 @@ def nb_quality_train_score(
     Raises if either class has no documents — a one-class fit makes
     every weight degenerate and is never what the caller meant.
     """
-    B = int(buckets)
     # the label rides the featurization as a carried column (it is a
     # pure function of the document row), so fit + in-corpus score is
     # ONE corpus scan and ONE shuffle — no corpus-sized label join
-    labeled = df.withColumn("__hq", label)
-    counts_lab = (
-        _dsir_bucket_counts(labeled, id_col, text_col, B, carry=("__hq",))
-        .withColumnRenamed("__hq", "hq")
-        .localCheckpoint(eager=False)
+    counts_lab, w, consts = _nb_fit_tables(
+        df, label, id_col, text_col, buckets, "nb_quality_train_score"
     )
-    w, consts = _nb_weight_tables(counts_lab, B)
-    # the check must run over TOKENFUL docs (counts_lab): a class whose
-    # only members are tokenless contributes no grams, and
-    # portable_ln(0) on its zero doc count is garbage, not NULL
-    n_classes = counts_lab.select("hq").distinct().limit(2).count()
-    if n_classes < 2:
-        raise ValueError(
-            "nb_quality_train_score: need at least one TOKENFUL "
-            "document of each class — a one-class fit makes every "
-            "weight degenerate"
-        )
     return _nb_score_counts(counts_lab, w, consts, carry=("hq",)).select(
         F.col("doc").alias(id_col),
         "n_grams",
@@ -227,24 +259,9 @@ class NbQualityModel:
 
         B = int(buckets)
         spark = df.sparkSession
-        labeled = df.withColumn("__hq", label)
-        counts_lab = (
-            _dsir_bucket_counts(
-                labeled, id_col, text_col, B, carry=("__hq",)
-            )
-            .withColumnRenamed("__hq", "hq")
-            .localCheckpoint(eager=False)
+        _, w, consts = _nb_fit_tables(
+            df, label, id_col, text_col, B, "NbQualityModel.fit"
         )
-        w, consts = _nb_weight_tables(counts_lab, B)
-        # tokenful-docs class check (portable_ln(0) on an absent
-        # class's zero doc count is garbage, not NULL — see
-        # nb_quality_train_score)
-        if counts_lab.select("hq").distinct().limit(2).count() < 2:
-            raise ValueError(
-                "NbQualityModel.fit: need at least one TOKENFUL "
-                "document of each class — a one-class or empty fit "
-                "makes every weight degenerate"
-            )
         row = consts.first()
         model = cls(spark, path)
         # refit crash discipline (DsirModel): delete the commit marker

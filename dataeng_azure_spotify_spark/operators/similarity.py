@@ -1253,6 +1253,21 @@ class SemanticDedupIndex:
             d = os.path.join(self._keepers_path, f"cid={c}", f"run={r}")
             if os.path.exists(d):
                 shutil.rmtree(d)
+            else:
+                # within one call a touched partition's rows were just
+                # read, so its directory must exist — unless the run
+                # value needs Hive escaping (a legacy artifact written
+                # before admit_batch validated run_id). Silently
+                # skipping would leave the retracted keepers on disk
+                # while reporting success.
+                raise ValueError(
+                    "SemanticDedupIndex.remove: keeper partition "
+                    f"cid={c}/run={r!r} exists in the data but not at "
+                    "its literal directory path — the run value needs "
+                    "partition-name escaping (written before run_id "
+                    "validation). Rebuild the index, or rename the "
+                    "run partition, then retry"
+                )
         if partial:
             want = [f"{c}§{r}" for c, r in partial]
             key = F.concat_ws("§", F.col("cid"), F.col("run"))

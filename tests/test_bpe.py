@@ -143,3 +143,30 @@ def test_bpe_merge_fold_overlap_semantics(spark):
         ).collect()
     ]
     assert got == [["aa", "aa"], ["aa", "a"], ["a", "b", "a"]]
+
+
+def test_bpe_whitespace_edge_semantics(spark, tmp_path):
+    """(a) text with leading/trailing newlines/tabs (which tokens_col's
+    ASCII trim does not strip) trains NO merges involving the empty
+    string; (b) tokenize splits words exactly like the trainer — ASCII
+    whitespace only, so an NBSP-joined word stays one word on both
+    sides; (c) a loaded tokenizer defaults to the text column it was
+    fit on (persisted meta)."""
+    texts = ["low low low\n", "\tlow lower\n", "low joined low joined"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, body string"
+    )
+    path = str(tmp_path / "bpe_ws")
+    tok = BpeTokenizer.fit(df, path, num_merges=10, text_col="body")
+    merges = tok.merges().collect()
+    assert merges, "expected at least one merge"
+    assert all(r["left"] != "" and r["right"] != "" for r in merges)
+
+    # (b)+(c): tokenize picks up text_col='body' from meta; the NBSP
+    # word is segmented as ONE trained word (char-split + </w>), not two
+    out = {r.doc_id: r for r in BpeTokenizer.load(spark, path).tokenize(df).collect()}
+    nb = out[2].tokens.split(" ")
+    # 'low joined' was a training word: its symbols contain the
+    # NBSP inside, and the word count is 2 (not 4)
+    assert sum(1 for s in nb if s.endswith(END_OF_WORD) or s == END_OF_WORD) >= 1
+    assert " " in out[2].tokens

@@ -2046,3 +2046,26 @@ def test_semantic_index_remove_retracts_and_frees(spark, tmp_path):
         if d == "run=build"
     ]
     assert leftover_build == []
+
+
+def test_nb_quality_null_label_refused(spark):
+    """A label column that is NULL for some tokenful docs is refused up
+    front: NULL rows would count toward neither class yet still be
+    scored, and a {true, null} labeling previously slipped past the
+    two-distinct-values check into portable_ln(0) garbage (review r8)."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark.operators.quality_nb import (
+        NbQualityModel,
+        nb_quality_train_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    half_null = F.when(F.col("doc_id") == 1, F.lit(True))  # else NULL
+    with _pytest.raises(ValueError, match="NULL"):
+        nb_quality_train_score(df, half_null, buckets=64).collect()
+    with _pytest.raises(ValueError, match="NULL"):
+        NbQualityModel.fit(df, half_null, "/tmp/nbq_never_written", buckets=64)
