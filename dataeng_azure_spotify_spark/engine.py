@@ -42,6 +42,7 @@ from .operators import cluster_index as _cluster_index
 from .operators import bpe as _bpe
 from .operators import curation as _curation
 from .operators import quality_nb as _quality_nb
+from .operators import substring as _substring
 from .operators import dedup as _dedup
 from .operators import graph as _graph
 from .operators import ivm as _ivm
@@ -100,6 +101,10 @@ class Engine:
             incremental=_dedup.IncrementalDedup,
             incremental_lsh=_dedup.IncrementalLsh,
             labels_index=_cluster_index.NearDupLabels,
+            dup_spans=_substring.duplicate_spans,
+            dup_span_stats=_substring.dup_span_stats,
+            substring_index=_substring.SubstringDupIndex,
+            incremental_substring=_substring.IncrementalSubstringDedup,
         )
         self.graph = SimpleNamespace(
             components=_graph.connected_components,

@@ -104,6 +104,64 @@ def _dup_positions(
     return grams.join(dup_g, "g").select("doc", "pos")
 
 
+def _merge_positions_to_spans(dup: DataFrame, k: int) -> DataFrame:
+    """(doc, span_start, span_len, n_grams) from duplicated k-gram
+    start positions (doc, pos) — the interval-union window shared by
+    the batch operator and the incremental index (so the two can never
+    disagree on what a span is). Two starts q < q' merge when
+    q' − q ≤ k (their [q, q+k) windows overlap or touch)."""
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    wrun = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = dup.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(wdoc).isNull()
+            | (F.col("pos") - F.lag("pos").over(wdoc) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__span", F.sum("__new").over(wrun))
+    return marked.groupBy("doc", "__span").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(k) - F.min("pos")).cast("long").alias("span_len"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    )
+
+
+def _span_coverage_stats(
+    spans: DataFrame, base: DataFrame, id_col: str
+) -> DataFrame:
+    """Assemble the per-document coverage row (every doc of ``base``,
+    zeros when nothing is duplicated) from merged spans — shared by
+    :func:`dup_span_stats` and the incremental index's admission
+    decision. ``base`` must carry (id_col, n_tokens)."""
+    stats = spans.groupBy("doc").agg(
+        F.sum("n_grams").cast("long").alias("n_dup_positions"),
+        F.sum("span_len").cast("long").alias("covered_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span_len"),
+    ).withColumnRenamed("doc", id_col)
+    joined = base.join(stats, id_col, "left")
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
+    return joined.select(
+        id_col,
+        "n_tokens",
+        zero("n_dup_positions"),
+        zero("covered_tokens"),
+        zero("n_spans"),
+        zero("max_span_len"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .alias("dup_token_frac"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -126,33 +184,8 @@ def duplicate_spans(
     :func:`_dup_positions`; span merging shuffles only (doc, pos) rows
     of duplicated grams on doc id and windows within each doc."""
     dup = _dup_positions(df, text_col, id_col, k, min_count)
-    wdoc = Window.partitionBy("doc").orderBy("pos")
-    wrun = (
-        Window.partitionBy("doc")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    marked = dup.withColumn(
-        "__new",
-        F.when(
-            F.lag("pos").over(wdoc).isNull()
-            | (F.col("pos") - F.lag("pos").over(wdoc) > k),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("__span", F.sum("__new").over(wrun))
-    return (
-        marked.groupBy("doc", "__span")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k) - F.min("pos")).cast("long").alias("span_len"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-        )
-        .select(
-            F.col("doc").alias(id_col),
-            F.col("span_start").cast("long").alias("span_start"),
-            "span_len",
-            "n_grams",
-        )
+    return _merge_positions_to_spans(dup, k).select(
+        F.col("doc").alias(id_col), "span_start", "span_len", "n_grams"
     )
 
 
@@ -172,30 +205,379 @@ def dup_span_stats(
     ``covered_tokens`` is the exact size of the union of the [q, q+k)
     intervals (= Σ span_len); ``dup_token_frac`` is the IEEE division
     of the two exact counts — identical in every engine."""
-    spans = duplicate_spans(df, text_col, id_col, k, min_count)
-    stats = spans.groupBy(id_col).agg(
-        F.sum("n_grams").cast("long").alias("n_dup_positions"),
-        F.sum("span_len").cast("long").alias("covered_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.max("span_len").cast("long").alias("max_span_len"),
-    )
+    dup = _dup_positions(df, text_col, id_col, k, min_count)
+    spans = _merge_positions_to_spans(dup, k)
     base = df.select(
         F.col(id_col),
         F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
     )
-    joined = base.join(stats, id_col, "left")
-    zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
-    return joined.select(
-        id_col,
-        "n_tokens",
-        zero("n_dup_positions"),
-        zero("covered_tokens"),
-        zero("n_spans"),
-        zero("max_span_len"),
-        F.when(F.col("n_tokens") == 0, F.lit(0.0))
-        .otherwise(
-            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
-            / F.col("n_tokens").cast("double")
+    return _span_coverage_stats(spans, base, id_col)
+
+
+#: Bump when the on-disk layout changes incompatibly (the
+#: NearDupLabels/SemanticDedupIndex versioning discipline).
+SUBSTR_FORMAT_VERSION = 1
+_SUBSTR_BUILD_RUN = "build"
+_SUBSTR_GRAMS_SCHEMA = "g long, doc long, c long, bucket int, run string"
+
+
+class SubstringDupIndex:
+    """Persisted substring-dedup state — the incremental-artifact form
+    of :func:`dup_span_stats` (the NearDupLabels / IvfIndex /
+    SemanticDedupIndex pattern): per-document k-gram occurrence counts,
+    hash-bucketed, so a streaming pipeline can gate each batch on its
+    duplicated-span coverage AGAINST THE WHOLE CORPUS SO FAR without
+    re-scanning it — the boilerplate firewall for incremental ingest.
+
+    Layout under ``path``: ``grams/`` parquet (g, doc, c) partitioned
+    by ``(bucket, run)`` — bucket = g mod ``num_buckets`` first so a
+    small batch's probe partition-prunes to the buckets its grams hash
+    into; run second so a replayed epoch's write is an idempotent
+    dynamic overwrite of its own partitions — and ``meta/`` (k,
+    num_buckets, id/text cols, format_version) written LAST as the
+    commit marker.
+
+    Admission semantics: a batch k-gram is DUPLICATED when (stored
+    corpus occurrences, excluding this run's own partitions — the
+    replay discipline) + (this batch's occurrences) ≥ ``min_count``;
+    duplicated positions merge into spans with the SAME window the
+    batch operator uses (:func:`_merge_positions_to_spans` — shared
+    code, cannot drift), and a document is admitted when its
+    ``dup_token_frac`` ≤ ``max_dup_frac``. Only ADMITTED documents'
+    grams are stored (a rejected near-copy must not inflate counts).
+    Within-batch duplication counts by multiplicity, so the very first
+    batch on an empty index already self-dedups — no bootstrap special
+    case.
+
+    Scale: each admission is one gram explode of the batch + one
+    grouped count + a join against the stored totals of only the
+    TOUCHED buckets (partition-pruned read; a batch landing in 5 of
+    ``num_buckets`` buckets reads 5 directories no matter how big the
+    corpus grew), then the span window over batch positions. The
+    stored table is linear in admitted corpus tokens — it IS the
+    corpus's gram profile, the price of exact substring-level state.
+    Per-run partitions accrete like the other artifacts (compact by
+    rebuilding if run count grows unwieldy).
+    """
+
+    GRAMS = "grams"
+    META = "meta"
+
+    def __init__(self, spark, path: str) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self._grams_path = os.path.join(path, self.GRAMS)
+        self._meta_path = os.path.join(path, self.META)
+        self._meta: dict | None = None
+
+    # -- lifecycle ------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 8,
+        num_buckets: int = 64,
+    ) -> "SubstringDupIndex":
+        import os
+        import shutil
+
+        spark = corpus.sparkSession
+        idx = cls(spark, path)
+        for p in (idx._meta_path, idx._grams_path):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        idx._meta = None
+        grams = cls._doc_gram_counts(
+            corpus, id_col, text_col, k, num_buckets, _SUBSTR_BUILD_RUN
         )
-        .alias("dup_token_frac"),
-    )
+        grams.write.mode("overwrite").partitionBy("bucket", "run").parquet(
+            idx._grams_path
+        )
+        spark.createDataFrame(
+            [(int(k), int(num_buckets), id_col, text_col,
+              SUBSTR_FORMAT_VERSION)],
+            "k int, num_buckets int, id_col string, text_col string, "
+            "format_version int",
+        ).coalesce(1).write.mode("overwrite").parquet(idx._meta_path)
+        return idx
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SubstringDupIndex":
+        return cls(spark, path)
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._meta_path)
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            self._meta = (
+                self.spark.read.parquet(self._meta_path).first().asDict()
+            )
+        return self._meta
+
+    def _check_version(self) -> None:
+        ver = int(self.meta.get("format_version") or 0)
+        if ver != SUBSTR_FORMAT_VERSION:
+            direction = (
+                "rebuild the index with build() to upgrade it"
+                if ver < SUBSTR_FORMAT_VERSION
+                else "upgrade this engine; rebuilding would destroy the "
+                "newer index"
+            )
+            raise ValueError(
+                f"SubstringDupIndex at {self.path!r} has artifact format "
+                f"v{ver}; this code speaks v{SUBSTR_FORMAT_VERSION} — "
+                f"{direction}"
+            )
+
+    @staticmethod
+    def _doc_gram_counts(
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        k: int,
+        num_buckets: int,
+        run: str,
+    ) -> DataFrame:
+        """(g, doc, c, bucket, run) — per-document k-gram occurrence
+        counts of ``df`` (multiplicity preserved; docs with < k tokens
+        contribute nothing)."""
+        return (
+            kgram_position_table(df, text_col, id_col, k)
+            .groupBy("doc", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(
+                "g",
+                F.col("doc").cast("long").alias("doc"),
+                "c",
+                F.pmod(F.col("g"), F.lit(int(num_buckets)))
+                .cast("int")
+                .alias("bucket"),
+                F.lit(run).alias("run"),
+            )
+        )
+
+    def grams(self) -> DataFrame:
+        """(g, doc, c, bucket, run) — every stored gram row."""
+        import os
+
+        if not os.path.exists(self._grams_path):
+            return self.spark.createDataFrame([], _SUBSTR_GRAMS_SCHEMA)
+        return self.spark.read.schema(_SUBSTR_GRAMS_SCHEMA).parquet(
+            self._grams_path
+        )
+
+    # -- admission ------------------------------------------------------
+    def coverage(
+        self, batch: DataFrame, run_id: str, min_count: int = 2
+    ) -> DataFrame:
+        """Per-document duplicated-span coverage of ``batch`` against
+        (stored corpus so far, excluding ``run_id``'s own partitions) +
+        the batch itself — the :func:`dup_span_stats` row shape, same
+        columns, computed with the shared span machinery."""
+        self._check_version()
+        meta = self.meta
+        k, B = int(meta["k"]), int(meta["num_buckets"])
+        id_col, text_col = meta["id_col"], meta["text_col"]
+        pos = kgram_position_table(batch, text_col, id_col, k)
+        pos = pos.localCheckpoint(eager=False)  # one featurization scan
+        batch_tot = pos.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("bc")
+        )
+        touched = [
+            int(r["b"])
+            for r in batch_tot.select(
+                F.pmod(F.col("g"), F.lit(B)).alias("b")
+            )
+            .distinct()
+            .collect()  # O(min(batch grams, num_buckets))
+        ]
+        stored_tot = (
+            self.grams()
+            .filter(F.col("bucket").isin(touched))  # partition-pruned
+            .filter(F.col("run") != F.lit(run_id))  # replay discipline
+            .groupBy("g")
+            .agg(F.sum("c").cast("long").alias("sc"))
+        )
+        dup_g = (
+            batch_tot.join(stored_tot, "g", "left")
+            .na.fill({"sc": 0})
+            .filter(F.col("bc") + F.col("sc") >= F.lit(int(min_count)))
+            .select("g")
+        )
+        dup = pos.join(dup_g, "g").select("doc", "pos")
+        spans = _merge_positions_to_spans(dup, k)
+        base = batch.select(
+            F.col(id_col),
+            F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        )
+        return _span_coverage_stats(spans, base, id_col)
+
+    def admit_batch(
+        self,
+        batch: DataFrame,
+        run_id: str,
+        max_dup_frac: float = 0.5,
+        min_count: int = 2,
+    ) -> DataFrame:
+        """Admit the documents of ``batch`` whose duplicated-span
+        coverage (vs stored corpus + batch) is ≤ ``max_dup_frac``;
+        admitted documents' gram counts append to the store under
+        ``run_id``. Returns the admitted rows. Replay-deterministic
+        without a marker: the decision excludes this run's own
+        partitions, and the write is a dynamic overwrite of exactly
+        this run's ``(bucket, run)`` partitions."""
+        import re
+
+        self._check_version()
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
+            raise ValueError(
+                "SubstringDupIndex.admit_batch: run_id must be "
+                "non-empty [A-Za-z0-9._-]+ (it names a partition "
+                f"directory); got {run_id!r}"
+            )
+        meta = self.meta
+        k, B = int(meta["k"]), int(meta["num_buckets"])
+        id_col, text_col = meta["id_col"], meta["text_col"]
+        cov = self.coverage(batch, run_id, min_count=min_count)
+        keep_ids = cov.filter(
+            F.col("dup_token_frac") <= F.lit(float(max_dup_frac))
+        ).select(id_col)
+        admitted = batch.join(keep_ids, id_col, "left_semi")
+        new_grams = self._doc_gram_counts(
+            admitted, id_col, text_col, k, B, run_id
+            # the write replaces this run's own partitions, which the
+            # decision lineage may have read on a replay — materialize
+        ).localCheckpoint(eager=True)
+        (
+            new_grams.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "run")
+            .parquet(self._grams_path)
+        )
+        return admitted
+
+    # -- retraction -----------------------------------------------------
+    def remove(self, ids: DataFrame) -> int:
+        """Retract documents' gram rows (right-to-be-forgotten): one
+        2-column scan locates the ids (the IvfIndex.remove locality
+        trade — the table is bucketed by gram, not doc), then only the
+        touched ``(bucket, run)`` partitions rewrite — emptied ones
+        deleted FIRST so every intermediate crash state replays
+        convergently. Returns the number of touched partitions.
+        Future admissions simply see lower totals; a twin of a removed
+        document re-evaluates freshly (nothing to re-converge — the
+        stored state is pure counts)."""
+        import os
+        import shutil
+
+        self._check_version()
+        rm = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("doc"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        g = self.grams()
+        hit = (
+            g.join(F.broadcast(rm), "doc", "semi")
+            .groupBy("bucket", "run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rm"))
+        )
+        sizes = (
+            g.groupBy("bucket", "run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .join(hit, ["bucket", "run"])
+        )
+        touched = {
+            (int(r["bucket"]), str(r["run"])): (int(r["n"]), int(r["n_rm"]))
+            for r in sizes.toLocalIterator()  # O(touched partitions)
+        }
+        if not touched:
+            return 0
+        emptied = sorted(t for t, (n, n_rm) in touched.items() if n == n_rm)
+        partial = sorted(t for t, (n, n_rm) in touched.items() if n > n_rm)
+        for b, r in emptied:
+            d = os.path.join(self._grams_path, f"bucket={b}", f"run={r}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+            else:
+                raise ValueError(
+                    "SubstringDupIndex.remove: gram partition "
+                    f"bucket={b}/run={r!r} exists in the data but not "
+                    "at its literal directory path (a run value that "
+                    "needs partition-name escaping) — rebuild the "
+                    "index, then retry"
+                )
+        if partial:
+            want = [f"{b}§{r}" for b, r in partial]
+            key = F.concat_ws("§", F.col("bucket"), F.col("run"))
+            remaining = (
+                self.grams()
+                .filter(key.isin(want))
+                .join(F.broadcast(rm), "doc", "anti")
+                .localCheckpoint(eager=True)  # reads the files it replaces
+            )
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket", "run")
+                .parquet(self._grams_path)
+            )
+        return len(touched)
+
+
+class IncrementalSubstringDedup:
+    """Cross-run SUBSTRING-LEVEL admission over a persisted
+    :class:`SubstringDupIndex` — the fifth incremental-admission tier
+    (exact, LSH, embedding, semantic, and now duplicated-span
+    coverage): each micro-batch's documents are gated on their
+    span-duplication fraction against the whole admitted corpus so
+    far. Drops into :func:`...streaming.admission.run_admission_stream`
+    unchanged (``admit(batch, run_id=)``); the first batch bootstraps
+    the store implicitly (empty stored side — within-batch duplication
+    still gates, by multiplicity)."""
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        max_dup_frac: float = 0.5,
+        k: int = 8,
+        num_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.index = SubstringDupIndex(spark, state_dir)
+        self.state_dir = state_dir
+        self.max_dup_frac = float(max_dup_frac)
+        self.k = int(k)
+        self.num_buckets = int(num_buckets)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        if not self.index.exists():
+            # first contact: commit an EMPTY index (meta only) so the
+            # admission below is the one writing this run's partitions
+            # — a replayed first epoch then overwrites its own
+            # partitions instead of re-running build with different
+            # row attribution
+            SubstringDupIndex.build(
+                batch.limit(0),
+                self.state_dir,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                k=self.k,
+                num_buckets=self.num_buckets,
+            )
+        return self.index.admit_batch(
+            batch, run_id or "adhoc", max_dup_frac=self.max_dup_frac
+        )

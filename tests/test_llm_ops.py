@@ -2069,3 +2069,82 @@ def test_nb_quality_null_label_refused(spark):
         nb_quality_train_score(df, half_null, buckets=64).collect()
     with _pytest.raises(ValueError, match="NULL"):
         NbQualityModel.fit(df, half_null, "/tmp/nbq_never_written", buckets=64)
+
+
+def test_substring_index_incremental_admission(spark, tmp_path):
+    """SubstringDupIndex (incremental leg of the substring tier):
+    (a) an empty-store first batch self-dedups by multiplicity (the
+    boilerplate-heavy doc is rejected, clean ones admitted); (b) a
+    later batch repeating an ADMITTED doc's text is rejected against
+    the stored corpus; (c) replaying an epoch reproduces its admissions
+    exactly (own-run exclusion + idempotent dynamic overwrite);
+    (d) coverage() equals the batch dup_span_stats on the union for
+    ascending-run data; (e) remove() retracts a doc's grams so its
+    twin is afterwards admitted; (f) unsafe run_id refused."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark.operators.substring import (
+        IncrementalSubstringDedup,
+        SubstringDupIndex,
+        dup_span_stats,
+    )
+
+    W = "alpha bravo charlie delta echo foxtrot golf hotel"  # one 8-gram
+    uniq = [
+        f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h" for i in range(4)
+    ]
+    b1 = spark.createDataFrame(
+        [
+            (1, f"{W} india {W}"),       # repeats the 8-gram twice -> high frac
+            (2, uniq[0]),
+            (3, uniq[1]),
+        ],
+        "doc_id long, text string",
+    )
+    adm = IncrementalSubstringDedup(
+        spark, str(tmp_path / "ss"), max_dup_frac=0.5, k=8, num_buckets=8
+    )
+    got1 = {r.doc_id for r in adm.admit(b1, run_id="e0").collect()}
+    assert got1 == {2, 3}  # the self-repeating doc rejected
+
+    # (b) a copy of admitted doc 2's text duplicates against the store
+    b2 = spark.createDataFrame(
+        [(10, uniq[0]), (11, uniq[2])], "doc_id long, text string"
+    )
+    got2 = {r.doc_id for r in adm.admit(b2, run_id="e1").collect()}
+    assert got2 == {11}
+
+    # (c) replay of e1 reproduces its admissions exactly
+    replay = {r.doc_id for r in adm.index.admit_batch(
+        b2, "e1", max_dup_frac=0.5
+    ).collect()}
+    assert replay == got2
+    stored = {r.doc for r in adm.index.grams().select("doc").distinct().collect()}
+    assert stored == {2, 3, 11}
+
+    # (d) coverage of a fresh batch == dup_span_stats on (store ∪ batch)
+    b3 = spark.createDataFrame(
+        [(20, uniq[1]), (21, uniq[3])], "doc_id long, text string"
+    )
+    cov = {r.doc_id: r.dup_token_frac
+           for r in adm.index.coverage(b3, "e2").collect()}
+    union = b1.filter(F.col("doc_id").isin([2, 3])).union(
+        b2.filter(F.col("doc_id") == 11)
+    ).union(b3)
+    batch_stats = {r.doc_id: r.dup_token_frac
+                   for r in dup_span_stats(union, k=8).collect()
+                   if r.doc_id in (20, 21)}
+    assert cov == batch_stats
+    assert cov[20] > 0.5 and cov[21] == 0.0
+
+    # (e) remove doc 3 -> its twin (20, same uniq[1] text) is now
+    # admissible
+    assert adm.index.remove(spark.createDataFrame([(3,)], "doc_id long")) > 0
+    got3 = {r.doc_id for r in adm.index.admit_batch(
+        b3, "e2", max_dup_frac=0.5
+    ).collect()}
+    assert got3 == {20, 21}
+
+    # (f) unsafe run_id
+    with _pytest.raises(ValueError, match="run_id"):
+        adm.index.admit_batch(b3, "bad run", max_dup_frac=0.5)
