@@ -308,3 +308,21 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_quality_nb_weight_join_is_broadcast_and_label_rides_featurization(spark):
+    """The NB quality fit+score plan must (a) BROADCAST the ≤bucket-row
+    weight table (never sort-merge a corpus-sized side against it),
+    (b) carry the weak label through the featurization grouping instead
+    of joining it back — no join on the doc id anywhere in the plan
+    (the r8 one-shuffle contract), (c) keep no cartesian product."""
+    from dataeng_azure_spotify_spark.functions.text import gopher_pass_col
+    from dataeng_azure_spotify_spark.operators.quality_nb import (
+        nb_quality_train_score,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    p = _plan(nb_quality_train_score(docs, gopher_pass_col("text"), buckets=512))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 1
