@@ -913,6 +913,20 @@ _SEM_KEEPERS_SCHEMA = "vid long, vec array<float>, cid long, run string"
 _SEM_BUILD_RUN = "build"
 
 
+def _validate_run_tag(run_id: str, where: str) -> None:
+    """run tags become partition DIRECTORY names; restrict them to
+    characters Spark never escapes so that remove()'s emptied-partition
+    delete (a literal path construction) can always find the directory
+    it targets."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
+        raise ValueError(
+            f"{where}: run_id must be non-empty [A-Za-z0-9._-]+ (it "
+            f"names a partition directory); got {run_id!r}"
+        )
+
+
 class SemanticDedupIndex:
     """Persisted SemDeDup state — the fit-once / admit-many artifact
     form of :func:`semantic_dedup` (the IvfIndex / NearDupLabels /
@@ -975,10 +989,23 @@ class SemanticDedupIndex:
         threshold: float = 0.85,
         k: int = 64,
         iters: int = 2,
+        run_id: str | None = None,
     ) -> "SemanticDedupIndex":
+        """``run_id`` attributes the initial keepers to an admitting
+        run instead of the anonymous ``build`` tag. A streaming
+        bootstrap (``IncrementalSemanticDedup``) MUST pass its epoch's
+        run_id: a crash between this build and the sink commit
+        re-delivers the same epoch, and ``admit_batch`` can only
+        recognize the stored keepers as its own attempt — re-deriving
+        and re-returning the identical admitted rows — when they carry
+        its run tag. Under the old anonymous tag the replay anti-joined
+        its own keepers away and returned EMPTY, so the epoch-0
+        overwrite sink lost every admitted document."""
         import shutil
         import os
 
+        run_tag = _SEM_BUILD_RUN if run_id is None else run_id
+        _validate_run_tag(run_tag, "SemanticDedupIndex.build")
         spark = corpus.sparkSession
         idx = cls(spark, path)
         # meta (the commit marker) is deleted FIRST on rebuild: a crash
@@ -1004,7 +1031,7 @@ class SemanticDedupIndex:
                 F.col("centroid_id").alias("cid"),
             )
             .join(vecs, "vid")
-            .select("vid", "vec", "cid", F.lit(_SEM_BUILD_RUN).alias("run"))
+            .select("vid", "vec", "cid", F.lit(run_tag).alias("run"))
         )
         keepers.write.mode("overwrite").partitionBy("cid", "run").parquet(
             idx._keepers_path
@@ -1079,18 +1106,7 @@ class SemanticDedupIndex:
         it re-prunes — unless a :meth:`remove`-style retraction freed
         it)."""
         self._check_version()
-        import re
-
-        # run_id becomes a partition DIRECTORY name; restrict it to
-        # characters Spark never escapes so that remove()'s
-        # emptied-partition delete (a literal path construction) can
-        # always find the directory it targets
-        if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
-            raise ValueError(
-                "SemanticDedupIndex.admit_batch: run_id must be "
-                "non-empty [A-Za-z0-9._-]+ (it names a partition "
-                f"directory); got {run_id!r}"
-            )
+        _validate_run_tag(run_id, "SemanticDedupIndex.admit_batch")
         meta = self.meta
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         thr = float(meta["threshold"])
@@ -1322,6 +1338,14 @@ class IncrementalSemanticDedup:
         rid = run_id if run_id is not None else "adhoc"
         if not self.index.exists():
             batch = batch.localCheckpoint(eager=True)  # read by build + below
+            # bootstrap keepers MUST carry this epoch's run_id: if the
+            # stream crashes after this build but before the sink
+            # commit, the re-delivered epoch-0 goes through admit_batch
+            # (the index now exists), which recognizes same-run keepers
+            # as its own crashed attempt and re-derives the identical
+            # admitted set. Anonymous 'build'-tagged keepers would be
+            # anti-joined away and the replay would admit NOTHING —
+            # losing every epoch-0 document through the overwrite sink.
             idx = SemanticDedupIndex.build(
                 batch,
                 self.state_dir,
@@ -1330,6 +1354,7 @@ class IncrementalSemanticDedup:
                 threshold=self.threshold,
                 k=self.k,
                 iters=self.iters,
+                run_id=rid,
             )
             kept = idx.keepers().select(F.col("vid").alias(self.id_col))
             return batch.join(kept, self.id_col)

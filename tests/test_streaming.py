@@ -782,3 +782,23 @@ def test_semantic_admission_stream_with_replay(spark, tmp_path):
     )
     assert {r.vec_id for r in replay.collect()} == {11}
     assert admitter.index.keepers().count() == n_keep
+
+    # crash-replay of epoch 0 — the BOOTSTRAP epoch (crash after the
+    # index build but before the sink commit): the re-delivered batch
+    # goes through admit_batch (index exists now), must recognize the
+    # build's keepers as its own attempt via the shared run_id, and
+    # re-return the identical admitted rows. Under the old anonymous
+    # 'build' run tag this returned EMPTY and the overwrite sink lost
+    # every epoch-0 document.
+    replay0 = admitter.admit(
+        spark.createDataFrame(b1, schema), run_id=f"{ns}-epoch-0"
+    )
+    assert {r.vec_id for r in replay0.collect()} == {1, 3}
+    assert admitter.index.keepers().count() == n_keep
+    # keeper attribution survives the replay: epoch-0 keepers carry the
+    # epoch's run tag, not 'build'
+    runs = {
+        r["run"]
+        for r in admitter.index.keepers().select("run").distinct().collect()
+    }
+    assert runs == {f"{ns}-epoch-0", f"{ns}-epoch-1"}
