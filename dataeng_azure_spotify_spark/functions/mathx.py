@@ -95,8 +95,13 @@ def portable_exp(x: Column) -> Column:
     the DuckDB twin is ``duck_portable_exp_sql`` in ``__spark_entry__``
     (edit together — pinned by ``test_portable_pow_cross_engine_exact``).
     Truncation ≈ 2e-21 relative. Domain: |x| ≤ 40 (|n| ≤ 58, so the
-    2ⁿ shift never overflows a LONG); callers outside that range get a
-    silently wrong sign from the shift — keep inputs bounded.
+    2ⁿ shift never overflows a LONG). Out-of-domain inputs FAIL LOUDLY
+    (``raise_error`` at |n| > 58, where the shift would wrap to a
+    silently wrong-signed result); the guard sits on ``n`` — one extra
+    branch over an already-materialized small subtree — rather than on
+    ``x``, whose subtree the exp tree replicates ~20×, so it adds no
+    Catalyst planning weight (the ``portable_pow`` staging hazard,
+    see that docstring).
     """
     n = F.floor(x * F.lit(INV_LN2) + F.lit(0.5)).cast("int")
     nd = n.cast("double")
@@ -110,10 +115,26 @@ def portable_exp(x: Column) -> Column:
     shift_pos = F.greatest(n, F.lit(0))
     shift_neg = F.greatest(-n, F.lit(0))
     one = F.lit(1).cast("long")
-    two_n = F.when(
-        n >= 0, F.call_function("shiftleft", one, shift_pos).cast("double")
-    ).otherwise(
-        F.lit(1.0) / F.call_function("shiftleft", one, shift_neg).cast("double")
+    two_n = (
+        F.when(
+            F.abs(n) > F.lit(58),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "portable_exp: |x| > 40 is outside the exact "
+                        "domain (the 2^n long shift would wrap); got x="
+                    ),
+                    x.cast("string"),
+                )
+            ).cast("double"),
+        )
+        .when(
+            n >= 0, F.call_function("shiftleft", one, shift_pos).cast("double")
+        )
+        .otherwise(
+            F.lit(1.0)
+            / F.call_function("shiftleft", one, shift_neg).cast("double")
+        )
     )
     return two_n * exp_r
 

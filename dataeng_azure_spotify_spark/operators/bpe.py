@@ -52,6 +52,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataeng_azure_spotify_spark.functions.text import tokens_col
+from dataeng_azure_spotify_spark.operators.similarity import (
+    _require_integral_id,
+)
 
 #: End-of-word sentinel appended to every word's symbol sequence so
 #: word-final merges stay distinct from word-internal ones (Sennrich's
@@ -263,6 +266,10 @@ class BpeTokenizer:
         ASCII-``\\s+`` with empties dropped (Java ``\\s`` does not
         match NBSP and friends — Python's Unicode-aware ``str.split``
         would segment such words differently than they were trained)."""
+        # the mapInPandas output schema pins '__id long'; a non-integral
+        # id would fail deep inside Arrow conversion (or mis-coerce) —
+        # fail fast like the other persisted-artifact paths
+        _require_integral_id(df, id_col, "BpeTokenizer.tokenize")
         text_col = text_col or self._meta().text_col
         ml = self._merge_list()
         eow = END_OF_WORD

@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, Window
@@ -32,7 +33,6 @@ from pyspark.sql import functions as F
 from dataeng_azure_spotify_spark.functions.mathx import (
     portable_exp,
     portable_ln,
-    portable_pow,
 )
 from dataeng_azure_spotify_spark.functions.text import (
     bpe_ish_token_count,
@@ -993,6 +993,44 @@ class DsirAdmitter:
         return batch.join(keep.select(m.id_col), m.id_col, "semi")
 
 
+def nano_quota_limit(alpha: float) -> int:
+    """Largest per-source count whose nano-unit weight
+    ``floor(c^alpha·1e9 + ½)`` is guaranteed to fit a BIGINT with
+    headroom: ``c ≤ exp(ln(2^62/1e9)/alpha) ≈ exp(22.25/alpha)``.
+    Past it Spark's long arithmetic wraps silently while DuckDB
+    errors (divergent failure modes), and ``alpha·ln c`` leaves
+    ``portable_exp``'s exact domain."""
+    return min(
+        int(math.exp((62 * math.log(2.0) - math.log(1e9)) / alpha)),
+        2**62,
+    )
+
+
+def _guard_nano_quota(counts: DataFrame, alpha: float) -> DataFrame:
+    """Fail LOUDLY, per source, when a (src, c_s) count row exceeds
+    :func:`nano_quota_limit` — before quantization can wrap. The
+    alpha=1.0 path wraps at c_s·1e9 > 2^63 and alpha=0.5 cannot wrap
+    (sqrt(2^63)·1e9 < 2^63), but all paths share the guard for one
+    uniform documented bound."""
+    c_lim = nano_quota_limit(alpha)
+    return counts.withColumn(
+        "c_s",
+        F.when(
+            F.col("c_s") > F.lit(c_lim),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"temperature_mix: source count exceeds {c_lim} "
+                        f"(the BIGINT nano-quota bound at alpha={alpha}); "
+                        "pre-aggregate or shard the source: "
+                    ),
+                    F.col("src").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("c_s")),
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     total_n: int,
@@ -1040,8 +1078,11 @@ def temperature_mix(
             "down-samples small sources (never the rebalance intent) "
             "and pushes portable_pow outside its exactness domain"
         )
-    counts = df.groupBy(F.col(source_col).alias("src")).agg(
-        F.count(F.lit(1)).cast("long").alias("c_s")
+    counts = _guard_nano_quota(
+        df.groupBy(F.col(source_col).alias("src")).agg(
+            F.count(F.lit(1)).cast("long").alias("c_s")
+        ),
+        alpha,
     )
     if alpha == 1.0:
         wq = F.col("c_s") * F.lit(1_000_000_000)

@@ -1408,6 +1408,89 @@ def test_portable_pow_cross_engine_exact(spark):
     assert (np.abs(se - truth) / truth).max() < 1e-15
 
 
+def test_portable_exp_out_of_domain_raises(spark):
+    """|x| > 40 would wrap the 2^n long shift into a silently
+    wrong-signed result; since r9 the expression raises instead
+    (guarded at |n| > 58, the actual wrap point). In-domain values up
+    to the bound still evaluate."""
+    import pytest
+
+    from dataeng_azure_spotify_spark.functions.mathx import portable_exp
+
+    df = spark.range(1)
+    # boundary: |x| = 40 -> n = 58, still exact
+    ok = df.select(
+        portable_exp(F.lit(40.0)).alias("hi"),
+        portable_exp(F.lit(-40.0)).alias("lo"),
+    ).collect()[0]
+    assert ok.hi > 1e17 and 0.0 < ok.lo < 1e-17
+    for bad in (41.0, -41.0, 700.0):
+        with pytest.raises(Exception, match="portable_exp"):
+            df.select(portable_exp(F.lit(bad)).alias("e")).collect()
+
+
+def test_temperature_mix_nano_quota_guard(spark):
+    """A per-source count past nano_quota_limit(alpha) would overflow
+    the BIGINT nano-unit weight (Spark wraps silently, DuckDB errors —
+    divergent failure modes); the guard raises loudly per source and
+    names it. In-bound counts pass through unchanged."""
+    import pytest
+
+    from dataeng_azure_spotify_spark.operators.curation import (
+        _guard_nano_quota,
+        nano_quota_limit,
+    )
+
+    lim = nano_quota_limit(0.7)
+    assert 0 < lim < 2**62
+    counts = spark.createDataFrame(
+        [("web", lim), ("books", 10)], "src string, c_s long"
+    )
+    got = {
+        r.src: r.c_s for r in _guard_nano_quota(counts, 0.7).collect()
+    }
+    assert got == {"web": lim, "books": 10}
+    over = spark.createDataFrame(
+        [("web", lim + 1), ("books", 10)], "src string, c_s long"
+    )
+    with pytest.raises(Exception, match="nano-quota"):
+        _guard_nano_quota(over, 0.7).collect()
+    # alpha=1.0's limit is the strict 2^62/1e9-headroom bound, well
+    # under the naive 2^63/1e9 wrap point
+    assert nano_quota_limit(1.0) < (2**63) // 10**9
+
+
+def test_operators_never_inline_portable_pow():
+    """Lint-pin for the portable_pow planning hazard (mathx.py
+    docstring): the composed exp(alpha*ln(c)) Column tree inlines the
+    ~250-node ln subtree into every one of the exp tree's references —
+    measured ~5s of driver-side planning PER action. Operators must
+    STAGE the ln leg into its own projection (temperature_mix's
+    idiom); only mathx.py itself (the definition) and tests may call
+    portable_pow directly."""
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "dataeng_azure_spotify_spark"
+    )
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        if py.name == "mathx.py":
+            continue
+        src = py.read_text()
+        for i, line in enumerate(src.splitlines(), 1):
+            if "portable_pow(" in line and not line.lstrip().startswith(
+                "#"
+            ):
+                offenders.append(f"{py}:{i}: {line.strip()}")
+    assert not offenders, (
+        "portable_pow() called outside mathx.py — stage the ln leg "
+        "into its own projection instead (planning hazard):\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_dsir_select_semantics(spark):
     """DSIR selection prefers target-like documents: with a target
     subcorpus speaking a marker vocabulary, the top-k is exactly the
