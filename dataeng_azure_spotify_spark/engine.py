@@ -73,6 +73,9 @@ class Engine:
     def __init__(self, spark: SparkSession, data_dir: str | None = None) -> None:
         self.spark = spark
         self.catalog = Catalog(spark, data_dir)
+        #: name -> persisted artifact registered for unified retraction
+        #: (see :meth:`register_artifact` / :meth:`remove_document`)
+        self.artifacts: dict[str, object] = {}
 
         self.relational = SimpleNamespace(
             drop_columns=_relational.drop_columns,
@@ -260,3 +263,80 @@ class Engine:
     def run_log(self, path: str) -> RunLog:
         """Append-only run log (observability surface)."""
         return RunLog(self.spark, path)
+
+    # -- unified retraction over persisted artifacts --------------------
+    def register_artifact(self, artifact, name: str | None = None) -> str:
+        """Register a persisted artifact (NearDupLabels, IvfIndex,
+        SemanticDedupIndex, SubstringDupIndex, or anything exposing a
+        ``remove(ids[, run_id])`` method) for unified retraction via
+        :meth:`remove_document`. Returns the registry name (default
+        ``ClassName:path``). Registering a second artifact under an
+        existing name raises — a silent replace would drop one
+        artifact from every future GDPR fan-out."""
+        rm = getattr(artifact, "remove", None)
+        if not callable(rm):
+            raise TypeError(
+                "register_artifact: artifact has no callable remove() — "
+                f"got {type(artifact).__name__}"
+            )
+        if name is None:
+            path = getattr(artifact, "path", None)
+            name = type(artifact).__name__ + (f":{path}" if path else "")
+        if name in self.artifacts:
+            raise ValueError(
+                f"register_artifact: {name!r} is already registered; "
+                "pass an explicit name to keep both"
+            )
+        self.artifacts[name] = artifact
+        return name
+
+    def remove_document(
+        self, ids, run_id: str | None = None
+    ) -> dict[str, dict]:
+        """Retract documents from EVERY registered artifact in one call
+        — the API a right-to-be-forgotten pipeline actually invokes.
+        ``ids`` is a DataFrame whose first column is the doc/vector id,
+        or a plain iterable of ints. Returns ``{artifact_name:
+        {"class": ..., "result": <that artifact's remove() return>}}``
+        so the caller can log per-artifact evidence.
+
+        ``run_id`` is REQUIRED when any registered artifact's
+        ``remove`` takes one (NearDupLabels — its exactly-once
+        committed-replay contract needs the caller's ledger id;
+        synthesizing one here would make a re-invoked crashed fan-out
+        look like a fresh request). Artifacts whose ``remove`` is
+        signature-less stay idempotent by construction and ignore it.
+        The fan-out itself is resumable for the same reason: re-calling
+        with the same ids and run_id is a no-op on every artifact
+        (committed-replay for NearDupLabels, already-gone rows for the
+        rest), so a crash between artifacts is retried by re-invoking.
+        """
+        import inspect
+
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long"
+            )
+        takers = {
+            name: "run_id"
+            in inspect.signature(art.remove).parameters
+            for name, art in self.artifacts.items()
+        }
+        if run_id is None and any(takers.values()):
+            need = sorted(n for n, t in takers.items() if t)
+            raise ValueError(
+                "remove_document: run_id is required — registered "
+                f"artifact(s) {need} use it for exactly-once replay "
+                "attribution"
+            )
+        # materialize once: every artifact's remove re-reads the id set
+        ids = ids.localCheckpoint(eager=True)
+        out: dict[str, dict] = {}
+        for name, art in self.artifacts.items():
+            result = (
+                art.remove(ids, run_id=run_id)
+                if takers[name]
+                else art.remove(ids)
+            )
+            out[name] = {"class": type(art).__name__, "result": result}
+        return out

@@ -204,3 +204,122 @@ def test_engine_sql_case_insensitive_pre_temp(spark):
         assert spark.catalog.tableExists("caseview")  # not dropped
     finally:
         spark.catalog.dropTempView("CaseView")
+
+
+def test_register_artifact_validation(spark, tmp_path):
+    """Registry guards: no remove() -> TypeError; duplicate name ->
+    ValueError (a silent replace would drop one artifact from every
+    future GDPR fan-out); default name is ClassName:path."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark import Engine
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    eng = Engine(spark, SF)
+    with _pytest.raises(TypeError, match="remove"):
+        eng.register_artifact(object())
+    emb = eng.table("embeddings").limit(20)
+    idx = IvfIndex.build(emb, str(tmp_path / "ivf"), num_centroids=2)
+    name = eng.register_artifact(idx)
+    assert name == f"IvfIndex:{tmp_path / 'ivf'}"
+    with _pytest.raises(ValueError, match="already registered"):
+        eng.register_artifact(idx)
+    assert eng.register_artifact(idx, name="ivf2") == "ivf2"
+
+
+def test_remove_document_fans_out_to_all_artifacts(spark, tmp_path):
+    """One remove_document call retracts a doc from all four persisted
+    artifact classes and returns a per-artifact summary; a same-run_id
+    re-invocation is a no-op on every artifact (the crash-retry
+    contract); run_id is demanded exactly when a registered artifact
+    needs it."""
+    import pytest as _pytest
+
+    from dataeng_azure_spotify_spark import Engine
+    from dataeng_azure_spotify_spark.operators.cluster_index import (
+        NearDupLabels,
+    )
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IvfIndex,
+        SemanticDedupIndex,
+    )
+    from dataeng_azure_spotify_spark.operators.substring import (
+        SubstringDupIndex,
+    )
+
+    eng = Engine(spark, SF)
+    docs = eng.table("documents").limit(40).localCheckpoint(eager=True)
+    emb = eng.table("embeddings").limit(40).localCheckpoint(eager=True)
+
+    labels = NearDupLabels.build(docs, str(tmp_path / "ndl"))
+    grams = SubstringDupIndex.build(docs, str(tmp_path / "sub"), k=8)
+    ivf = IvfIndex.build(emb, str(tmp_path / "ivf"), num_centroids=4)
+    sem = SemanticDedupIndex.build(
+        emb, str(tmp_path / "sem"), threshold=0.99, k=4, iters=1
+    )
+    for art in (labels, grams, ivf, sem):
+        eng.register_artifact(art)
+    assert len(eng.artifacts) == 4
+
+    # a target id present in every artifact (semantic keepers are the
+    # narrowest set; labels/buckets hold everything)
+    kept_vids = {r.vid for r in sem.keepers().select("vid").collect()}
+    gram_docs = {r.doc for r in grams.grams().select("doc").distinct().collect()}
+    doc_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    common = sorted(kept_vids & gram_docs & doc_ids)
+    assert common, "test corpus has no id shared by all four artifacts"
+    target = common[0]
+
+    # run_id demanded because NearDupLabels is registered
+    with _pytest.raises(ValueError, match="run_id is required"):
+        eng.remove_document([target])
+
+    summary = eng.remove_document([target], run_id="gdpr-1")
+    assert set(summary) == set(eng.artifacts)
+    assert {s["class"] for s in summary.values()} == {
+        "NearDupLabels",
+        "SubstringDupIndex",
+        "IvfIndex",
+        "SemanticDedupIndex",
+    }
+    assert labels.labels().filter(F.col("doc_id") == target).count() == 0
+    assert grams.grams().filter(F.col("doc") == target).count() == 0
+    assert ivf.buckets().filter(F.col("vec_id") == target).count() == 0
+    assert sem.keepers().filter(F.col("vid") == target).count() == 0
+    ndl = summary[f"NearDupLabels:{tmp_path / 'ndl'}"]["result"]
+    assert ndl["removed_labels"] == 1 and not ndl.get("replay")
+
+    # crash-retry: same ids + run_id re-invoked is a no-op everywhere
+    before = (
+        labels.labels().count(),
+        grams.grams().count(),
+        ivf.buckets().count(),
+        sem.keepers().count(),
+    )
+    replay = eng.remove_document([target], run_id="gdpr-1")
+    assert replay[f"NearDupLabels:{tmp_path / 'ndl'}"]["result"]["replay"]
+    assert (
+        labels.labels().count(),
+        grams.grams().count(),
+        ivf.buckets().count(),
+        sem.keepers().count(),
+    ) == before
+
+
+def test_remove_document_run_id_optional_without_ledgered_artifacts(
+    spark, tmp_path
+):
+    """Only idempotent-by-construction artifacts registered -> run_id
+    is not demanded (their remove() takes none); DataFrame ids work."""
+    from dataeng_azure_spotify_spark import Engine
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    eng = Engine(spark, SF)
+    emb = eng.table("embeddings").limit(20).localCheckpoint(eager=True)
+    ivf = IvfIndex.build(emb, str(tmp_path / "ivf"), num_centroids=2)
+    eng.register_artifact(ivf, name="ivf")
+    some_id = emb.select("vec_id").first().vec_id
+    ids_df = spark.createDataFrame([(some_id,)], "vec_id long")
+    summary = eng.remove_document(ids_df)
+    assert summary["ivf"]["class"] == "IvfIndex"
+    assert ivf.buckets().filter(F.col("vec_id") == some_id).count() == 0
