@@ -3127,6 +3127,105 @@ def q_quality_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge budget for the driver BPE queries. 12 merges complete without
+#: early-stop (min_pair_count=2) at sf0.001/sf0.01/sf0.1 — measured r9;
+#: the every-run sf0.001 parity sweep re-pins this (an early stop would
+#: row-count-mismatch the oracle's fixed 12-rank recursion).
+BPE_NUM_MERGES = 12
+
+
+def _bpe_tok(spark: SparkSession, sf_dir: str):
+    """Fit-once cached BpeTokenizer for the driver queries (the
+    ``.ivf_cache`` idiom: keyed by sf_dir + params under a repo-local
+    dir, so repeated bench runs measure the merge-table read /
+    tokenization, not training — training economics are measured
+    separately in docs/BENCH_NOTES.md 'BPE trainer round economics')."""
+    import hashlib
+
+    from dataeng_azure_spotify_spark.operators.bpe import BpeTokenizer
+
+    params = f"{os.path.abspath(sf_dir)}|nm{BPE_NUM_MERGES}|mpc2"
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bpe_cache", tag
+    )
+    tok = BpeTokenizer(spark, path)
+    if not tok.exists():
+        cat = _cat(spark, sf_dir)
+        tok = BpeTokenizer.fit(
+            cat["documents"], path, num_merges=BPE_NUM_MERGES,
+            min_pair_count=2,
+        )
+    return tok
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table (operators/bpe.py bpe_train): 12
+    merge rules learned from the documents corpus — (rank, left, right,
+    merged, pair_count) in application order, ties on count broken
+    lexicographically so training is deterministic on any engine or
+    cluster layout.
+
+    FULL EXACT TWIN (not a certificate): the oracle replays the entire
+    training loop in one DuckDB recursive CTE — per-iteration argmax
+    over adjacent symbol pairs via an aggregate subquery on the
+    recursive working table, and the greedy left-to-right
+    non-overlapping pair rewrite via ``replace()`` on a
+    unit-separator-wrapped symbol encoding (``|a||b| -> |ab|``, whose
+    non-overlapping left-to-right semantics are exactly the BPE merge
+    fold). Every column of every rank hash-matches, so a pair-count,
+    tie-break, or rewrite bug anywhere in the 12 rounds goes red."""
+    return _bpe_tok(spark, sf_dir).merges()
+
+
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-segmented under the frozen merge table
+    (BpeTokenizer.tokenize — broadcast merge list + memoized
+    mapInPandas): (doc_id, n_tokens, tokens) per document, ``tokens``
+    the space-joined symbol string.
+
+    FULL EXACT TWIN: the oracle re-derives the merge table with the
+    recursive-CTE trainer twin, keeps each distinct word's END-STATE
+    symbol sequence from the recursion's final iteration (tokenize ≡
+    training end-state — the operator invariant pinned in
+    tests/test_bpe.py, here certified cross-engine), and reassembles
+    per-document token streams in word order. Both token counts and
+    the exact segmentation strings hash-match."""
+    cat = _cat(spark, sf_dir)
+    return _bpe_tok(spark, sf_dir).tokenize(cat["documents"])
+
+
+def q_quality_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-model leg of the NB quality filter
+    (operators/quality_nb.py NbQualityModel): fit once to a parquet
+    artifact (weights + meta commit marker), then score through
+    ``NbQualityModel.score`` — frozen broadcast weights joined against
+    a fresh featurization pass. Same math as ``quality_nb_score``'s
+    in-corpus one-shot (scores byte-equal on the same corpus, pinned in
+    tests/test_llm_ops.py) but exercising the artifact read path a
+    streaming admitter uses, so the fit→persist→load→score loop is
+    what gets hash-certified."""
+    import hashlib
+
+    from dataeng_azure_spotify_spark.functions.text import gopher_pass_col
+    from dataeng_azure_spotify_spark.operators.quality_nb import (
+        NbQualityModel,
+    )
+
+    cat = _cat(spark, sf_dir)
+    params = f"{os.path.abspath(sf_dir)}|b4096"
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".nb_cache", tag
+    )
+    model = NbQualityModel(spark, path)
+    if not model.exists():
+        model = NbQualityModel.fit(
+            cat["documents"], gopher_pass_col("text"), path, buckets=4096
+        )
+    return model.score(cat["documents"])
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.7 source mixing: exactly 200 docs with per-source
     quotas ∝ (source size)^0.7 by largest-remainder apportionment —
@@ -3920,6 +4019,134 @@ LIMIT {int(k)}
 """
 
 
+def _bpe_steps_cte(num_merges: int, carry_word: bool = False) -> str:
+    """Shared recursive-CTE replay of the BPE trainer (bpe_train's
+    exact semantics, primitive-for-primitive):
+
+    - word frequencies: trimmed ASCII-``\\s+`` split, '' dropped (the
+      ``tokens_col`` / ``_word_freq`` contract);
+    - initial segmentation: one symbol per char + the '</w>' sentinel;
+    - per-iteration argmax: SUM(freq) over adjacent symbol pairs with
+      (cnt DESC, a ASC, b ASC) tie-break — an aggregate subquery over
+      the recursive working table;
+    - merge rewrite: symbols encoded as ``US a US US b US`` (US =
+      chr(31), absent from the corpus — asserted cheap by the Spark
+      side being a plain fold) and rewritten with ``replace()``, whose
+      left-to-right NON-OVERLAPPING substitution is exactly the greedy
+      BPE merge fold (each symbol individually wrapped, so a match can
+      never span a symbol boundary and adjacent matches keep their
+      shared context intact);
+    - stop: ``num_merges`` rounds or best count < 2 (min_pair_count).
+
+    ``carry_word`` keeps the source word on every row so the final
+    iteration doubles as the word -> end-state-symbols table (the
+    tokenize twin)."""
+    sep = "chr(31)"
+    wrap = (
+        f"list_aggregate(list_transform(syms, x -> {sep} || x || {sep}),"
+        " 'string_agg', '')"
+    )
+    best = """(SELECT {'a': a, 'b': b, 'cnt': cnt} FROM (
+        SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                     i -> {'a': syms[i], 'b': syms[i+1]})) AS p, freq
+              FROM steps WHERE len(syms) >= 2)
+        GROUP BY p.a, p.b ORDER BY cnt DESC, a ASC, b ASC LIMIT 1))"""
+    wcol = "word, " if carry_word else ""
+    wsel = "word, " if carry_word else ""
+    return f"""
+wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  WHERE word <> '' GROUP BY word
+),
+steps(iter, {wcol}syms, freq, lft, rgt, cnt) AS (
+  SELECT 0, {wsel}
+         list_append(list_transform(range(1, length(word)+1),
+                                    i -> substring(word, i, 1)), '</w>'),
+         freq, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT)
+  FROM wf
+  UNION ALL
+  SELECT iter + 1, {wsel}
+         string_split(
+           trim(
+             replace({wrap},
+                     {sep} || {best}.a || {sep} || {sep} || {best}.b || {sep},
+                     {sep} || {best}.a || {best}.b || {sep}),
+             chr(31)),
+           {sep} || {sep}),
+         freq,
+         {best}.a, {best}.b, {best}.cnt
+  FROM steps
+  WHERE iter < {int(num_merges)} AND {best}.cnt >= 2
+)"""
+
+
+def _bpe_merge_oracle(num_merges: int) -> str:
+    """Full exact twin of q_bpe_merge_table: every iteration's chosen
+    pair + count, re-derived by the recursive trainer replay."""
+    return f"""
+WITH RECURSIVE
+{_bpe_steps_cte(num_merges)}
+SELECT CAST(iter - 1 AS BIGINT) AS rank,
+       MIN(lft) AS "left", MIN(rgt) AS "right",
+       MIN(lft) || MIN(rgt) AS merged,
+       MIN(cnt) AS pair_count
+FROM steps WHERE iter > 0
+GROUP BY iter ORDER BY rank
+"""
+
+
+def _bpe_tokenize_oracle(num_merges: int) -> str:
+    """Full exact twin of q_bpe_tokenize_stats: per-document token
+    count + exact segmentation string, from the recursion's final
+    word -> symbols state reassembled in document word order. Docs
+    whose text yields no words (NULL/blank) surface with 0 tokens and
+    '' — BpeTokenizer.tokenize's convention."""
+    return f"""
+WITH RECURSIVE
+{_bpe_steps_cte(num_merges, carry_word=True)},
+final AS (
+  SELECT word, syms FROM steps
+  WHERE iter = (SELECT MAX(iter) FROM steps)
+),
+docw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+expl AS (
+  SELECT doc_id, t.i AS pos, ws[t.i] AS word
+  FROM docw, unnest(range(1, len(ws)+1)) AS t(i)
+  WHERE ws[t.i] <> ''
+),
+agg AS (
+  SELECT e.doc_id,
+         CAST(SUM(len(f.syms)) AS BIGINT) AS n_tokens,
+         string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY e.pos)
+             AS tokens
+  FROM expl e JOIN final f ON e.word = f.word
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.tokens, '') AS tokens
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+def _quality_nb_model_oracle(buckets: int) -> str:
+    """Twin of q_quality_nb_model_score: the in-corpus NB oracle minus
+    the training label column (the model artifact does not persist
+    per-doc labels; score() returns scores only)."""
+    return (
+        "SELECT doc_id, n_grams, score_nano, pred_hq FROM ("
+        + _quality_nb_oracle(buckets)
+        + ")"
+    )
+
+
 def _quality_nb_oracle(buckets: int) -> str:
     """Twin of nb_quality_train_score: the Gopher pass flag recomputed
     as the weak label (same metric SQL as _gopher_quality_oracle,
@@ -4382,19 +4609,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # entries in dict order. Round-8 rotation: positions 1-5 are this
-    # round's new/changed queries (dup_span_stats + substring_dup_spans
-    # are the new substring-dedup tier; temperature_mix switched to the
-    # general-alpha portable_pow path; ann_lsh_topk, added late-r7, has
-    # never held a driver-window slot; quality_nb_score is the new
-    # trained quality filter). Positions 6-50 rotate the
-    # relational / TPC-H / SURVEY-2 tier back in (r6-certified, two
-    # rounds stale at driver scale). Everything below 50 — the LLM /
-    # streaming tier driver-certified in r7 plus the relational
-    # remainder — stays continuously verified by
-    # tests/test_oracle_parity.py at sf0.001 every run and the
-    # slow-marked sf0.01 sweep (the driver's own scale).
+    # entries in dict order. Round-9 rotation: positions 1-3 are this
+    # round's new queries (the two BPE twins — the one operator family
+    # with no prior CORRECTNESS entry — and the persisted-NB-model score
+    # path). Positions 4-50 rotate the LLM dedup/ANN/curation tier back
+    # in (last driver-certified r7, two rounds stale at driver scale).
+    # The relational/TPC-H/SURVEY-2 tier (just recertified r8) and the
+    # event/streaming remainder move below 50 — everything there stays
+    # continuously verified by tests/test_oracle_parity.py at sf0.001
+    # every run and the slow-marked sf0.01 sweep (the driver's scale).
     return {
+        "bpe_merge_table": q_bpe_merge_table,
+        "bpe_tokenize_stats": q_bpe_tokenize_stats,
+        "quality_nb_model_score": q_quality_nb_model_score,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index_topk": q_ann_ivf_index_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "knn_label_accuracy_full": q_knn_label_accuracy_full,
+        "pca_project": q_pca_project,
+        "jl_project": q_jl_project,
+        "quantize_embeddings": q_quantize_embeddings,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_neardup": q_simhash_neardup,
+        "neardup_triangles": q_neardup_triangles,
+        "neardup_rate_by_source": q_neardup_rate_by_source,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "split_leakage_safe": q_split_leakage_safe,
+        "pagerank_central_docs": q_pagerank_central_docs,
+        "decontaminate": q_decontaminate,
+        "contamination_check": q_contamination_check,
+        "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
+        "cap_per_source": q_cap_per_source,
+        "source_mix": q_source_mix,
+        "sample_weighted": q_sample_weighted,
+        "sample_exact_n": q_sample_exact_n,
+        "stratified_sample": q_stratified_sample,
+        "length_quantile_filter": q_length_quantile_filter,
+        "chunk_documents": q_chunk_documents,
+        "shard_corpus": q_shard_corpus,
+        "corpus_curation": q_corpus_curation,
+        "strip_boilerplate": q_strip_boilerplate,
+        "ngram_lm_score": q_ngram_lm_score,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "heavy_hitters": q_heavy_hitters,
+        "gopher_quality": q_gopher_quality,
+        "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "profile_docs": q_profile_docs,
+        "sentence_split": q_sentence_split,
+        # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
         "dup_span_stats": q_dup_span_stats,
         "substring_dup_spans": q_substring_dup_spans,
         "temperature_mix": q_temperature_mix,
@@ -4445,76 +4720,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_summary": q_percentile_summary,
         "incremental_filter": q_incremental_filter,
         "expectations_drop": q_expectations_drop,
-        # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
         "bucketize_case_when": q_bucketize,
         "star_join_asof": q_star_join_asof,
-        "semantic_dedup": q_semantic_dedup,
-        "dsir_select": q_dsir_select,
         "approx_distinct": q_approx_distinct,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_index_topk": q_ann_ivf_index_topk,
-        "pca_project": q_pca_project,
-        "knn_label_accuracy_full": q_knn_label_accuracy_full,
-        "split_leakage_safe": q_split_leakage_safe,
-        "neardup_rate_by_source": q_neardup_rate_by_source,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
         "range_join": q_range_join,
-        "quantize_embeddings": q_quantize_embeddings,
-        "decontaminate": q_decontaminate,
         "funnel_analysis": q_funnel_analysis,
         "funnel_one_pass": q_funnel_one_pass,
         "cohort_retention": q_cohort_retention,
         "metric_anomalies": q_metric_anomalies,
         "gap_fill": q_gap_fill,
-        "heavy_hitters": q_heavy_hitters,
-        "sentence_split": q_sentence_split,
-        "sample_weighted": q_sample_weighted,
-        "profile_docs": q_profile_docs,
-        "shard_corpus": q_shard_corpus,
-        "neardup_triangles": q_neardup_triangles,
         "user_activity_gaps": q_user_activity_gaps,
         "event_transitions": q_event_transitions,
         "conversion_latency": q_conversion_latency,
         "embedding_class_stats": q_embedding_class_stats,
-        "knn_label_accuracy": q_knn_label_accuracy,
-        "simhash_neardup": q_simhash_neardup,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "pack_sequences": q_pack_sequences,
-        "contamination_check": q_contamination_check,
-        "repetition_stats": q_repetition_stats,
-        "cap_per_source": q_cap_per_source,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
-        "strip_boilerplate": q_strip_boilerplate,
-        "ngram_lm_score": q_ngram_lm_score,
-        "jl_project": q_jl_project,
         "event_attribution": q_event_attribution,
-        "pagerank_central_docs": q_pagerank_central_docs,
         "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
-        "corpus_curation": q_corpus_curation,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "simhash_fingerprints": q_simhash_fingerprints,
         "email_validation": q_email_validation,
         "json_extract_agg": q_json_extract_agg,
         "asof_join": q_asof_join,
-        "text_stats": q_text_stats,
-        "token_counts": q_token_counts,
-        "dedup_exact": q_dedup_exact,
         "pii_redaction": q_pii_redaction,
-        "gopher_quality": q_gopher_quality,
         "constant_injection": q_constant_injection,
         "scalar_max_watermark": q_scalar_max_watermark,
-        "source_mix": q_source_mix,
-        "chunk_documents": q_chunk_documents,
-        "length_quantile_filter": q_length_quantile_filter,
-        "stratified_sample": q_stratified_sample,
-        "sample_exact_n": q_sample_exact_n,
-        "doc_fingerprints": q_doc_fingerprints,
-        "multimodal_features": q_multimodal_features,
         "zorder_code": q_zorder_code,
         "date_dim": q_date_dim,
     }
@@ -4522,6 +4749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_merge_table": _bpe_merge_oracle(BPE_NUM_MERGES),
+        "bpe_tokenize_stats": _bpe_tokenize_oracle(BPE_NUM_MERGES),
+        "quality_nb_model_score": _quality_nb_model_oracle(buckets=4096),
         "split_leakage_safe": _split_leakage_safe_oracle(threshold=0.5),
         "neardup_rate_by_source": _neardup_rate_by_source_oracle(threshold=0.5),
         "scd2_asof_lookup": _SCD2_ASOF_LOOKUP_ORACLE.replace(
