@@ -1,0 +1,220 @@
+"""Crash-safe run-partition compaction for the persisted artifacts.
+
+Every admitting artifact (NearDupLabels, SemanticDedupIndex,
+SubstringDupIndex; IvfIndex appends files rather than partitions)
+accretes one ``run=<id>`` partition directory per admitted run. At
+streaming cadence that is thousands of directories per bucket, and the
+file-listing cost of every probe grows without bound — the operational
+gap a real user of these artifacts hits first. ``compact()`` folds the
+committed run partitions into ONE consolidated ``run=<tag>`` partition
+per bucket while preserving the artifacts' exactly-once replay and
+retraction semantics.
+
+Commit protocol (shared by the three run-partitioned artifacts; each
+step idempotent, so a crashed ``compact`` retried with the SAME tag
+converges from any intermediate state):
+
+1. (artifact-specific) write the per-run admitted-id REGISTRY for the
+   folded runs — the information replay needs once the row-level run
+   attribution is gone. Idempotent dynamic overwrite keyed by run.
+2. write the consolidated rows under ``run=<tag>`` (dynamic overwrite
+   of exactly the tag's partitions). Readers IGNORE rows under an
+   uncommitted compact tag, so a crash here leaves every read exact.
+3. write the marker ``compactions/<tag>/`` (parquet rows naming the
+   folded runs; the ``_SUCCESS`` footer Spark commits last is the
+   atomic commit point). From this instant readers use the tag rows
+   and EXCLUDE the folded runs' rows.
+4. delete the folded ``run=`` directories (idempotent rmtree) and any
+   superseded markers. Readers never needed this step for correctness
+   — it is what reclaims the file listings.
+
+Reader contract: every artifact read of a run-partitioned table goes
+through :meth:`CompactionLog.live_run_filter`, which keeps a row iff
+its run is (a) not folded by any committed compaction and (b) not an
+UNCOMMITTED compact tag. Both double-reads (crash between 3 and 4)
+and phantom reads (crash between 2 and 3) are thereby impossible.
+
+Replay of a folded run: the artifact's ``admit``/``append`` consults
+:meth:`CompactionLog.folded_originals` first and answers from the
+registry — the same admitted rows the original attempt returned, with
+no state mutation (the rows are already in the consolidated
+partition). This preserves the exactly-once contract for the common
+crash window (epoch admitted and sunk, checkpoint not yet committed,
+artifact compacted before the stream restarts).
+
+Single-writer contract (the same one every artifact method already
+assumes): do not run ``compact`` concurrently with admissions or
+removals on the same artifact. Compact between streaming runs — a
+run that crashed MID-WRITE and was never redelivered before
+compaction has only partial rows stored, and folding freezes that
+partial state into the registry; quiesce first.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+#: Reserved namespace for consolidated-partition tags. Admission
+#: validators refuse run_ids with this prefix so a compact tag can
+#: never collide with a live run.
+COMPACT_PREFIX = "compact-"
+
+#: artifact subdirectory holding one marker dir per committed compaction
+COMPACTIONS = "compactions"
+
+
+def is_compact_tag(run: str) -> bool:
+    return str(run).startswith(COMPACT_PREFIX)
+
+
+def validate_compact_tag(tag: str, where: str) -> None:
+    """Tags name partition directories (the run_id charset rule) and
+    must live in the reserved namespace so admission validators can
+    keep live runs out of it."""
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", tag or "") or not is_compact_tag(
+        tag
+    ):
+        raise ValueError(
+            f"{where}: compaction tag must be [A-Za-z0-9._-]+ and start "
+            f"with {COMPACT_PREFIX!r} (it names a partition directory "
+            f"and must never collide with a live run_id); got {tag!r}"
+        )
+
+
+def reject_compact_namespace(run_id: str, where: str) -> None:
+    """Admission-side guard: live run_ids must stay out of the compact
+    namespace, or a later ``compact(tag)`` could fold them into a
+    partition a replay would misattribute."""
+    if is_compact_tag(run_id):
+        raise ValueError(
+            f"{where}: run_id {run_id!r} uses the reserved "
+            f"{COMPACT_PREFIX!r} namespace (compaction tags); pick "
+            "another id"
+        )
+
+
+class CompactionLog:
+    """The committed-compaction ledger of one artifact: marker dirs
+    under ``<artifact>/compactions/<tag>/`` whose parquet rows name the
+    folded runs; a marker is committed iff its ``_SUCCESS`` footer
+    exists (Spark writes it last)."""
+
+    def __init__(self, spark: SparkSession, artifact_path: str) -> None:
+        self.spark = spark
+        self.path = os.path.join(artifact_path, COMPACTIONS)
+
+    # -- reads ----------------------------------------------------------
+    def committed(self) -> dict[str, list[str]]:
+        """{tag: [folded runs]} for every committed marker."""
+        if not os.path.isdir(self.path):
+            return {}
+        out: dict[str, list[str]] = {}
+        for tag in sorted(os.listdir(self.path)):
+            d = os.path.join(self.path, tag)
+            if not os.path.isdir(d) or not os.path.exists(
+                os.path.join(d, "_SUCCESS")
+            ):
+                continue  # uncommitted (crashed) marker — ignored
+            rows = (
+                self.spark.read.schema("folded_run string")
+                .parquet(d)
+                .collect()  # O(folded runs)
+            )
+            out[tag] = [r["folded_run"] for r in rows]
+        return out
+
+    def folded(self) -> set[str]:
+        """Every run (original or superseded tag) folded by a committed
+        compaction — rows under these must be ignored by all readers."""
+        return {r for fl in self.committed().values() for r in fl}
+
+    def folded_originals(self) -> set[str]:
+        """Folded ORIGINAL run_ids (compact tags excluded) — the set
+        whose replays must be answered from the registry."""
+        return {r for r in self.folded() if not is_compact_tag(r)}
+
+    def live_run_filter(self, run_col: str = "run") -> Column:
+        """Keep-condition for run-partitioned artifact reads: drop rows
+        folded by a committed compaction, and rows under an uncommitted
+        compact tag (a crashed step-2 write). Plain ``isin`` over O(runs)
+        literals — evaluated at the scan, partition-prunable."""
+        committed = self.committed()
+        folded = {r for fl in committed.values() for r in fl}
+        c = F.col(run_col)
+        keep = ~c.isin(sorted(folded)) if folded else F.lit(True)
+        tags = sorted(committed)
+        in_namespace = c.startswith(COMPACT_PREFIX)
+        committed_tag = c.isin(tags) if tags else F.lit(False)
+        return keep & (~in_namespace | committed_tag)
+
+    # -- writes ---------------------------------------------------------
+    def commit(self, tag: str, folded_runs: list[str]) -> None:
+        """Write the marker (the atomic commit point — step 3)."""
+        (
+            self.spark.createDataFrame(
+                [(r,) for r in sorted(folded_runs)], "folded_run string"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, tag))
+        )
+
+    def drop_marker(self, tag: str) -> None:
+        d = os.path.join(self.path, tag)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+
+def delete_folded_partitions(
+    table_path: str, folded: set[str], nested: bool
+) -> int:
+    """Step 4: remove the folded ``run=`` directories. ``nested`` means
+    the run level sits under a first-level partition
+    (``bucket=*/run=*`` / ``cid=*/run=*``); otherwise ``run=*`` is
+    top-level. Idempotent; returns directories removed."""
+    if not os.path.isdir(table_path) or not folded:
+        return 0
+    removed = 0
+    parents = (
+        [
+            os.path.join(table_path, d)
+            for d in os.listdir(table_path)
+            if os.path.isdir(os.path.join(table_path, d)) and "=" in d
+        ]
+        if nested
+        else [table_path]
+    )
+    for parent in parents:
+        for r in folded:
+            d = os.path.join(parent, f"run={r}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed += 1
+    return removed
+
+
+def count_run_partitions(table_path: str, nested: bool) -> int:
+    """Observability for the before/after table: number of ``run=``
+    directories currently on disk."""
+    if not os.path.isdir(table_path):
+        return 0
+    parents = (
+        [
+            os.path.join(table_path, d)
+            for d in os.listdir(table_path)
+            if os.path.isdir(os.path.join(table_path, d)) and "=" in d
+        ]
+        if nested
+        else [table_path]
+    )
+    return sum(
+        1
+        for parent in parents
+        for d in os.listdir(parent)
+        if d.startswith("run=") and os.path.isdir(os.path.join(parent, d))
+    )

@@ -262,14 +262,21 @@ class SubstringDupIndex:
 
     GRAMS = "grams"
     META = "meta"
+    RUNS_DOCS = "runs_docs"
 
     def __init__(self, spark, path: str) -> None:
         import os
+
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            CompactionLog,
+        )
 
         self.spark = spark
         self.path = path
         self._grams_path = os.path.join(path, self.GRAMS)
         self._meta_path = os.path.join(path, self.META)
+        self._runs_docs_path = os.path.join(path, self.RUNS_DOCS)
+        self._clog = CompactionLog(spark, path)
         self._meta: dict | None = None
 
     # -- lifecycle ------------------------------------------------------
@@ -288,7 +295,12 @@ class SubstringDupIndex:
 
         spark = corpus.sparkSession
         idx = cls(spark, path)
-        for p in (idx._meta_path, idx._grams_path):
+        for p in (
+            idx._meta_path,
+            idx._grams_path,
+            idx._runs_docs_path,
+            idx._clog.path,
+        ):
             if os.path.exists(p):
                 shutil.rmtree(p)
         idx._meta = None
@@ -366,13 +378,30 @@ class SubstringDupIndex:
         )
 
     def grams(self) -> DataFrame:
-        """(g, doc, c, bucket, run) — every stored gram row."""
+        """(g, doc, c, bucket, run) — every LIVE stored gram row: rows
+        folded by a committed compaction and rows under an uncommitted
+        compaction tag are excluded, so reads stay exact through every
+        crash window of :meth:`compact`."""
         import os
 
         if not os.path.exists(self._grams_path):
             return self.spark.createDataFrame([], _SUBSTR_GRAMS_SCHEMA)
-        return self.spark.read.schema(_SUBSTR_GRAMS_SCHEMA).parquet(
-            self._grams_path
+        return (
+            self.spark.read.schema(_SUBSTR_GRAMS_SCHEMA)
+            .parquet(self._grams_path)
+            .filter(self._clog.live_run_filter("run"))
+        )
+
+    def _registry(self) -> DataFrame:
+        """(run, doc) — admitted doc ids of every COMPACTED run (written
+        by :meth:`compact` step 1; the information a folded run's replay
+        needs once row-level run attribution is gone)."""
+        import os
+
+        if not os.path.exists(self._runs_docs_path):
+            return self.spark.createDataFrame([], "run string, doc long")
+        return self.spark.read.schema("run string, doc long").parquet(
+            self._runs_docs_path
         )
 
     # -- admission ------------------------------------------------------
@@ -434,8 +463,14 @@ class SubstringDupIndex:
         ``run_id``. Returns the admitted rows. Replay-deterministic
         without a marker: the decision excludes this run's own
         partitions, and the write is a dynamic overwrite of exactly
-        this run's ``(bucket, run)`` partitions."""
+        this run's ``(bucket, run)`` partitions. A replay of a run a
+        committed :meth:`compact` has folded is answered from the
+        registry — the same admitted rows, no state mutation."""
         import re
+
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            reject_compact_namespace,
+        )
 
         self._check_version()
         if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
@@ -444,6 +479,17 @@ class SubstringDupIndex:
                 "non-empty [A-Za-z0-9._-]+ (it names a partition "
                 f"directory); got {run_id!r}"
             )
+        reject_compact_namespace(run_id, "SubstringDupIndex.admit_batch")
+        if run_id in self._clog.folded_originals():
+            # this run's rows live in the consolidated partition; its
+            # admitted set was frozen into the registry at compact time
+            meta = self.meta
+            kept = (
+                self._registry()
+                .filter(F.col("run") == F.lit(run_id))  # partition-pruned
+                .select(F.col("doc").alias(meta["id_col"]))
+            )
+            return batch.join(kept, meta["id_col"], "left_semi")
         meta = self.meta
         k, B = int(meta["k"]), int(meta["num_buckets"])
         id_col, text_col = meta["id_col"], meta["text_col"]
@@ -531,7 +577,155 @@ class SubstringDupIndex:
                 .partitionBy("bucket", "run")
                 .parquet(self._grams_path)
             )
+        self._purge_registry(rm)
         return len(touched)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, tag: str) -> dict:
+        """Fold every live run partition into ONE consolidated
+        ``run=<tag>`` partition per bucket (``tag`` must start with
+        ``compact-``; supply it from the caller's maintenance ledger —
+        retrying a crashed compact with the SAME tag resumes it).
+        Probes and coverage are byte-identical before and after; a
+        replay of a folded run is answered from the per-run doc
+        registry (same admitted rows, no state mutation); ``remove``
+        keeps working (and retracts from the registry too).
+
+        Protocol and crash-window analysis: see
+        :mod:`..operators.compaction`. Single-writer: do not run
+        concurrently with admissions/removals; quiesce the stream
+        first (a mid-write crashed run that was never redelivered
+        would have its PARTIAL state frozen into the registry).
+
+        Returns a summary dict with the folded runs and the on-disk
+        ``run=`` partition-directory count before/after — the
+        file-listing load every probe pays."""
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            count_run_partitions,
+            delete_folded_partitions,
+            is_compact_tag,
+            validate_compact_tag,
+        )
+
+        validate_compact_tag(tag, "SubstringDupIndex.compact")
+        self._check_version()
+        dirs_before = count_run_partitions(self._grams_path, nested=True)
+        # step 0 — sweep: folded dirs a prior crash (between marker
+        # commit and deletion) left behind are invisible to readers but
+        # still cost listings; clean them first so a retry converges
+        committed = self._clog.committed()
+        swept = delete_folded_partitions(
+            self._grams_path,
+            {r for fl in committed.values() for r in fl},
+            nested=True,
+        )
+        live = self.grams().localCheckpoint(eager=True)
+        runs_now = sorted(
+            str(r["run"])
+            for r in live.select("run").distinct().collect()  # O(runs)
+        )
+        to_fold = [r for r in runs_now if r != tag]
+        if not to_fold:
+            live.unpersist()
+            return {
+                "tag": tag,
+                "folded_runs": [],
+                "swept_dirs": swept,
+                "partition_dirs_before": dirs_before,
+                "partition_dirs_after": count_run_partitions(
+                    self._grams_path, nested=True
+                ),
+                "replay": tag in committed,
+            }
+        # step 1 — registry: freeze each original folded run's admitted
+        # doc set (compact tags being re-folded already had theirs
+        # frozen; their registry rows stay keyed by the ORIGINAL run)
+        originals = [r for r in to_fold if not is_compact_tag(r)]
+        if originals:
+            (
+                live.filter(F.col("run").isin(originals))
+                .select("run", "doc")
+                .distinct()
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run")
+                .parquet(self._runs_docs_path)
+            )
+        # step 2 — consolidated rows under the (uncommitted) tag
+        (
+            live.select("g", "doc", "c", "bucket", F.lit(tag).alias("run"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "run")
+            .parquet(self._grams_path)
+        )
+        # step 3 — COMMIT: the marker carries the folded runs PLUS the
+        # folded sets of any superseded tags (so their markers can be
+        # dropped without resurrecting rows a lingering dir still holds)
+        folded_all = set(to_fold)
+        for t in to_fold:
+            folded_all |= set(committed.get(t, []))
+        self._clog.commit(tag, sorted(folded_all))
+        # step 4 — reclaim listings: folded dirs + superseded markers
+        delete_folded_partitions(self._grams_path, folded_all, nested=True)
+        for t in to_fold:
+            if t in committed:
+                self._clog.drop_marker(t)
+        live.unpersist()
+        return {
+            "tag": tag,
+            "folded_runs": to_fold,
+            "swept_dirs": swept,
+            "partition_dirs_before": dirs_before,
+            "partition_dirs_after": count_run_partitions(
+                self._grams_path, nested=True
+            ),
+            "replay": False,
+        }
+
+    def _purge_registry(self, rm: DataFrame) -> None:
+        """Retract removed docs from the compaction registry too, so a
+        replay of a folded run cannot resurrect a removed document
+        (mirrors the pre-compaction behavior: a removed doc's rows are
+        gone, so a crashed-run replay re-evaluates without them)."""
+        import os
+        import shutil
+
+        reg = self._registry()
+        hit = reg.join(F.broadcast(rm), "doc", "left_semi")
+        by_run = {
+            str(r["run"]): int(r["n_rm"])
+            for r in hit.groupBy("run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rm"))
+            .toLocalIterator()  # O(touched runs)
+        }
+        if not by_run:
+            return
+        sizes = {
+            str(r["run"]): int(r["n"])
+            for r in reg.filter(F.col("run").isin(sorted(by_run)))
+            .groupBy("run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .toLocalIterator()
+        }
+        emptied = sorted(r for r in by_run if sizes[r] == by_run[r])
+        partial_runs = sorted(r for r in by_run if sizes[r] > by_run[r])
+        for r in emptied:  # deleted FIRST — the remove() discipline
+            d = os.path.join(self._runs_docs_path, f"run={r}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        if partial_runs:
+            remaining = (
+                reg.filter(F.col("run").isin(partial_runs))
+                .join(F.broadcast(rm), "doc", "anti")
+                .localCheckpoint(eager=True)  # reads the files it replaces
+            )
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run")
+                .parquet(self._runs_docs_path)
+            )
 
 
 class IncrementalSubstringDedup:
