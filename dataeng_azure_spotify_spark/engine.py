@@ -340,3 +340,33 @@ class Engine:
             )
             out[name] = {"class": type(art).__name__, "result": result}
         return out
+
+    def compact_artifacts(self, tag: str) -> dict[str, dict]:
+        """Run crash-safe ``compact`` on every registered artifact that
+        supports it, in one maintenance call (the lifecycle twin of
+        :meth:`remove_document`): run-partitioned artifacts fold their
+        committed run partitions into one consolidated ``run=<tag>``
+        partition; IvfIndex (whose compact is file-level and tag-less)
+        rewrites each bucket to one file. ``tag`` must start with
+        ``compact-``; retrying a crashed fan-out with the SAME tag
+        resumes it on every artifact. Single-writer: quiesce
+        admissions/removals first. Returns a per-artifact summary."""
+        import inspect
+
+        out: dict[str, dict] = {}
+        for name, art in self.artifacts.items():
+            fn = getattr(art, "compact", None)
+            if not callable(fn):
+                out[name] = {
+                    "class": type(art).__name__,
+                    "result": None,
+                    "skipped": "no compact()",
+                }
+                continue
+            result = (
+                fn(tag)
+                if "tag" in inspect.signature(fn).parameters
+                else fn()
+            )
+            out[name] = {"class": type(art).__name__, "result": result}
+        return out

@@ -157,6 +157,10 @@ class NearDupLabels:
     META = "meta"
 
     def __init__(self, spark: SparkSession, path: str) -> None:
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            CompactionLog,
+        )
+
         self.spark = spark
         self.path = path
         self._shingles_path = os.path.join(path, self.SHINGLES)
@@ -164,6 +168,7 @@ class NearDupLabels:
         self._labels_path = os.path.join(path, self.LABELS)
         self._runs_path = os.path.join(path, self.RUNS)
         self._meta_path = os.path.join(path, self.META)
+        self._clog = CompactionLog(spark, path)
         self._meta: dict | None = None
 
     # -- construction ---------------------------------------------------
@@ -310,7 +315,7 @@ class NearDupLabels:
                     "refusing to rebuild over it; upgrade the engine"
                 )
         for p in (self._meta_path, self._shingles_path, self._prefix_path,
-                  self._labels_path, self._runs_path):
+                  self._labels_path, self._runs_path, self._clog.path):
             if os.path.exists(p):
                 shutil.rmtree(p)
         self._meta = None
@@ -344,10 +349,16 @@ class NearDupLabels:
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
         """Schema-explicit artifact read; a missing or file-less dir
         (fresh ``init``, or a crashed first append) is zero rows, never a
-        schema-inference failure."""
+        schema-inference failure. Run-partitioned tables (shingles /
+        prefix) additionally drop rows folded by a committed
+        :meth:`compact` and rows under an uncommitted compaction tag,
+        so reads stay exact through every compaction crash window."""
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        df = self.spark.read.schema(schema).parquet(path)
+        if path in (self._shingles_path, self._prefix_path):
+            df = df.filter(self._clog.live_run_filter("run"))
+        return df
 
     def labels(self) -> DataFrame:
         """(doc_id, cluster_id) for every admitted document. An index
@@ -402,6 +413,11 @@ class NearDupLabels:
         """
         if run_id == BUILD_RUN:
             raise ValueError(f"run_id {BUILD_RUN!r} is reserved for build()")
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            reject_compact_namespace,
+        )
+
+        reject_compact_namespace(run_id, "NearDupLabels.append")
         self._check_version()
         meta = self.meta
         threshold = float(meta["threshold"])
@@ -624,6 +640,11 @@ class NearDupLabels:
         """
         if run_id == BUILD_RUN:
             raise ValueError(f"run_id {BUILD_RUN!r} is reserved for build()")
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            reject_compact_namespace,
+        )
+
+        reject_compact_namespace(run_id, "NearDupLabels.remove")
         self._check_version()
         meta = self.meta
         threshold = float(meta["threshold"])
@@ -790,6 +811,112 @@ class NearDupLabels:
         }
 
     # -- internals ------------------------------------------------------
+    # -- maintenance ------------------------------------------------------
+    def compact(self, tag: str) -> dict:
+        """Fold every COMMITTED run's shingle/prefix partitions into ONE
+        consolidated ``run=<tag>`` partition per table (``tag`` must
+        start with ``compact-``; a crashed compact retried with the
+        SAME tag resumes). Labels are untouched (appends dynamic-
+        overwrite their bucket partitions — they never accrete run
+        dirs); candidate generation, appends, and removals read
+        byte-identical state before and after.
+
+        Replay semantics survive for free: a COMMITTED folded run's
+        replay short-circuits on the ``runs()`` registry (which compact
+        preserves) exactly as before, and a CRASHED in-flight run —
+        detectable here, unlike the registry-less artifacts, as a run
+        dir with no registry entry — is left unfolded, so its replay
+        still recomputes against its own partitions. Compact is
+        therefore safe to run even with one crashed epoch pending.
+        Protocol and crash windows: :mod:`..operators.compaction`.
+        Single-writer, like every other maintenance method."""
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            count_run_partitions,
+            delete_folded_partitions,
+            is_compact_tag,
+            validate_compact_tag,
+        )
+
+        validate_compact_tag(tag, "NearDupLabels.compact")
+        self._check_version()
+        tables = (
+            (self._shingles_path, SHINGLES_SCHEMA),
+            (self._prefix_path, PREFIX_SCHEMA),
+        )
+        dirs_before = sum(
+            count_run_partitions(p, nested=False) for p, _ in tables
+        )
+        committed_c = self._clog.committed()
+        swept = sum(
+            delete_folded_partitions(
+                p, {r for fl in committed_c.values() for r in fl}, nested=False
+            )
+            for p, _ in tables
+        )
+        committed_runs = set(self.runs())
+        folded_any: set[str] = set()
+        in_flight: set[str] = set()
+        for path, schema in tables:
+            live = self._read_or_empty(path, schema).localCheckpoint(
+                eager=True
+            )
+            runs_now = {
+                str(r["run"])
+                for r in live.select("run").distinct().collect()  # O(runs)
+            }
+            # fold committed runs and previous compact tags; leave a
+            # crashed in-flight run (dir without a registry entry) alone
+            fold = {
+                r
+                for r in runs_now
+                if r != tag and (r in committed_runs or is_compact_tag(r))
+            }
+            in_flight |= runs_now - fold - {tag}
+            if fold:
+                (
+                    live.filter(F.col("run").isin(sorted(fold)))
+                    .drop("run")
+                    .withColumn("run", F.lit(tag))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("run")
+                    .parquet(path)
+                )
+            live.unpersist()
+            folded_any |= fold
+        if not folded_any:
+            return {
+                "tag": tag,
+                "folded_runs": [],
+                "skipped_in_flight": sorted(in_flight),
+                "swept_dirs": swept,
+                "partition_dirs_before": dirs_before,
+                "partition_dirs_after": sum(
+                    count_run_partitions(p, nested=False) for p, _ in tables
+                ),
+                "replay": tag in committed_c,
+            }
+        folded_all = set(folded_any)  # COMMIT (+ superseded tags' sets)
+        for t in folded_any:
+            folded_all |= set(committed_c.get(t, []))
+        self._clog.commit(tag, sorted(folded_all))
+        for p, _ in tables:
+            delete_folded_partitions(p, folded_all, nested=False)
+        for t in folded_any:
+            if t in committed_c:
+                self._clog.drop_marker(t)
+        return {
+            "tag": tag,
+            "folded_runs": sorted(folded_any),
+            "skipped_in_flight": sorted(in_flight),
+            "swept_dirs": swept,
+            "partition_dirs_before": dirs_before,
+            "partition_dirs_after": sum(
+                count_run_partitions(p, nested=False) for p, _ in tables
+            ),
+            "replay": False,
+        }
+
     def _old_side(self, path: str, run_id: str) -> DataFrame:
         """Stored run partitions EXCLUDING ``run_id`` — a crashed
         attempt's own partial partitions must not contaminate the

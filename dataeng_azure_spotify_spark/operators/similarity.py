@@ -917,14 +917,20 @@ def _validate_run_tag(run_id: str, where: str) -> None:
     """run tags become partition DIRECTORY names; restrict them to
     characters Spark never escapes so that remove()'s emptied-partition
     delete (a literal path construction) can always find the directory
-    it targets."""
+    it targets. Live runs are also barred from the reserved
+    ``compact-`` namespace (consolidated-partition tags)."""
     import re
+
+    from dataeng_azure_spotify_spark.operators.compaction import (
+        reject_compact_namespace,
+    )
 
     if not re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
         raise ValueError(
             f"{where}: run_id must be non-empty [A-Za-z0-9._-]+ (it "
             f"names a partition directory); got {run_id!r}"
         )
+    reject_compact_namespace(run_id, where)
 
 
 class SemanticDedupIndex:
@@ -967,15 +973,22 @@ class SemanticDedupIndex:
     CENTROIDS = "centroids"
     KEEPERS = "keepers"
     META = "meta"
+    RUNS_DOCS = "runs_docs"
 
     def __init__(self, spark, path: str) -> None:
         import os
+
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            CompactionLog,
+        )
 
         self.spark = spark
         self.path = path
         self._centroids_path = os.path.join(path, self.CENTROIDS)
         self._keepers_path = os.path.join(path, self.KEEPERS)
         self._meta_path = os.path.join(path, self.META)
+        self._runs_docs_path = os.path.join(path, self.RUNS_DOCS)
+        self._clog = CompactionLog(spark, path)
         self._meta: dict | None = None
 
     # -- lifecycle ------------------------------------------------------
@@ -1010,7 +1023,13 @@ class SemanticDedupIndex:
         idx = cls(spark, path)
         # meta (the commit marker) is deleted FIRST on rebuild: a crash
         # mid-rebuild must read as absent, never as half-rebuilt
-        for p in (idx._meta_path, idx._keepers_path, idx._centroids_path):
+        for p in (
+            idx._meta_path,
+            idx._keepers_path,
+            idx._centroids_path,
+            idx._runs_docs_path,
+            idx._clog.path,
+        ):
             if os.path.exists(p):
                 shutil.rmtree(p)
         idx._meta = None
@@ -1078,13 +1097,30 @@ class SemanticDedupIndex:
         return self.spark.read.parquet(self._centroids_path)
 
     def keepers(self) -> DataFrame:
-        """(vid, vec, cid, run) — every stored keeper."""
+        """(vid, vec, cid, run) — every LIVE stored keeper: rows folded
+        by a committed :meth:`compact` and rows under an uncommitted
+        compaction tag are excluded, so reads stay exact through every
+        crash window of a compaction."""
         import os
 
         if not os.path.exists(self._keepers_path):
             return self.spark.createDataFrame([], _SEM_KEEPERS_SCHEMA)
-        return self.spark.read.schema(_SEM_KEEPERS_SCHEMA).parquet(
-            self._keepers_path
+        return (
+            self.spark.read.schema(_SEM_KEEPERS_SCHEMA)
+            .parquet(self._keepers_path)
+            .filter(self._clog.live_run_filter("run"))
+        )
+
+    def _registry(self) -> DataFrame:
+        """(run, vid) — kept ids of every COMPACTED run (written by
+        :meth:`compact` step 1; what a folded run's replay returns once
+        row-level run attribution is gone)."""
+        import os
+
+        if not os.path.exists(self._runs_docs_path):
+            return self.spark.createDataFrame([], "run string, vid long")
+        return self.spark.read.schema("run string, vid long").parquet(
+            self._runs_docs_path
         )
 
     # -- incremental admission -----------------------------------------
@@ -1111,6 +1147,16 @@ class SemanticDedupIndex:
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         thr = float(meta["threshold"])
         _require_integral_id(batch, id_col, "SemanticDedupIndex.admit_batch")
+        if run_id in self._clog.folded_originals():
+            # this run's keepers live in the consolidated partition; its
+            # kept set was frozen into the registry at compact time —
+            # re-return the identical admitted rows, mutate nothing
+            kept = (
+                self._registry()
+                .filter(F.col("run") == F.lit(run_id))  # partition-pruned
+                .select(F.col("vid").alias(id_col))
+            )
+            return batch.join(kept, id_col, "left_semi")
         old = self.keepers().filter(F.col("run") != F.lit(run_id))
         batch_new = batch.join(
             old.select(F.col("vid").alias(id_col)), id_col, "left_anti"
@@ -1301,7 +1347,133 @@ class SemanticDedupIndex:
                 .partitionBy("cid", "run")
                 .parquet(self._keepers_path)
             )
+        self._purge_registry(rm)
         return sorted({c for c, _ in touched})
+
+    def _purge_registry(self, rm: DataFrame) -> None:
+        """Retract removed vids from the compaction registry too, so a
+        replay of a folded run cannot resurrect a removed document."""
+        import os
+        import shutil
+
+        reg = self._registry()
+        by_run = {
+            str(r["run"]): int(r["n_rm"])
+            for r in reg.join(F.broadcast(rm), "vid", "left_semi")
+            .groupBy("run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rm"))
+            .toLocalIterator()  # O(touched runs)
+        }
+        if not by_run:
+            return
+        sizes = {
+            str(r["run"]): int(r["n"])
+            for r in reg.filter(F.col("run").isin(sorted(by_run)))
+            .groupBy("run")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .toLocalIterator()
+        }
+        emptied = sorted(r for r in by_run if sizes[r] == by_run[r])
+        partial_runs = sorted(r for r in by_run if sizes[r] > by_run[r])
+        for r in emptied:  # deleted FIRST — the remove() discipline
+            d = os.path.join(self._runs_docs_path, f"run={r}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        if partial_runs:
+            remaining = (
+                reg.filter(F.col("run").isin(partial_runs))
+                .join(F.broadcast(rm), "vid", "anti")
+                .localCheckpoint(eager=True)  # reads the files it replaces
+            )
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run")
+                .parquet(self._runs_docs_path)
+            )
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, tag: str) -> dict:
+        """Fold every live keeper run partition into ONE consolidated
+        ``run=<tag>`` partition per cluster (``tag`` must start with
+        ``compact-``; a crashed compact retried with the SAME tag
+        resumes). Keeper reads, admissions, and removals are
+        byte-identical before and after; a folded run's replay is
+        answered from the per-run kept-id registry. Protocol and
+        crash-window analysis: :mod:`..operators.compaction`.
+        Single-writer: quiesce admissions first."""
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            count_run_partitions,
+            delete_folded_partitions,
+            is_compact_tag,
+            validate_compact_tag,
+        )
+
+        validate_compact_tag(tag, "SemanticDedupIndex.compact")
+        self._check_version()
+        dirs_before = count_run_partitions(self._keepers_path, nested=True)
+        committed = self._clog.committed()
+        swept = delete_folded_partitions(
+            self._keepers_path,
+            {r for fl in committed.values() for r in fl},
+            nested=True,
+        )
+        live = self.keepers().localCheckpoint(eager=True)
+        runs_now = sorted(
+            str(r["run"])
+            for r in live.select("run").distinct().collect()  # O(runs)
+        )
+        to_fold = [r for r in runs_now if r != tag]
+        if not to_fold:
+            live.unpersist()
+            return {
+                "tag": tag,
+                "folded_runs": [],
+                "swept_dirs": swept,
+                "partition_dirs_before": dirs_before,
+                "partition_dirs_after": count_run_partitions(
+                    self._keepers_path, nested=True
+                ),
+                "replay": tag in committed,
+            }
+        originals = [r for r in to_fold if not is_compact_tag(r)]
+        if originals:  # step 1 — freeze each folded run's kept-id set
+            (
+                live.filter(F.col("run").isin(originals))
+                .select("run", "vid")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run")
+                .parquet(self._runs_docs_path)
+            )
+        (  # step 2 — consolidated rows under the (uncommitted) tag
+            live.select("vid", "vec", "cid", F.lit(tag).alias("run"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid", "run")
+            .parquet(self._keepers_path)
+        )
+        folded_all = set(to_fold)  # step 3 — COMMIT (+ superseded tags)
+        for t in to_fold:
+            folded_all |= set(committed.get(t, []))
+        self._clog.commit(tag, sorted(folded_all))
+        delete_folded_partitions(  # step 4 — reclaim listings
+            self._keepers_path, folded_all, nested=True
+        )
+        for t in to_fold:
+            if t in committed:
+                self._clog.drop_marker(t)
+        live.unpersist()
+        return {
+            "tag": tag,
+            "folded_runs": to_fold,
+            "swept_dirs": swept,
+            "partition_dirs_before": dirs_before,
+            "partition_dirs_after": count_run_partitions(
+                self._keepers_path, nested=True
+            ),
+            "replay": False,
+        }
 
 
 class IncrementalSemanticDedup:
@@ -1542,6 +1714,49 @@ class IvfIndex:
                 .parquet(self._buckets_path)
             )
         return sorted(touched)
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self) -> dict:
+        """Rewrite every bucket partition down to one file. Unlike the
+        run-partitioned artifacts, IvfIndex APPENDS files inside its
+        ``centroid_id=`` partitions (one parquet file per admitting run
+        per touched bucket), so at streaming cadence each probe's file
+        listing grows without bound; the partition LAYOUT never changes
+        and ``run_id`` is a row column, so compaction preserves it
+        verbatim — replay (``IncrementalEmbeddingDedup``'s
+        run-attributed union) and ``remove`` semantics are untouched,
+        and no tag/marker protocol is needed. Rows are materialized
+        before the dynamic overwrite (the rebalance read-what-you-
+        replace discipline); a crash leaves whole partitions either old
+        or new with identical rows, and a retry converges. Returns the
+        data-file count before/after. Single-writer, like every other
+        maintenance method."""
+        import os
+
+        def _n_files() -> int:
+            n = 0
+            for root, _dirs, files in os.walk(self._buckets_path):
+                n += sum(
+                    1
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+            return n
+
+        files_before = _n_files()
+        rows = self.buckets().localCheckpoint(eager=True)
+        (
+            rows.repartition("centroid_id")  # one task -> one file per dir
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id")
+            .parquet(self._buckets_path)
+        )
+        rows.unpersist()
+        return {
+            "files_before": files_before,
+            "files_after": _n_files(),
+        }
 
     def query(
         self,

@@ -205,3 +205,349 @@ def test_substring_compact_guards(spark, tmp_path):
         idx.compact("e9")
     with pytest.raises(ValueError, match="reserved"):
         idx.admit_batch(dfs["e1"], "compact-sneaky")
+
+
+# --------------------------------------------------------------------------
+# SemanticDedupIndex
+# --------------------------------------------------------------------------
+
+
+def _sem_vec(i, a=1.0, b=0.0):
+    return [a, b, float(i % 3) * 1e-4, 0.0]
+
+
+def _semantic_state(spark, tmp_path):
+    """Admitter with 3 epochs of ascending-id vectors in two far-apart
+    directions; e1 contains a near-twin of an e0 keeper (pruned)."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    adm = IncrementalSemanticDedup(
+        spark, str(tmp_path / "sem"), threshold=0.95, k=2, iters=1
+    )
+    batches = {
+        "e0": [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "e1": [(10, [0.9999, 0.0001, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])],
+        "e2": [(20, [0.0, 0.0, 0.0, 1.0])],
+    }
+    admitted, dfs = {}, {}
+    for rid, rows in batches.items():
+        dfs[rid] = spark.createDataFrame(rows, schema)
+        admitted[rid] = {
+            r.vec_id for r in adm.admit(dfs[rid], run_id=rid).collect()
+        }
+    assert admitted["e0"] == {1, 2}
+    assert admitted["e1"] == {11}  # 10 is a twin of keeper 1
+    assert admitted["e2"] == {20}
+    return adm.index, dfs, admitted
+
+
+def _keepers_snapshot(idx):
+    return {
+        (r.vid, r.cid, tuple(r.vec))
+        for r in idx.keepers().select("vid", "cid", "vec").collect()
+    }
+
+
+def test_semantic_compact_probe_identical(spark, tmp_path):
+    """Keeper rows identical through compact; folded-run replays (incl.
+    the run_id-attributed BOOTSTRAP epoch) answer from the registry;
+    a twin of a folded keeper still prunes; fresh admissions land."""
+    idx, dfs, admitted = _semantic_state(spark, tmp_path)
+    before = _keepers_snapshot(idx)
+    dirs_before = _run_dirs(idx._keepers_path)
+
+    s = idx.compact("compact-1")
+    assert set(s["folded_runs"]) == {"e0", "e1", "e2"}
+    assert s["partition_dirs_after"] < dirs_before
+    assert _keepers_snapshot(idx) == before
+    assert {
+        r.run for r in idx.keepers().select("run").distinct().collect()
+    } == {"compact-1"}
+
+    for rid in ("e0", "e1", "e2"):  # incl. the bootstrap epoch
+        replay = {
+            r.vec_id for r in idx.admit_batch(dfs[rid], rid).collect()
+        }
+        assert replay == admitted[rid], rid
+    assert _keepers_snapshot(idx) == before
+
+    # semantics against the consolidated keepers: twin pruned, novel kept
+    schema = "vec_id long, embedding array<float>"
+    twin = spark.createDataFrame([(30, [0.99995, 0.0, 0.0, 0.0])], schema)
+    assert idx.admit_batch(twin, "e3").count() == 0
+    novel = spark.createDataFrame([(31, [0.7, 0.0, 0.0, -0.7])], schema)
+    assert {r.vec_id for r in idx.admit_batch(novel, "e4").collect()} == {31}
+
+    # second compact folds the new run + previous tag; replays persist
+    s2 = idx.compact("compact-2")
+    assert set(s2["folded_runs"]) == {"compact-1", "e4"}
+    assert {
+        r.vec_id for r in idx.admit_batch(dfs["e1"], "e1").collect()
+    } == {11}
+
+
+def test_semantic_compact_remove_and_crash(spark, tmp_path, monkeypatch):
+    """remove() after compact retracts keeper + registry rows (folded
+    replay no longer returns it; its twin becomes admissible); a crash
+    between marker commit and dir deletion leaves reads exact and the
+    same-tag retry sweeps."""
+    idx, dfs, admitted = _semantic_state(spark, tmp_path)
+    before = _keepers_snapshot(idx)
+
+    real_delete = C.delete_folded_partitions
+
+    def boom_delete(table_path, folded, nested):
+        if folded:
+            raise RuntimeError("crash before dir deletion")
+        return real_delete(table_path, folded, nested)
+
+    monkeypatch.setattr(C, "delete_folded_partitions", boom_delete)
+    with pytest.raises(RuntimeError):
+        idx.compact("compact-1")
+    monkeypatch.setattr(C, "delete_folded_partitions", real_delete)
+    assert _keepers_snapshot(idx) == before  # no doubles, no phantoms
+    final = idx.compact("compact-1")
+    assert final["folded_runs"] == [] and final["swept_dirs"] > 0
+    assert _keepers_snapshot(idx) == before
+
+    # retraction: keeper 1 (kept in folded e0) freed
+    assert idx.remove(spark.createDataFrame([(1,)], "vid long")) != []
+    replay0 = {r.vec_id for r in idx.admit_batch(dfs["e0"], "e0").collect()}
+    assert replay0 == {2}  # registry purged with the keeper row
+    schema = "vec_id long, embedding array<float>"
+    twin = spark.createDataFrame([(40, [0.99995, 0.0, 0.0, 0.0])], schema)
+    assert {r.vec_id for r in idx.admit_batch(twin, "e5").collect()} == {40}
+
+
+# --------------------------------------------------------------------------
+# NearDupLabels
+# --------------------------------------------------------------------------
+
+
+def _ndl_state(spark, tmp_path):
+    """Labels index: build + two committed appends (near-dup texts so
+    clusters span runs)."""
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.cluster_index import (
+        NearDupLabels,
+    )
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "an entirely different sentence about database compaction",
+        "completely unrelated words regarding spark partitions here",
+    ]
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(base_texts)]
+    )
+    idx = NearDupLabels.build(base, str(tmp_path / "ndl"), threshold=0.3)
+    b1 = spark.createDataFrame(
+        [Row(doc_id=10, text=base_texts[0] + " ok")]  # near-dup of doc 0
+    )
+    b2 = spark.createDataFrame(
+        [Row(doc_id=20, text="fresh corpus text with novel shingle content")]
+    )
+    idx.append(b1, run_id="e1")
+    idx.append(b2, run_id="e2")
+    return idx, b1, b2
+
+
+def _labels_map(idx):
+    return {r.doc_id: r.cluster_id for r in idx.labels().collect()}
+
+
+def test_ndl_compact_probe_identical(spark, tmp_path):
+    """Shingle/prefix partitions fold; labels identical; a post-compact
+    append still finds candidates stored by FOLDED runs (the prefix
+    index keeps working); committed-run replay still short-circuits on
+    the preserved runs registry."""
+    from pyspark.sql import Row
+
+    idx, b1, b2 = _ndl_state(spark, tmp_path)
+    before = _labels_map(idx)
+    dirs_before = _run_dirs(idx._shingles_path, nested=False) + _run_dirs(
+        idx._prefix_path, nested=False
+    )
+    assert dirs_before == 6  # (build + e1 + e2) × 2 tables
+
+    s = idx.compact("compact-1")
+    assert set(s["folded_runs"]) == {"build", "e1", "e2"}
+    assert s["partition_dirs_after"] == 2 < dirs_before
+    assert s["skipped_in_flight"] == []
+    assert _labels_map(idx) == before
+    assert set(idx.runs()) == {"build", "e1", "e2"}  # registry preserved
+
+    # committed-replay no-op via the registry
+    replay = {r.doc_id for r in idx.append(b1, run_id="e1").collect()}
+    assert replay == {10} and _labels_map(idx) == before
+
+    # candidate generation against folded state: a near-dup of doc 10
+    # (admitted by folded e1) must land in its cluster
+    b3 = spark.createDataFrame(
+        [Row(doc_id=30, text="the quick brown fox jumps over the lazy dog tonight ok")]
+    )
+    idx.append(b3, run_id="e3")
+    after = _labels_map(idx)
+    assert after[30] == after[10] == after[0]
+
+    # recompact folds the new run + the previous tag
+    s2 = idx.compact("compact-2")
+    assert set(s2["folded_runs"]) == {"compact-1", "e3"}
+    assert _labels_map(idx) == after
+
+
+def test_ndl_compact_skips_in_flight_crashed_run(spark, tmp_path, monkeypatch):
+    """A crashed (uncommitted) append's run dirs are NOT folded — its
+    replay still recomputes against its own partitions and converges to
+    the same labels as the crash-free path."""
+    from pyspark.sql import Row
+
+    from dataeng_azure_spotify_spark.operators.cluster_index import (
+        NearDupLabels,
+    )
+
+    idx, b1, b2 = _ndl_state(spark, tmp_path)
+    b3 = spark.createDataFrame(
+        [Row(doc_id=40, text="novel crashed-epoch words never seen before")]
+    )
+    # crash e3 after its run partitions (and labels) land but before the
+    # run marker commits — the canonical in-flight state
+    real = NearDupLabels._mark_run
+
+    def boom(self, run_id):
+        if run_id == "e3":
+            raise RuntimeError("crash before run marker")
+        return real(self, run_id)
+
+    monkeypatch.setattr(NearDupLabels, "_mark_run", boom)
+    with pytest.raises(RuntimeError):
+        idx.append(b3, run_id="e3")
+    monkeypatch.setattr(NearDupLabels, "_mark_run", real)
+
+    s = idx.compact("compact-1")
+    assert "e3" in s["skipped_in_flight"]
+    assert "e3" not in s["folded_runs"]
+    # the crashed epoch replays fine after compaction
+    got = {r.doc_id for r in idx.append(b3, run_id="e3").collect()}
+    assert got == {40}
+    assert 40 in _labels_map(idx)
+
+
+def test_ndl_compact_remove_after_fold(spark, tmp_path):
+    """remove() keeps working on consolidated partitions: the witness
+    doc's shingle/prefix rows are purged from the tag partition and the
+    cluster re-converges without it."""
+    idx, b1, b2 = _ndl_state(spark, tmp_path)
+    idx.compact("compact-1")
+    before = _labels_map(idx)
+    summary = idx.remove(
+        idx.spark.createDataFrame([(10,)], "doc_id long"), run_id="rm1"
+    )
+    assert summary["removed_labels"] == 1
+    after = _labels_map(idx)
+    assert 10 not in after and set(after) == set(before) - {10}
+    # purged from the consolidated prefix too: a future twin of doc 10's
+    # text cannot link to the removed doc (but still links to doc 0)
+    from pyspark.sql import Row
+
+    twin = idx.spark.createDataFrame(
+        [Row(doc_id=50, text="the quick brown fox jumps over the lazy dog tonight ok")]
+    )
+    idx.append(twin, run_id="e9")
+    final = _labels_map(idx)
+    assert final[50] == final[0]
+
+
+# --------------------------------------------------------------------------
+# IvfIndex
+# --------------------------------------------------------------------------
+
+
+def test_ivf_compact_files(spark, tmp_path):
+    """File-level compaction: appended per-run files collapse to one per
+    bucket; rows (incl. run_id attribution) and probe results are
+    byte-identical; remove still works."""
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(
+        [(i, [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2),
+              float(i % 4 == 3)]) for i in range(16)],
+        schema,
+    )
+    idx = IvfIndex.build(base, str(tmp_path / "ivf"), num_centroids=4,
+                         run_id="r0")
+    for e in range(1, 4):  # three appending runs -> files accrete
+        batch = spark.createDataFrame(
+            [(100 * e + i,
+              [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2),
+               float(i % 4 == 3)]) for i in range(8)],
+            schema,
+        )
+        idx.append(batch, run_id=f"r{e}")
+
+    rows_before = {
+        (r.vec_id, r.run_id, r.centroid_id)
+        for r in idx.buckets().select("vec_id", "run_id", "centroid_id").collect()
+    }
+    probes = base.filter(F.col("vec_id") < 2)
+    q_before = {
+        tuple(r) for r in idx.query(probes, k=3, nprobe=2).collect()
+    }
+
+    s = idx.compact()
+    assert s["files_after"] < s["files_before"]
+    assert s["files_after"] <= 4  # one per bucket dir
+    assert {
+        (r.vec_id, r.run_id, r.centroid_id)
+        for r in idx.buckets().select("vec_id", "run_id", "centroid_id").collect()
+    } == rows_before
+    assert {
+        tuple(r) for r in idx.query(probes, k=3, nprobe=2).collect()
+    } == q_before
+
+    assert idx.remove(spark.createDataFrame([(100,)], "vec_id long")) != []
+    assert idx.buckets().filter(F.col("vec_id") == 100).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Engine facade fan-out
+# --------------------------------------------------------------------------
+
+
+def test_engine_compact_artifacts_fans_out(spark, tmp_path):
+    """One Engine.compact_artifacts call compacts every registered
+    artifact (tagged protocol for the run-partitioned three, file-level
+    for IvfIndex) and reports per-artifact summaries; probes stay
+    identical."""
+    from dataeng_azure_spotify_spark import Engine
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    sub, _dfs, _adm, probe = _substring_state(spark, tmp_path)
+    sem, _sdfs, _sadm = _semantic_state(spark, tmp_path)
+    emb = eng.table("embeddings").limit(20).localCheckpoint(eager=True)
+    ivf = IvfIndex.build(emb, str(tmp_path / "ivf"), num_centroids=2)
+    for art in (sub, sem, ivf):
+        eng.register_artifact(art)
+
+    gram_rows = _grams_snapshot(sub)
+    keep_rows = _keepers_snapshot(sem)
+
+    summary = eng.compact_artifacts("compact-m1")
+    assert len(summary) == 3
+    assert all(
+        s["result"] is not None and "skipped" not in s
+        for s in summary.values()
+    )
+    assert _grams_snapshot(sub) == gram_rows
+    assert _keepers_snapshot(sem) == keep_rows
+    assert {
+        r.run for r in sub.grams().select("run").distinct().collect()
+    } == {"compact-m1"}
+    with pytest.raises(ValueError, match="compact-"):
+        eng.compact_artifacts("not-a-tag")
