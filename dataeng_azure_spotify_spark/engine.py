@@ -47,6 +47,7 @@ from .operators import dedup as _dedup
 from .operators import graph as _graph
 from .operators import ivm as _ivm
 from .operators import pca as _pca
+from .operators import pq as _pq
 from .operators import profile as _profile
 from .operators import ranking as _ranking
 from .operators import relational as _relational
@@ -128,6 +129,10 @@ class Engine:
             jl_project=_similarity.jl_project,
             pca_fit=_pca.pca_fit,
             pca_project=_pca.pca_project,
+            pq_train=_pq.pq_train,
+            pq_encode=_pq.pq_encode,
+            pq_decode=_pq.pq_decode,
+            pq_topk=_pq.pq_topk,
         )
         self.text = SimpleNamespace(
             tokens=_text.tokens_col,

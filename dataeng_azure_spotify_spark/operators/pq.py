@@ -1,0 +1,300 @@
+"""Product quantization (PQ) — the ANN memory-compression scale path
+(Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+Search"; the FAISS IVF-PQ recipe). Beyond-reference surface, completing
+the embedding-compression family (int8 codes, JL projection, PCA):
+where :func:`quantize_embeddings` keeps d bytes/vector, PQ keeps
+``m`` CODES — 4-16 bytes regardless of d — so a 100 TB float corpus
+becomes a few TB of codes scanned entirely JVM/Arrow-side, while
+queries score against it WITHOUT decompression via ADC (asymmetric
+distance computation: per-query lookup tables over the codebook).
+
+Spark-first decomposition:
+
+- **Train** (:func:`pq_train`): per-subspace L2 k-means on a BOUNDED
+  deterministic sample — the ``k`` smallest ``xxhash64(id)`` rows (the
+  ``kmeans_centroids`` init discipline; FAISS likewise trains PQ on a
+  sample). The sample is collected once (``train_n`` × d floats, a
+  driver-bounded quantity independent of corpus size — the BPE
+  merge-table / DsirModel precedent), and the m Lloyd loops run in
+  numpy with hash-order-deterministic init and first-index tie-breaks,
+  so training is bit-reproducible.
+- **Encode** (:func:`pq_encode`): one Arrow-batched ``mapInPandas``
+  pass over the corpus — per subspace, argmin L2 to the broadcast
+  codebook (m × 2^nbits × d/m floats, tiny). Row-parallel,
+  corpus-linear, no shuffle.
+- **Query** (:func:`pq_topk`): per query, an m × 2^nbits
+  inner-product lookup table; each corpus code's approximate score is
+  m TABLE GATHERS (never a d-dim float op). One ``mapInPandas`` scan
+  emits per-partition partial top-k, then a global window takes the
+  final k — the blocked-GEMM partial-bests discipline, never an n×q
+  score table.
+
+Cosine semantics: with ``normalize=True`` (default) vectors are
+unit-normalized before train/encode and queries before LUT
+construction, so the ADC score approximates cosine — consistent with
+the rest of the ANN family. Zero-norm vectors stay zero (score 0,
+never NaN — the ``semantic_dedup`` contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: codebook row layout (sub-quantizer index, code id, sub-centroid)
+PQ_CODEBOOK_SCHEMA = "sub int, code int, centroid array<float>"
+
+
+def _as_matrix(vecs, d: int | None = None):
+    import numpy as np
+
+    m = np.array(list(vecs), dtype=np.float64)
+    if m.ndim == 1:  # empty
+        m = np.zeros((0, d or 1))
+    return m
+
+
+def _unitize(mat):
+    """Row-normalize; zero-norm rows stay zero (no NaN)."""
+    import numpy as np
+
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    return np.where(norms > 0.0, mat / np.where(norms > 0, norms, 1.0), 0.0)
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    nbits: int = 4,
+    iters: int = 8,
+    train_n: int = 16384,
+    normalize: bool = True,
+) -> DataFrame:
+    """Train the PQ codebook: ``m`` sub-quantizers × ``2^nbits`` codes
+    each, L2 Lloyd iterations on a deterministic bounded sample.
+    Returns the codebook DataFrame (``sub``, ``code``, ``centroid``)
+    with ``m × 2^nbits`` rows. Requires d divisible by ``m``.
+
+    Determinism: the sample is the ``train_n`` hash-smallest ids (ties
+    impossible on distinct ids), rows sorted by id before Lloyd, init =
+    first ``k`` sample subvectors, argmin ties break on the first
+    index, empty clusters keep their previous centroid — two trains on
+    the same corpus are bit-identical (pinned in tests)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    k = 1 << int(nbits)
+    sample = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("v")
+        )
+        .withColumn("__h", F.xxhash64("vid"))
+        .orderBy("__h", "vid")
+        .limit(int(train_n))
+        .select("vid", "v")
+        .orderBy("vid")
+        .collect()  # BOUNDED: train_n × d floats, corpus-size-independent
+    )
+    if not sample:
+        raise ValueError("pq_train: empty corpus")
+    mat = _as_matrix([r["v"] for r in sample])
+    d = mat.shape[1]
+    if d % m != 0:
+        raise ValueError(
+            f"pq_train: vector dim {d} not divisible by m={m} sub-quantizers"
+        )
+    if normalize:
+        mat = _unitize(mat)
+    ds = d // m
+    rows = []
+    for sub in range(m):
+        x = mat[:, sub * ds : (sub + 1) * ds]
+        cent = x[: min(k, len(x))].copy()
+        if len(cent) < k:  # tiny corpus: pad by repeating (legal, degenerate)
+            cent = np.vstack([cent] * ((k // max(len(cent), 1)) + 1))[:k]
+        for _ in range(int(iters)):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first-index tie-break
+            for ci in range(k):
+                sel = x[assign == ci]
+                if len(sel):  # empty cluster keeps its previous centroid
+                    cent[ci] = sel.mean(axis=0)
+        rows.extend(
+            (sub, ci, cent[ci].astype(np.float32).tolist()) for ci in range(k)
+        )
+    return spark.createDataFrame(rows, PQ_CODEBOOK_SCHEMA)
+
+
+def _codebook_tensor(codebook: DataFrame):
+    """(m, k, ds) float64 tensor from the codebook rows — O(m·2^nbits)
+    driver state, broadcast via task closures."""
+    import numpy as np
+
+    rows = codebook.select("sub", "code", "centroid").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    ds = len(rows[0]["centroid"])
+    t = np.zeros((m, k, ds), dtype=np.float64)
+    for r in rows:
+        t[r["sub"], r["code"]] = r["centroid"]
+    return t
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(``id_col``, codes array<int>) — each vector compressed to m
+    code ids (argmin L2 per subspace against the broadcast codebook).
+    One Arrow-batched row-parallel pass, no shuffle."""
+    cb = _codebook_tensor(codebook)
+    mq, _k, ds = cb.shape
+
+    def enc(batch_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batch_iter:
+            mat = _as_matrix(pdf["__v"], d=mq * ds)
+            if normalize and len(mat):
+                mat = _unitize(mat)
+            codes = np.zeros((len(mat), mq), dtype=np.int32)
+            for sub in range(mq):
+                x = mat[:, sub * ds : (sub + 1) * ds]
+                # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 — argmin needs
+                # only the last two terms; vectorized over the batch
+                d2 = -2.0 * (x @ cb[sub].T) + (cb[sub] ** 2).sum(axis=1)
+                codes[:, sub] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "codes": list(codes)}
+            )
+
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        _require_integral_id,
+    )
+
+    _require_integral_id(corpus, id_col, "pq_encode")
+    out = corpus.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(enc, "__id long, codes array<int>")
+    return out.select(F.col("__id").alias(id_col), "codes")
+
+
+def pq_decode(
+    codes: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(``id_col``, ``vec_col``) — reconstruction (concatenated
+    sub-centroids); the test surface for quantization error."""
+    cb = _codebook_tensor(codebook)
+
+    def dec(batch_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batch_iter:
+            out = [
+                np.concatenate(
+                    [cb[s, c] for s, c in enumerate(cs)]
+                ).astype(np.float32)
+                for cs in pdf["codes"]
+            ]
+            yield pd.DataFrame({"__id": pdf["__id"], "__v": out})
+
+    out = codes.select(
+        F.col(id_col).cast("long").alias("__id"), "codes"
+    ).mapInPandas(dec, "__id long, __v array<float>")
+    return out.select(F.col("__id").alias(id_col), F.col("__v").alias(vec_col))
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k neighbors of each query over the COMPRESSED
+    corpus via ADC: per query an m × 2^nbits inner-product lookup
+    table (q_sub · centroid), each code row scored with m gathers —
+    the d-dim float math happens once per (query, codebook) pair, not
+    per corpus row. Returns (query_id, neighbor_id, score) with score
+    the ADC approximate cosine/IP, ranked per query (score desc,
+    neighbor_id asc — the :func:`cosine_topk` total order).
+
+    Scale: queries+LUTs broadcast (q × m × 2^nbits doubles), ONE scan
+    of the code table emitting per-partition partial top-k (≤
+    partitions × q × k rows), then a global window takes the final k —
+    never an n×q score table."""
+    import numpy as np
+
+    cb = _codebook_tensor(codebook)
+    mq, kk, ds = cb.shape
+    q_rows = queries.select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("v")
+    ).collect()  # broadcast-scale: the ANN query set is O(queries)
+    if not q_rows:
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double"
+        )
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qmat = _as_matrix([r["v"] for r in q_rows], d=mq * ds)
+    if normalize:
+        qmat = _unitize(qmat)
+    # LUT[q, sub, code] = q_sub · centroid(sub, code)
+    lut = np.einsum("qsd,skd->qsk", qmat.reshape(len(qmat), mq, ds), cb)
+
+    def score(batch_iter):
+        import pandas as pd
+
+        for pdf in batch_iter:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            # gather: scores[q, n] = Σ_sub LUT[q, sub, code[n, sub]]
+            scores = np.zeros((len(qids), len(ids)))
+            for sub in range(mq):
+                scores += lut[:, sub, cmat[:, sub]]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                s = scores[qi]
+                mask = ids != qids[qi] if exclude_self else np.ones(
+                    len(ids), dtype=bool
+                )
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                # partial top-k under the SAME total order as the final
+                # window (score desc, id asc) — a tie straddling the
+                # k-boundary must keep the smaller id (lexsort: last key
+                # is primary)
+                top = cand[np.lexsort((ids[cand], -s[cand]))[: int(k)]]
+                out_q.extend([int(qids[qi])] * len(top))
+                out_n.extend(int(i) for i in ids[top])
+                out_s.extend(float(x) for x in s[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    partial = codes.select(
+        F.col(id_col).cast("long").alias("__id"), "codes"
+    ).mapInPandas(score, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .select("query_id", "neighbor_id", "score")
+    )
