@@ -3257,6 +3257,82 @@ def q_quality_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.score(cat["documents"])
 
 
+#: Unigram-LM trainer parameters for the driver queries. Two hard-EM
+#: rounds over a 4-char piece cap with a binding 120-piece seed cut
+#: (204 eligible multi-char pieces at every SF — measured r9, so the
+#: deterministic (cnt DESC, piece ASC) cap cut is exercised); the
+#: every-run sf0.001 parity sweep re-pins all four against the
+#: unrolled recursive-CTE oracle.
+UNIGRAM_PARAMS = dict(
+    n_iters=2, max_piece_len=4, min_count=2, max_pieces=120
+)
+
+
+def _unigram_tok(spark: SparkSession, sf_dir: str):
+    """Fit-once cached UnigramTokenizer for the driver queries (the
+    ``.bpe_cache`` idiom: keyed by sf_dir + params under a repo-local
+    dir, so repeated bench runs measure the piece-table read /
+    tokenization, not training — training economics are measured
+    separately in docs/BENCH_NOTES.md)."""
+    import hashlib
+
+    from dataeng_azure_spotify_spark.operators.unigram import (
+        UnigramTokenizer,
+    )
+
+    p = UNIGRAM_PARAMS
+    params = (
+        f"{os.path.abspath(sf_dir)}|t{p['n_iters']}|L{p['max_piece_len']}"
+        f"|mc{p['min_count']}|mp{p['max_pieces']}"
+    )
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".unigram_cache", tag
+    )
+    tok = UnigramTokenizer(spark, path)
+    if not tok.exists():
+        cat = _cat(spark, sf_dir)
+        tok = UnigramTokenizer.fit(cat["documents"], path, **p)
+    return tok
+
+
+def q_unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM piece vocabulary
+    (operators/unigram.py unigram_train): SentencePiece's model family
+    learned by hard (Viterbi) EM — (piece, count, score_nano) after
+    two E/M rounds, counts integer by construction (hard assignment)
+    and scores nano-quantized portable_ln log probabilities, so the
+    whole fit is deterministic on any engine or cluster layout.
+
+    FULL EXACT TWIN (not a certificate): the oracle replays the entire
+    fit in one unrolled recursive-CTE query — substring seeding with
+    the deterministic 120-piece cap cut, then per round a recursive
+    path enumeration joined against the previous scores table, argmax
+    per word by (score DESC, path ASC) — the exact DP tie order, since
+    UTF-8 byte order equals code-point order — and the
+    usage-count M-step with the single-character floor. Every piece,
+    count, and nano score of the final table hash-matches, so a
+    seeding, scoring, Viterbi, or M-step bug in any round goes red."""
+    return _unigram_tok(spark, sf_dir).pieces()
+
+
+def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-segmented under the frozen unigram vocabulary
+    (UnigramTokenizer.tokenize — broadcast score dict + memoized
+    Viterbi mapInPandas): (doc_id, n_pieces, pieces) per document,
+    ``pieces`` the space-joined piece string.
+
+    FULL EXACT TWIN: the oracle re-derives the final scores with the
+    recursive-CTE trainer twin, runs one more recursive Viterbi
+    enumeration under them (tokenize ≡ E-step under final scores —
+    the operator invariant pinned in tests/test_unigram.py, here
+    certified cross-engine), and reassembles per-document piece
+    streams in word order. Both piece counts and the exact
+    segmentation strings hash-match."""
+    cat = _cat(spark, sf_dir)
+    return _unigram_tok(spark, sf_dir).tokenize(cat["documents"])
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.7 source mixing: exactly 200 docs with per-source
     quotas ∝ (source size)^0.7 by largest-remainder apportionment —
@@ -4167,6 +4243,177 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def _unigram_score_sql(v: str) -> str:
+    """Score-table twin of operators/unigram.py::_score_table over the
+    vocabulary CTE ``v``: nano-quantized portable-ln log probability
+    per piece, exact BIGINT after the single quantization."""
+    pln_c = duck_portable_ln_sql("cnt")
+    pln_t = duck_portable_ln_sql("tot")
+    return (
+        f"SELECT piece, cnt, CAST(floor(({pln_c} - {pln_t}) * 1e9 + 0.5)"
+        f" AS BIGINT) AS score_nano"
+        f" FROM {v}, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM {v})"
+    )
+
+
+def _unigram_ctes(
+    n_iters: int, max_piece_len: int, min_count: int, max_pieces: int
+) -> str:
+    """Shared unrolled replay of the unigram-LM hard-EM trainer
+    (operators/unigram.py::unigram_train, primitive-for-primitive):
+
+    - word frequencies: the ``tokens_col``/``_word_freq`` contract
+      (same CTE text as the BPE twin);
+    - seeding: every substring of length ≤ ``max_piece_len`` counted
+      over occurrence positions weighted by word freq; all single
+      chars kept, multi-char pieces need count ≥ ``min_count`` and
+      survive the deterministic top-``max_pieces`` cut
+      (cnt DESC, piece ASC);
+    - per round k: a RECURSIVE path enumeration over each word joined
+      against the previous round's score table (every segmentation
+      into vocabulary pieces — words are short, so paths are bounded
+      2^(len−1)), argmax per word by (score DESC, path ASC) — exactly
+      the Spark DP's total order, because appending a common suffix
+      never reorders two distinct prefixes covering the same
+      characters and UTF-8 byte order equals code-point order — then
+      integer usage counts and the M-step vocab rule (drop unused
+      multi-char pieces; single chars floor at count 1);
+    - scores: ``_unigram_score_sql`` nano-quantized log probabilities.
+
+    Emits CTEs ``wf``, ``subs``, ``v0``/``s0``, and per round
+    ``p{k}/b{k}/u{k}/v{k}/s{k}``; the caller selects from
+    ``s{n_iters}`` (vocab twin) or runs one more Viterbi under it
+    (tokenize twin)."""
+    parts = [
+        f"""
+wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  WHERE word <> '' GROUP BY word
+),
+subs AS (
+  SELECT substring(word, s.i, l.l) AS piece,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM wf,
+       unnest(range(1, length(word) + 1)) s(i),
+       unnest(range(1, {int(max_piece_len) + 1})) l(l)
+  WHERE s.i + l.l - 1 <= length(word)
+  GROUP BY 1
+),
+v0 AS (
+  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM subs WHERE length(piece) >= 2 AND cnt >= {int(min_count)})
+  WHERE rn <= {int(max_pieces)}
+),
+s0 AS ({_unigram_score_sql('v0')})"""
+    ]
+    for k in range(1, int(n_iters) + 1):
+        p, s_prev = f"p{k}", f"s{k - 1}"
+        parts.append(
+            f"""
+{p}(word, freq, pos, path, score) AS (
+  SELECT word, freq, 0, '', CAST(0 AS BIGINT) FROM wf
+  UNION ALL
+  SELECT q.word, q.freq, q.pos + length(v.piece),
+         CASE WHEN q.path = '' THEN v.piece
+              ELSE q.path || chr(31) || v.piece END,
+         q.score + v.score_nano
+  FROM {p} q JOIN {s_prev} v
+    ON q.pos < length(q.word)
+   AND v.piece = substring(q.word, q.pos + 1, length(v.piece))
+),
+b{k} AS (
+  SELECT word, freq, path FROM (
+    SELECT word, freq, path,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY score DESC, path ASC) AS rn
+    FROM {p} WHERE pos = length(word))
+  WHERE rn = 1
+),
+u{k} AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS u FROM (
+    SELECT unnest(string_split(path, chr(31))) AS piece, freq FROM b{k})
+  GROUP BY 1
+),
+v{k} AS (
+  SELECT s.piece, COALESCE(u.u, 1) AS cnt
+  FROM {s_prev} s LEFT JOIN u{k} u USING (piece)
+  WHERE COALESCE(u.u, 0) > 0 OR length(s.piece) = 1
+),
+s{k} AS ({_unigram_score_sql(f'v{k}')})"""
+        )
+    return ",".join(parts)
+
+
+def _unigram_vocab_oracle(**params) -> str:
+    """Full exact twin of q_unigram_vocab_table: the final piece table
+    re-derived by the unrolled hard-EM replay."""
+    return f"""
+WITH RECURSIVE
+{_unigram_ctes(**params)}
+SELECT piece, cnt AS count, score_nano FROM s{int(params["n_iters"])}
+"""
+
+
+def _unigram_tokenize_oracle(**params) -> str:
+    """Full exact twin of q_unigram_tokenize_stats: per-document piece
+    count + exact segmentation string from one more recursive Viterbi
+    under the final scores, reassembled in document word order. Docs
+    whose text yields no words (NULL/blank) surface with 0 pieces and
+    '' — UnigramTokenizer.tokenize's convention."""
+    T = int(params["n_iters"])
+    return f"""
+WITH RECURSIVE
+{_unigram_ctes(**params)},
+ptok(word, pos, path, score) AS (
+  SELECT word, 0, '', CAST(0 AS BIGINT) FROM wf
+  UNION ALL
+  SELECT q.word, q.pos + length(v.piece),
+         CASE WHEN q.path = '' THEN v.piece
+              ELSE q.path || chr(31) || v.piece END,
+         q.score + v.score_nano
+  FROM ptok q JOIN s{T} v
+    ON q.pos < length(q.word)
+   AND v.piece = substring(q.word, q.pos + 1, length(v.piece))
+),
+btok AS (
+  SELECT word, path FROM (
+    SELECT word, path,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY score DESC, path ASC) AS rn
+    FROM ptok WHERE pos = length(word))
+  WHERE rn = 1
+),
+docw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+expl AS (
+  SELECT doc_id, t.i AS pos, ws[t.i] AS word
+  FROM docw, unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[t.i] <> ''
+),
+agg AS (
+  SELECT e.doc_id,
+         CAST(SUM(len(string_split(b.path, chr(31)))) AS BIGINT)
+             AS n_pieces,
+         string_agg(replace(b.path, chr(31), ' '), ' ' ORDER BY e.pos)
+             AS pieces
+  FROM expl e JOIN btok b ON e.word = b.word
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_pieces, 0) AS n_pieces,
+       COALESCE(a.pieces, '') AS pieces
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def _quality_nb_model_oracle(buckets: int) -> str:
     """Twin of q_quality_nb_model_score: the in-corpus NB oracle minus
     the training label column (the model artifact does not persist
@@ -4640,18 +4887,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # entries in dict order. Round-9 rotation: positions 1-3 are this
+    # entries in dict order. Round-9 rotation: positions 1-5 are this
     # round's new queries (the two BPE twins — the one operator family
-    # with no prior CORRECTNESS entry — and the persisted-NB-model score
-    # path). Positions 4-50 rotate the LLM dedup/ANN/curation tier back
-    # in (last driver-certified r7, two rounds stale at driver scale).
-    # The relational/TPC-H/SURVEY-2 tier (just recertified r8) and the
-    # event/streaming remainder move below 50 — everything there stays
-    # continuously verified by tests/test_oracle_parity.py at sf0.001
-    # every run and the slow-marked sf0.01 sweep (the driver's scale).
+    # with no prior CORRECTNESS entry — the two unigram-LM twins, and
+    # the persisted-NB-model score path). Positions 6-50 rotate the LLM
+    # dedup/ANN/curation tier back in (last driver-certified r7, two
+    # rounds stale at driver scale); multimodal_features and
+    # profile_docs (both pass(r7)) yield their slots to the unigram
+    # queries. The relational/TPC-H/SURVEY-2 tier (just recertified r8)
+    # and the event/streaming remainder sit below 50 — everything there
+    # stays continuously verified by tests/test_oracle_parity.py at
+    # sf0.001 every run and the slow-marked sf0.01 sweep (the driver's
+    # scale).
     return {
         "bpe_merge_table": q_bpe_merge_table,
         "bpe_tokenize_stats": q_bpe_tokenize_stats,
+        "unigram_vocab_table": q_unigram_vocab_table,
+        "unigram_tokenize_stats": q_unigram_tokenize_stats,
         "quality_nb_model_score": q_quality_nb_model_score,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
@@ -4698,9 +4950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
+        # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
         "multimodal_features": q_multimodal_features,
         "profile_docs": q_profile_docs,
-        # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
         "sentence_split": q_sentence_split,
         "dup_span_stats": q_dup_span_stats,
         "substring_dup_spans": q_substring_dup_spans,
@@ -4783,6 +5035,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_merge_table": _bpe_merge_oracle(BPE_NUM_MERGES),
         "bpe_tokenize_stats": _bpe_tokenize_oracle(BPE_NUM_MERGES),
+        "unigram_vocab_table": _unigram_vocab_oracle(**UNIGRAM_PARAMS),
+        "unigram_tokenize_stats": _unigram_tokenize_oracle(
+            **UNIGRAM_PARAMS
+        ),
         "quality_nb_model_score": _quality_nb_model_oracle(buckets=4096),
         "ann_pq_topk": _ann_certificate_oracle(),
         "split_leakage_safe": _split_leakage_safe_oracle(threshold=0.5),

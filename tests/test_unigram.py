@@ -1,0 +1,203 @@
+"""Unigram-LM tokenizer training (operators/unigram.py): the
+distributed hard-EM trainer must match a straightforward single-node
+reference implementation piece-for-piece (seeding, the cap cut, every
+E/M round, nano scores), and tokenize() must reproduce final-round
+E-step segmentations on the training corpus."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+
+from dataeng_azure_spotify_spark.functions.mathx import _COEFFS, LN2
+from dataeng_azure_spotify_spark.operators.unigram import (
+    SEP,
+    UNK_NANO,
+    UnigramTokenizer,
+    _viterbi,
+    unigram_train,
+)
+
+
+def _pln(x: int) -> float:
+    """Independent Python replay of the portable_ln fixed IEEE tree
+    (Python floats are IEEE doubles with correctly-rounded + − × ÷,
+    so this is bit-equal to both engines)."""
+    e = int(x).bit_length() - 1
+    m = x / (1 << e)
+    t = (m - 1.0) / (m + 1.0)
+    u = t * t
+    poly = _COEFFS[0]
+    for c in _COEFFS[1:]:
+        poly = c + u * poly
+    return e * LN2 + 2.0 * t * (1.0 + u * poly)
+
+
+def _nano(c: int, tot: int) -> int:
+    return int(math.floor((_pln(c) - _pln(tot)) * 1e9 + 0.5))
+
+
+def _ref_viterbi(word: str, scores: dict, max_len: int) -> list[str]:
+    """Independent best-segmentation DP: max score sum, ties to the
+    lexicographically smallest SEP-joined path."""
+    n = len(word)
+    best: list = [None] * (n + 1)
+    best[0] = (0, "")
+    for i in range(n):
+        if best[i] is None:
+            continue
+        s0, p0 = best[i]
+        matched = False
+        for ln in range(1, min(max_len, n - i) + 1):
+            piece = word[i : i + ln]
+            if piece not in scores:
+                continue
+            matched = True
+            cand = (s0 + scores[piece], (p0 + SEP + piece) if p0 else piece)
+            j = i + ln
+            if (
+                best[j] is None
+                or cand[0] > best[j][0]
+                or (cand[0] == best[j][0] and cand[1] < best[j][1])
+            ):
+                best[j] = cand
+        if not matched:
+            cand = (s0 + UNK_NANO, (p0 + SEP + word[i]) if p0 else word[i])
+            if (
+                best[i + 1] is None
+                or cand[0] > best[i + 1][0]
+                or (cand[0] == best[i + 1][0] and cand[1] < best[i + 1][1])
+            ):
+                best[i + 1] = cand
+    return best[n][1].split(SEP)
+
+
+def _ref_unigram(
+    texts, n_iters=2, max_piece_len=4, min_count=2, max_pieces=200
+):
+    """Single-node reference hard-EM unigram trainer (module docstring
+    of operators/unigram.py, re-derived independently)."""
+    wf = Counter(w for t in texts for w in t.split())
+    subs: Counter = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                subs[w[i : i + ln]] += f
+    vocab = {p: c for p, c in subs.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in subs.items() if len(p) >= 2 and c >= min_count),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:max_pieces]
+    vocab.update(dict(multi))
+    for _ in range(n_iters):
+        tot = sum(vocab.values())
+        scores = {p: _nano(c, tot) for p, c in vocab.items()}
+        usage: Counter = Counter()
+        for w, f in wf.items():
+            for p in _ref_viterbi(w, scores, max_piece_len):
+                usage[p] += f
+        vocab = {
+            p: (usage[p] if usage[p] > 0 else 1)
+            for p in vocab
+            if usage[p] > 0 or len(p) == 1
+        }
+    tot = sum(vocab.values())
+    return {p: (c, _nano(c, tot)) for p, c in vocab.items()}, wf
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest new low",
+    "the the the the a a an an",
+    "aaaa aaa aa aaaa",  # overlap chains exercise seeding + Viterbi
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(CORPUS)]
+    )
+
+
+def test_unigram_train_matches_reference(spark):
+    """Piece-for-piece equality (vocab membership, integer counts,
+    nano scores) with the single-node reference at 1 and 3 EM rounds,
+    with and without a binding cap."""
+    df = _df(spark)
+    for n_iters, cap in ((1, 10), (3, 200)):
+        got = {
+            r["piece"]: (r["count"], r["score_nano"])
+            for r in unigram_train(
+                df, n_iters=n_iters, max_pieces=cap
+            ).collect()
+        }
+        want, _ = _ref_unigram(CORPUS, n_iters=n_iters, max_pieces=cap)
+        assert got == want, f"n_iters={n_iters} cap={cap}"
+
+
+def test_unigram_determinism_and_char_floor(spark):
+    """Repeated runs are identical (all tie-breaks total); every
+    character of every training word survives every M-step (the
+    segmentability floor)."""
+    df = _df(spark)
+    a = sorted(map(tuple, unigram_train(df, n_iters=2).collect()))
+    b = sorted(map(tuple, unigram_train(df, n_iters=2).collect()))
+    assert a == b and len(a) > 0
+    pieces = {p for p, _, _ in a}
+    chars = {c for t in CORPUS for w in t.split() for c in w}
+    assert chars <= pieces
+
+
+def test_viterbi_tie_breaks_on_path_order():
+    """An exact score tie between segmentations resolves to the
+    lexicographically smallest SEP-joined path: 'a'+'b' (path
+    'a\\x1fb') beats 'ab' because SEP sorts below every printable
+    char — the same comparison the DuckDB twin's ORDER BY performs."""
+    scores = {"ab": -2, "a": -1, "b": -1}
+    assert _viterbi("ab", scores, 2) == "a" + SEP + "b"
+    # ... and a genuinely better single piece still wins
+    assert _viterbi("ab", {"ab": -1, "a": -1, "b": -1}, 2) == "ab"
+
+
+def test_unigram_artifact_and_replay(spark, tmp_path):
+    """(a) tokenize() on the training corpus reproduces the reference
+    trainer's final-scores Viterbi per word; (b) unseen characters
+    fall back to singleton pieces (UNK) without crashing; (c) NULL
+    text yields 0 pieces; (d) meta is the commit marker."""
+    import shutil
+
+    df = _df(spark)
+    path = str(tmp_path / "uni")
+    tok = UnigramTokenizer.fit(df, path, n_iters=2)
+
+    final, wf = _ref_unigram(CORPUS, n_iters=2)
+    scores = {p: s for p, (_, s) in final.items()}
+    got = {r["doc_id"]: r for r in tok.tokenize(df).collect()}
+    for i, t in enumerate(CORPUS):
+        want = [p for w in t.split() for p in _ref_viterbi(w, scores, 4)]
+        assert got[i]["pieces"].split(" ") == want, f"doc {i}"
+        assert got[i]["n_pieces"] == len(want)
+
+    novel = spark.createDataFrame(
+        [(99, "low Zq low"), (100, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in UnigramTokenizer.load(spark, path)
+        .tokenize(novel)
+        .collect()
+    }
+    # 'Z' and 'q'... 'q' may be unseen; both unseen chars surface as
+    # singleton pieces and the known words segment normally
+    assert rows[99]["n_pieces"] >= 4
+    assert "Z" in rows[99]["pieces"].split(" ")
+    assert rows[100]["n_pieces"] == 0 and rows[100]["pieces"] == ""
+
+    shutil.rmtree(tok._meta_path)
+    assert not UnigramTokenizer(spark, path).exists()
+    with pytest.raises(FileNotFoundError):
+        UnigramTokenizer.load(spark, path)
