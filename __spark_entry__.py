@@ -3257,6 +3257,63 @@ def q_quality_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.score(cat["documents"])
 
 
+#: Candidate ``score_nano`` cutoffs for the NB operating-point sweep:
+#: six points spanning the corpus score range (≈0.5e9 … 58.6e9 at
+#: every SF — measured r9), so the confusion counts actually move
+#: across the grid.
+NB_SWEEP_THRESHOLDS = (
+    0,
+    10_000_000_000,
+    20_000_000_000,
+    30_000_000_000,
+    40_000_000_000,
+    50_000_000_000,
+)
+
+
+def q_nb_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration for the NB quality filter
+    (operators/quality_nb.py nb_threshold_sweep): confusion counts and
+    exact-ppm precision/recall/F1 at six score_nano cutoffs — the step
+    that picks ``NbQualityAdmitter.min_score_nano`` before the model
+    gates a corpus. ONE corpus-linear aggregation (4·|T| conditional
+    sums, map-side combined into a single scalar row), so the sweep
+    costs one scan regardless of grid size."""
+    from dataeng_azure_spotify_spark.functions.text import gopher_pass_col
+    from dataeng_azure_spotify_spark.operators.quality_nb import (
+        nb_quality_train_score,
+        nb_threshold_sweep,
+    )
+
+    cat = _cat(spark, sf_dir)
+    scored = nb_quality_train_score(
+        cat["documents"], gopher_pass_col("text"), buckets=4096
+    )
+    return nb_threshold_sweep(scored, list(NB_SWEEP_THRESHOLDS))
+
+
+#: Blocklist for the C4-style bad-words gate. 'slow'/'dup' are real
+#: corpus tokens with very different document frequencies (~92%/~5% of
+#: docs), so the ppm accounting and the keep threshold both get
+#: exercised rather than degenerating to all-keep or all-drop.
+BLOCKLIST_WORDS = ("dup", "slow")
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words filter (operators/curation.py blocklist_filter):
+    per-document blocked-token count, exact ppm ratio, and the keep
+    flag at a 4% budget. Pure JVM array expressions over the token
+    array — no UDF, no shuffle, one corpus scan."""
+    from dataeng_azure_spotify_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return blocklist_filter(
+        cat["documents"], BLOCKLIST_WORDS, max_blocked_ppm=40000
+    )
+
+
 #: Unigram-LM trainer parameters for the driver queries. Two hard-EM
 #: rounds over a 4-char piece cap with a binding 120-piece seed cut
 #: (204 eligible multi-char pieces at every SF — measured r9, so the
@@ -4522,6 +4579,70 @@ FROM scored s JOIN lab USING (doc)
 """
 
 
+def _nb_threshold_sweep_oracle(buckets: int, thresholds) -> str:
+    """Twin of q_nb_threshold_sweep: the in-corpus NB oracle scored
+    once, confusion counts per cutoff, ppm ratios via the same
+    numerator·1e6 double divide + floor (exact below 2^53, so both
+    engines floor the identical double)."""
+    thr_list = ", ".join(str(int(t)) for t in thresholds)
+    return f"""
+WITH scored AS ({_quality_nb_oracle(buckets)}),
+thr AS (SELECT unnest([{thr_list}]::BIGINT[]) AS thr_nano),
+c AS (
+  SELECT t.thr_nano,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN s.score_nano > t.thr_nano AND s.label_hq
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s.score_nano > t.thr_nano AND NOT s.label_hq
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN s.score_nano <= t.thr_nano AND s.label_hq
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN s.score_nano <= t.thr_nano AND NOT s.label_hq
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored s CROSS JOIN thr t
+  GROUP BY 1
+)
+SELECT thr_nano, n_docs, tp + fp AS n_pred_pos, tp, fp, fn, tn,
+       CASE WHEN tp + fp = 0 THEN 0
+            ELSE CAST(floor((CAST(tp AS DOUBLE) * 1000000.0) / (tp + fp))
+                 AS BIGINT) END AS precision_ppm,
+       CASE WHEN tp + fn = 0 THEN 0
+            ELSE CAST(floor((CAST(tp AS DOUBLE) * 1000000.0) / (tp + fn))
+                 AS BIGINT) END AS recall_ppm,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+            ELSE CAST(floor((CAST(2 * tp AS DOUBLE) * 1000000.0)
+                            / (2 * tp + fp + fn)) AS BIGINT)
+       END AS f1_ppm
+FROM c
+"""
+
+
+def _blocklist_filter_oracle(words, max_ppm: int) -> str:
+    """Twin of q_blocklist_filter: same token array (_TOKS), same exact
+    ppm floor, same keep threshold."""
+    in_list = ", ".join(f"'{w}'" for w in sorted(set(words)))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ({in_list}))) AS BIGINT)
+             AS n_blocked
+  FROM t
+), p AS (
+  SELECT doc_id, n_tokens, n_blocked,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE CAST(floor((CAST(n_blocked AS DOUBLE) * 1000000.0)
+                              / n_tokens) AS BIGINT)
+         END AS blocked_ppm
+  FROM b
+)
+SELECT doc_id, n_tokens, n_blocked, blocked_ppm,
+       blocked_ppm <= {int(max_ppm)} AS keep
+FROM p
+"""
+
+
 def _temperature_mix_oracle(total_n: int, alpha: float = 0.5) -> str:
     """Twin of temperature_mix: c^alpha weights nano-quantized —
     alpha=1.0 pure integer, alpha=0.5 sqrt (IEEE-correctly-rounded,
@@ -4887,14 +5008,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # entries in dict order. Round-9 rotation: positions 1-5 are this
+    # entries in dict order. Round-9 rotation: positions 1-7 are this
     # round's new queries (the two BPE twins — the one operator family
-    # with no prior CORRECTNESS entry — the two unigram-LM twins, and
-    # the persisted-NB-model score path). Positions 6-50 rotate the LLM
+    # with no prior CORRECTNESS entry — the two unigram-LM twins, the
+    # persisted-NB-model score path, the NB threshold sweep, and the
+    # C4 blocklist gate). Positions 8-50 rotate the LLM
     # dedup/ANN/curation tier back in (last driver-certified r7, two
-    # rounds stale at driver scale); multimodal_features and
-    # profile_docs (both pass(r7)) yield their slots to the unigram
-    # queries. The relational/TPC-H/SURVEY-2 tier (just recertified r8)
+    # rounds stale at driver scale); multimodal_features, profile_docs,
+    # token_counts and doc_fingerprints (all pass(r7)) yield their
+    # slots to the new queries.
+    # The relational/TPC-H/SURVEY-2 tier (just recertified r8)
     # and the event/streaming remainder sit below 50 — everything there
     # stays continuously verified by tests/test_oracle_parity.py at
     # sf0.001 every run and the slow-marked sf0.01 sweep (the driver's
@@ -4905,6 +5028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab_table": q_unigram_vocab_table,
         "unigram_tokenize_stats": q_unigram_tokenize_stats,
         "quality_nb_model_score": q_quality_nb_model_score,
+        "nb_threshold_sweep": q_nb_threshold_sweep,
+        "blocklist_filter": q_blocklist_filter,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "ann_pq_topk": q_ann_pq_topk,
@@ -4948,9 +5073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "gopher_quality": q_gopher_quality,
         "text_stats": q_text_stats,
+        # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
-        # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
         "multimodal_features": q_multimodal_features,
         "profile_docs": q_profile_docs,
         "sentence_split": q_sentence_split,
@@ -5040,6 +5165,12 @@ def oracle_sql() -> dict[str, str]:
             **UNIGRAM_PARAMS
         ),
         "quality_nb_model_score": _quality_nb_model_oracle(buckets=4096),
+        "nb_threshold_sweep": _nb_threshold_sweep_oracle(
+            4096, NB_SWEEP_THRESHOLDS
+        ),
+        "blocklist_filter": _blocklist_filter_oracle(
+            BLOCKLIST_WORDS, max_ppm=40000
+        ),
         "ann_pq_topk": _ann_certificate_oracle(),
         "split_leakage_safe": _split_leakage_safe_oracle(threshold=0.5),
         "neardup_rate_by_source": _neardup_rate_by_source_oracle(threshold=0.5),

@@ -40,6 +40,7 @@ from .operators import analytics as _analytics
 from .operators import asof as _asof
 from .operators import cluster_index as _cluster_index
 from .operators import bpe as _bpe
+from .operators import unigram as _unigram
 from .operators import curation as _curation
 from .operators import quality_nb as _quality_nb
 from .operators import substring as _substring
@@ -172,8 +173,12 @@ class Engine:
             nb_quality=_quality_nb.nb_quality_train_score,
             nb_quality_model=_quality_nb.NbQualityModel,
             nb_quality_admitter=_quality_nb.NbQualityAdmitter,
+            nb_threshold_sweep=_quality_nb.nb_threshold_sweep,
+            blocklist_filter=_curation.blocklist_filter,
             bpe_train=_bpe.bpe_train,
             bpe_tokenizer=_bpe.BpeTokenizer,
+            unigram_train=_unigram.unigram_train,
+            unigram_tokenizer=_unigram.UnigramTokenizer,
             heavy_hitters=_sketch.heavy_hitters,
             profile=_profile.profile_table,
         )

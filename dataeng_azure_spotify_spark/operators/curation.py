@@ -1161,3 +1161,53 @@ def temperature_mix(
             F.col("c_s").alias("src_available"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: "tuple[str, ...] | list[str]",
+    max_blocked_ppm: int = 40000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style bad-words gate (Raffel et al. 2020 §2.2 drop documents
+    containing blocklisted words; RefinedWeb/Gopher run the same stage
+    with a ratio threshold instead of any-hit): per-document blocked
+    token accounting plus the keep flag a curation pipeline filters
+    on. Returns (``id_col``, n_tokens, n_blocked, blocked_ppm, keep)
+    where ``blocked_ppm`` is exact parts-per-million of whitespace
+    tokens (``tokens_col`` semantics — blank text → 0 tokens → 0 ppm)
+    and ``keep = blocked_ppm <= max_blocked_ppm`` (so ``max_blocked_ppm
+    = 0`` is C4's any-hit drop). Matching is exact token equality —
+    case/normalization is the caller's concern, as in the C4 recipe.
+
+    Scale: pure JVM row-parallel expressions (array filter + size on
+    the token array), no shuffle, no UDF; the blocklist is a literal
+    in the plan (wordlists are KBs). One corpus scan."""
+    from dataeng_azure_spotify_spark.functions.text import (
+        token_count,
+        tokens_col,
+    )
+
+    words = sorted(set(str(w) for w in blocklist))
+    toks = tokens_col(text_col)
+    n_tokens = token_count(text_col)
+    n_blocked = F.size(
+        F.filter(toks, lambda t: t.isin(words))
+    ).cast("long")
+    ppm = (
+        F.when(n_tokens == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (n_blocked.cast("double") * F.lit(1000000.0)) / n_tokens
+            )
+        )
+        .cast("long")
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_blocked.alias("n_blocked"),
+        ppm.alias("blocked_ppm"),
+        (ppm <= F.lit(int(max_blocked_ppm))).alias("keep"),
+    )

@@ -346,3 +346,87 @@ class NbQualityAdmitter:
         return batch.join(
             keep.select(m.id_col), m.id_col, "left_semi"
         )
+
+
+def nb_threshold_sweep(
+    scored: DataFrame, thresholds: "list[int]"
+) -> DataFrame:
+    """Operating-point sweep of a scored corpus: confusion counts and
+    precision/recall/F1 at each candidate ``score_nano`` cutoff — how
+    a pipeline picks ``NbQualityAdmitter.min_score_nano`` (the
+    classifier-calibration step every trained quality filter needs
+    before it gates 100 TB).
+
+    ``scored`` is ``nb_quality_train_score`` output (needs
+    ``score_nano`` + ``label_hq``); prediction at cutoff t is
+    ``score_nano > t`` (the ``pred_hq``/admitter convention). Returns
+    one row per threshold: (thr_nano, n_docs, n_pred_pos, tp, fp, fn,
+    tn, precision_ppm, recall_ppm, f1_ppm) — counts exact BIGINTs,
+    ratios exact parts-per-million (numerator·1e6 ≤ 2^53 so the
+    double divide + floor is engine-identical; zero denominators
+    report 0).
+
+    Scale: ONE corpus-linear aggregation — thresholds become 4·|T|
+    conditional-sum expressions in a single ``agg`` (map-side partial
+    combine, one scalar row out), then the per-threshold rows are
+    exploded driver-side from that row. No crossJoin row
+    multiplication, nothing corpus-sized shuffles."""
+    ts = [int(t) for t in thresholds]
+    pos = F.col("label_hq")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for i, t in enumerate(ts):
+        pred = F.col("score_nano") > F.lit(t)
+        for tag, cond in (
+            ("tp", pred & pos),
+            ("fp", pred & ~pos),
+            ("fn", ~pred & pos),
+            ("tn", ~pred & ~pos),
+        ):
+            aggs.append(
+                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"{tag}_{i}")
+            )
+    one = scored.agg(*aggs)
+    per_thr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("long").alias("thr_nano"),
+                    F.col(f"tp_{i}").alias("tp"),
+                    F.col(f"fp_{i}").alias("fp"),
+                    F.col(f"fn_{i}").alias("fn"),
+                    F.col(f"tn_{i}").alias("tn"),
+                )
+                for i, t in enumerate(ts)
+            ]
+        )
+    ).alias("r")
+    rows = one.select("n_docs", per_thr).select("n_docs", "r.*")
+
+    def _ppm(num: F.Column, den: F.Column) -> F.Column:
+        return (
+            F.when(den == 0, F.lit(0))
+            .otherwise(
+                F.floor((num.cast("double") * F.lit(1000000.0)) / den)
+            )
+            .cast("long")
+        )
+
+    return rows.select(
+        "thr_nano",
+        "n_docs",
+        (F.col("tp") + F.col("fp")).alias("n_pred_pos"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _ppm(F.col("tp"), F.col("tp") + F.col("fp")).alias(
+            "precision_ppm"
+        ),
+        _ppm(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_ppm"),
+        _ppm(
+            F.lit(2) * F.col("tp"),
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1_ppm"),
+    )
