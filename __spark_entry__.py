@@ -3257,6 +3257,22 @@ def q_quality_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.score(cat["documents"])
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REWRITE (operators/substring.py
+    remove_duplicate_spans): every duplicated span excised from every
+    document, surviving tokens reassembled — the transform Lee et
+    al.'s released tool applies after detection (all occurrences
+    removed). Detection shares duplicate_spans' interval union;
+    rewrite is a per-doc span-array join + JVM index-lambda filter,
+    no UDF, no extra corpus shuffle."""
+    from dataeng_azure_spotify_spark.operators.substring import (
+        remove_duplicate_spans,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return remove_duplicate_spans(cat["documents"], k=8, min_count=2)
+
+
 #: Candidate ``score_nano`` cutoffs for the NB operating-point sweep:
 #: six points spanning the corpus score range (≈0.5e9 … 58.6e9 at
 #: every SF — measured r9), so the confusion counts actually move
@@ -4746,6 +4762,40 @@ SELECT doc AS doc_id, span_start, span_len, n_grams FROM spans
 """
 
 
+def _remove_dup_spans_oracle(k: int, min_count: int) -> str:
+    """Twin of q_remove_dup_spans: the shared span CTE chain, then
+    positions NOT covered by any span reassembled in order (positional
+    zip of the token unnest, the gramrows idiom)."""
+    return f"""
+WITH {_dup_span_ctes(k, min_count)},
+posw AS (
+    SELECT doc,
+           unnest(generate_series(0, len(t) - 1)) AS pos,
+           unnest(t) AS w
+    FROM toks WHERE len(t) >= 1
+), kept AS (
+    SELECT p.doc, p.pos, p.w
+    FROM posw p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc = p.doc
+          AND p.pos >= s.span_start
+          AND p.pos < s.span_start + s.span_len)
+), agg AS (
+    SELECT doc,
+           CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+           string_agg(w, ' ' ORDER BY pos) AS text_clean
+    FROM kept GROUP BY doc
+)
+SELECT t.doc AS doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(a.kept_tokens, 0) AS BIGINT)
+           AS removed_tokens,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM toks t LEFT JOIN agg a ON t.doc = a.doc
+"""
+
+
 def _dup_span_stats_oracle(k: int, min_count: int) -> str:
     return f"""
 WITH {_dup_span_ctes(k, min_count)},
@@ -5030,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_nb_model_score": q_quality_nb_model_score,
         "nb_threshold_sweep": q_nb_threshold_sweep,
         "blocklist_filter": q_blocklist_filter,
+        "remove_dup_spans": q_remove_dup_spans,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5072,8 +5123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "heavy_hitters": q_heavy_hitters,
         "gopher_quality": q_gopher_quality,
-        "text_stats": q_text_stats,
         # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
+        "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
@@ -5171,6 +5222,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _blocklist_filter_oracle(
             BLOCKLIST_WORDS, max_ppm=40000
         ),
+        "remove_dup_spans": _remove_dup_spans_oracle(k=8, min_count=2),
         "ann_pq_topk": _ann_certificate_oracle(),
         "split_leakage_safe": _split_leakage_safe_oracle(threshold=0.5),
         "neardup_rate_by_source": _neardup_rate_by_source_oracle(threshold=0.5),

@@ -108,6 +108,7 @@ class Engine:
             labels_index=_cluster_index.NearDupLabels,
             dup_spans=_substring.duplicate_spans,
             dup_span_stats=_substring.dup_span_stats,
+            remove_dup_spans=_substring.remove_duplicate_spans,
             substring_index=_substring.SubstringDupIndex,
             incremental_substring=_substring.IncrementalSubstringDedup,
         )

@@ -214,6 +214,67 @@ def dup_span_stats(
     return _span_coverage_stats(spans, base, id_col)
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """The REWRITE step of ExactSubstr dedup: excise every duplicated
+    span from every document and reassemble the surviving tokens —
+    Lee et al. 2022 §3.2's transform as actually shipped (the released
+    ``deduplicate-text-datasets`` tool removes ALL occurrences of a
+    duplicated substring, not all-but-one; this mirrors that, and the
+    detection is :func:`duplicate_spans`'s interval union so the two
+    operators can never disagree on what a span is).
+
+    Returns (``id_col``, n_tokens, removed_tokens, text_clean) for
+    EVERY input document — docs with no duplicated spans (or < k
+    tokens) pass through with ``removed_tokens = 0``; a fully-covered
+    document comes back with ``text_clean = ''``. Reassembly joins
+    kept tokens with single spaces (tokens are whitespace-split, so
+    this is the canonical form of the surviving text).
+
+    Scale: detection is the gram-table shuffle of
+    :func:`_dup_positions` (corpus-linear, never pairwise); the
+    rewrite is one broadcast-able per-doc span-array join (spans per
+    doc are few — bounded by n_tokens/k) and a JVM array filter with
+    an index lambda — no UDF, no extra corpus shuffle."""
+    spans = _merge_positions_to_spans(
+        _dup_positions(df, text_col, id_col, k, min_count), k
+    )
+    sp_arr = spans.groupBy("doc").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len")).alias("e"),
+            )
+        ).alias("sp")
+    )
+    base = df.select(
+        F.col(id_col), tokens_col(text_col).alias("t")
+    )
+    joined = base.join(
+        sp_arr, base[id_col] == sp_arr["doc"], "left"
+    ).drop("doc")
+    sp = F.coalesce(
+        F.col("sp"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda w, i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 #: Bump when the on-disk layout changes incompatibly (the
 #: NearDupLabels/SemanticDedupIndex versioning discipline).
 SUBSTR_FORMAT_VERSION = 1

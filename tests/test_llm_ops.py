@@ -1777,6 +1777,50 @@ def test_substring_dedup_spans_semantics(spark):
     assert (11, 0, 3) in sp2 and (11, 5, 3) in sp2  # gap 5 > k: split
 
 
+def test_remove_duplicate_spans_rewrite(spark):
+    """The ExactSubstr rewrite excises exactly duplicate_spans'
+    intervals (all occurrences, the released-tool semantics), keeps
+    everything else in order, passes dup-free and sub-k docs through
+    untouched, and empties a fully-covered document."""
+    from dataeng_azure_spotify_spark.operators.substring import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h"),  # span [2,6) shared w/ 2
+        Row(doc_id=2, text="p q c d e f r s"),
+        Row(doc_id=3, text="x y z a1 b1 c1 d1 x y z"),  # [0,3) + [7,10)
+        Row(doc_id=4, text="just two"),  # < k tokens
+        Row(doc_id=5, text="totally unique filler words here now"),
+        Row(doc_id=6, text="c d e f"),  # fully covered by the shared run? (needs k=3: grams [0,2)->spans [0,4))
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, k=3, min_count=2).collect()
+    }
+    assert got[1]["text_clean"] == "a b g h"
+    assert (got[1]["n_tokens"], got[1]["removed_tokens"]) == (8, 4)
+    assert got[2]["text_clean"] == "p q r s"
+    assert got[3]["text_clean"] == "a1 b1 c1 d1"
+    assert got[3]["removed_tokens"] == 6
+    assert got[4]["text_clean"] == "just two"
+    assert got[4]["removed_tokens"] == 0
+    assert got[5]["text_clean"] == rows[4].text
+    # doc 6 is nothing but the shared c-d-e-f run -> fully excised
+    assert got[6]["text_clean"] == "" and got[6]["removed_tokens"] == 4
+    # removal is consistent with detection: removed == covered_tokens
+    from dataeng_azure_spotify_spark.operators.substring import (
+        dup_span_stats,
+    )
+
+    cov = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in dup_span_stats(df, k=3, min_count=2).collect()
+    }
+    assert all(got[d]["removed_tokens"] == cov[d] for d in cov)
+
+
 def test_incremental_semantic_equals_batch_on_union(spark, tmp_path):
     """The pinned equivalence contract: with ascending-id batches
     (arrival order == id order) the incremental semantic admission over
