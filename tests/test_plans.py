@@ -326,3 +326,39 @@ def test_quality_nb_weight_join_is_broadcast_and_label_rides_featurization(spark
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 1
+
+
+def test_nb_threshold_sweep_is_one_aggregation_no_row_multiplication(spark):
+    """The cutoff grid must fold into ONE corpus-linear aggregation
+    (conditional sums with map-side partials) — no crossJoin of corpus
+    rows against the threshold table, no join at all downstream of the
+    scored rows, and the per-threshold explode happens on the single
+    scalar row. (The one BroadcastNestedLoopJoin inherited from the NB
+    fit is the established broadcast-SCALAR consts join — one-row
+    build side — so only Cartesian/SortMerge are banned, the
+    quality_nb pin's convention.)"""
+    p = _plan(entry.queries()["nb_threshold_sweep"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    # the per-threshold rows come from exploding structs of the single
+    # aggregated row, never a per-threshold shuffle of scored docs
+    assert "Generate explode" in p
+
+
+def test_blocklist_filter_is_scan_project_only(spark):
+    """The bad-words gate is pure row-parallel expressions: no
+    exchange, no join, no aggregate — one scan + project."""
+    p = _plan(entry.queries()["blocklist_filter"](spark, SF))
+    for op in ("Exchange", "Join", "HashAggregate", "Sort", "Generate"):
+        assert op not in p, op
+    assert "Scan parquet" in p
+
+
+def test_remove_dup_spans_no_cartesian_one_gram_shuffle(spark):
+    """The rewrite adds no corpus shuffle beyond detection: spans
+    arrive via an equi-join on the doc id (hash or broadcast, never a
+    nested loop), and gram counting keeps map-side partials."""
+    p = _plan(entry.queries()["remove_dup_spans"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2
