@@ -201,3 +201,22 @@ def test_unigram_artifact_and_replay(spark, tmp_path):
     assert not UnigramTokenizer(spark, path).exists()
     with pytest.raises(FileNotFoundError):
         UnigramTokenizer.load(spark, path)
+
+
+def test_unigram_degenerate_corpora(spark, tmp_path):
+    """Empty / all-NULL / blank corpora fit to an EMPTY piece table
+    without error, and the resulting tokenizer segments everything as
+    UNK singletons (no crash, exact counts)."""
+    empty = spark.createDataFrame(
+        [(1, None), (2, "   ")], "doc_id long, text string"
+    )
+    assert unigram_train(empty, n_iters=2).count() == 0
+    tok = UnigramTokenizer.fit(empty, str(tmp_path / "e"), n_iters=1)
+    out = {
+        r["doc_id"]: r
+        for r in tok.tokenize(
+            spark.createDataFrame([(7, "ab c")], "doc_id long, text string")
+        ).collect()
+    }
+    assert out[7]["n_pieces"] == 3  # a, b, c — all UNK singletons
+    assert out[7]["pieces"] == "a b c"
