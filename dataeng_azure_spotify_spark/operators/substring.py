@@ -214,6 +214,43 @@ def dup_span_stats(
     return _span_coverage_stats(spans, base, id_col)
 
 
+def _excise_spans(
+    base: DataFrame, spans: DataFrame, id_col: str
+) -> DataFrame:
+    """(``id_col``, n_tokens, removed_tokens, text_clean) from a token
+    table ``base`` (id_col, t array<string>) and merged spans (doc,
+    span_start, span_len) — the rewrite application shared by the
+    batch operator and :meth:`SubstringDupIndex.rewrite` (so the two
+    can never disagree on how a span is removed). One per-doc
+    span-array join + a JVM index-lambda array filter; no UDF."""
+    sp_arr = spans.groupBy("doc").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len")).alias("e"),
+            )
+        ).alias("sp")
+    )
+    joined = base.join(
+        sp_arr, base[id_col] == sp_arr["doc"], "left"
+    ).drop("doc")
+    sp = F.coalesce(
+        F.col("sp"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda w, i: ~F.exists(
+            sp, lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -244,35 +281,10 @@ def remove_duplicate_spans(
     spans = _merge_positions_to_spans(
         _dup_positions(df, text_col, id_col, k, min_count), k
     )
-    sp_arr = spans.groupBy("doc").agg(
-        F.collect_list(
-            F.struct(
-                F.col("span_start").alias("s"),
-                (F.col("span_start") + F.col("span_len")).alias("e"),
-            )
-        ).alias("sp")
-    )
     base = df.select(
         F.col(id_col), tokens_col(text_col).alias("t")
     )
-    joined = base.join(
-        sp_arr, base[id_col] == sp_arr["doc"], "left"
-    ).drop("doc")
-    sp = F.coalesce(
-        F.col("sp"), F.array().cast("array<struct<s:long,e:long>>")
-    )
-    kept = F.filter(
-        F.col("t"),
-        lambda w, i: ~F.exists(
-            sp, lambda r: (i >= r["s"]) & (i < r["e"])
-        ),
-    )
-    return joined.select(
-        id_col,
-        F.size("t").cast("long").alias("n_tokens"),
-        (F.size("t") - F.size(kept)).cast("long").alias("removed_tokens"),
-        F.array_join(kept, " ").alias("text_clean"),
-    )
+    return _excise_spans(base, spans, id_col)
 
 
 #: Bump when the on-disk layout changes incompatibly (the
@@ -466,13 +478,15 @@ class SubstringDupIndex:
         )
 
     # -- admission ------------------------------------------------------
-    def coverage(
-        self, batch: DataFrame, run_id: str, min_count: int = 2
+    def _batch_dup_spans(
+        self, batch: DataFrame, run_id: str, min_count: int
     ) -> DataFrame:
-        """Per-document duplicated-span coverage of ``batch`` against
-        (stored corpus so far, excluding ``run_id``'s own partitions) +
-        the batch itself — the :func:`dup_span_stats` row shape, same
-        columns, computed with the shared span machinery."""
+        """Merged duplicated spans (doc, span_start, span_len, n_grams)
+        of ``batch`` against (stored corpus so far, excluding
+        ``run_id``'s own partitions — replay discipline) + the batch
+        itself; the shared detection both :meth:`coverage` and
+        :meth:`rewrite` consume. Stored reads touch only the batch's
+        hash buckets (partition-pruned)."""
         self._check_version()
         meta = self.meta
         k, B = int(meta["k"]), int(meta["num_buckets"])
@@ -504,12 +518,45 @@ class SubstringDupIndex:
             .select("g")
         )
         dup = pos.join(dup_g, "g").select("doc", "pos")
-        spans = _merge_positions_to_spans(dup, k)
+        return _merge_positions_to_spans(dup, k)
+
+    def coverage(
+        self, batch: DataFrame, run_id: str, min_count: int = 2
+    ) -> DataFrame:
+        """Per-document duplicated-span coverage of ``batch`` against
+        (stored corpus so far, excluding ``run_id``'s own partitions) +
+        the batch itself — the :func:`dup_span_stats` row shape, same
+        columns, computed with the shared span machinery."""
+        meta = self.meta
+        id_col, text_col = meta["id_col"], meta["text_col"]
+        spans = self._batch_dup_spans(batch, run_id, min_count)
         base = batch.select(
             F.col(id_col),
             F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
         )
         return _span_coverage_stats(spans, base, id_col)
+
+    def rewrite(
+        self, batch: DataFrame, run_id: str, min_count: int = 2
+    ) -> DataFrame:
+        """The STREAMING form of :func:`remove_duplicate_spans`: excise
+        from each batch document every span duplicated against the
+        stored corpus so far (the global boilerplate profile —
+        excluding ``run_id``'s own partitions, the replay discipline)
+        plus the batch itself, via the shared detection
+        (:meth:`_batch_dup_spans`) and the shared excision
+        (:func:`_excise_spans`). Read-only — no store mutation — and
+        deterministic, so a replayed epoch rewrites identically;
+        combine with :meth:`admit_batch` to gate-then-clean an ingest
+        micro-batch. Returns (``id_col``, n_tokens, removed_tokens,
+        text_clean)."""
+        meta = self.meta
+        id_col, text_col = meta["id_col"], meta["text_col"]
+        spans = self._batch_dup_spans(batch, run_id, min_count)
+        base = batch.select(
+            F.col(id_col), tokens_col(text_col).alias("t")
+        )
+        return _excise_spans(base, spans, id_col)
 
     def admit_batch(
         self,

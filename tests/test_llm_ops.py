@@ -2275,3 +2275,67 @@ def test_substring_index_incremental_admission(spark, tmp_path):
     # (f) unsafe run_id
     with _pytest.raises(ValueError, match="run_id"):
         adm.index.admit_batch(b3, "bad run", max_dup_frac=0.5)
+
+
+def test_substring_index_rewrite_streaming_excision(spark, tmp_path):
+    """SubstringDupIndex.rewrite (the streaming remove_duplicate_spans):
+    (a) rewriting a batch against the store equals the batch operator
+    on (stored ∪ batch) restricted to the batch's docs; (b) it is
+    read-only (no store mutation); (c) replay discipline — after the
+    batch's own admission, rewrite under the same run_id excises
+    identically (own-run exclusion)."""
+    from dataeng_azure_spotify_spark.operators.substring import (
+        IncrementalSubstringDedup,
+        remove_duplicate_spans,
+    )
+
+    W = "alpha bravo charlie delta echo foxtrot golf hotel"
+    a = spark.createDataFrame(
+        [(1, f"intro1 {W} outro1"), (2, "u2a u2b u2c u2d u2e u2f u2g u2h")],
+        "doc_id long, text string",
+    )
+    adm = IncrementalSubstringDedup(
+        spark, str(tmp_path / "rw"), max_dup_frac=2.0, k=8, num_buckets=8
+    )
+    assert {r.doc_id for r in adm.admit(a, run_id="e0").collect()} == {1, 2}
+
+    b = spark.createDataFrame(
+        [
+            (10, f"lead10 {W} tail10"),  # the 8-gram is stored -> excised
+            (11, "v1 v2 v3 v4 v5 v6 v7 v8 v9"),  # novel -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in adm.index.rewrite(b, "e1").collect()
+    }
+    want = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(a.union(b), k=8).collect()
+        if r["doc_id"] in (10, 11)
+    }
+    assert {
+        d: (r["n_tokens"], r["removed_tokens"], r["text_clean"])
+        for d, r in got.items()
+    } == {
+        d: (r["n_tokens"], r["removed_tokens"], r["text_clean"])
+        for d, r in want.items()
+    }
+    assert got[10]["text_clean"] == "lead10 tail10"
+    assert got[11]["removed_tokens"] == 0
+
+    # (b) read-only: the store still holds exactly e0's docs
+    stored = {
+        r.doc for r in adm.index.grams().select("doc").distinct().collect()
+    }
+    assert stored == {1, 2}
+
+    # (c) after admitting b as e1, rewrite under run_id e1 excludes the
+    # batch's own partitions and reproduces the same excision
+    adm.admit(b, run_id="e1")
+    again = {
+        r["doc_id"]: r["text_clean"]
+        for r in adm.index.rewrite(b, "e1").collect()
+    }
+    assert again == {d: r["text_clean"] for d, r in got.items()}
