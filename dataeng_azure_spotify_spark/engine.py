@@ -176,6 +176,7 @@ class Engine:
             nb_quality_admitter=_quality_nb.NbQualityAdmitter,
             nb_threshold_sweep=_quality_nb.nb_threshold_sweep,
             blocklist_filter=_curation.blocklist_filter,
+            blocklist_admitter=_curation.BlocklistAdmitter,
             bpe_train=_bpe.bpe_train,
             bpe_tokenizer=_bpe.BpeTokenizer,
             unigram_train=_unigram.unigram_train,

@@ -1211,3 +1211,34 @@ def blocklist_filter(
         ppm.alias("blocked_ppm"),
         (ppm <= F.lit(int(max_blocked_ppm))).alias("keep"),
     )
+
+
+class BlocklistAdmitter:
+    """Streaming C4 bad-words gate: admit the documents of each
+    micro-batch whose blocked-token ppm is within budget
+    (:func:`blocklist_filter`'s ``keep``). Stateless and deterministic
+    — the DsirAdmitter contract — so replayed epochs reproduce
+    exactly; drop into
+    :func:`...streaming.admission.run_admission_stream` as-is."""
+
+    def __init__(
+        self,
+        blocklist: "tuple[str, ...] | list[str]",
+        max_blocked_ppm: int = 40000,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.blocklist = tuple(sorted(set(str(w) for w in blocklist)))
+        self.max_blocked_ppm = int(max_blocked_ppm)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        keep = blocklist_filter(
+            batch,
+            self.blocklist,
+            max_blocked_ppm=self.max_blocked_ppm,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        ).filter(F.col("keep")).select(self.id_col)
+        return batch.join(keep, self.id_col, "left_semi")

@@ -87,3 +87,25 @@ def test_blocklist_filter_ppm_and_keep(spark):
         ).collect()
     }
     assert multi[2]["n_blocked"] == 1 and not multi[2]["keep"]
+
+
+def test_blocklist_admitter_stateless_gate(spark):
+    """BlocklistAdmitter follows the admitter contract: admits exactly
+    blocklist_filter's keep set, returns original batch rows, and is
+    replay-deterministic (stateless)."""
+    from dataeng_azure_spotify_spark.operators.curation import (
+        BlocklistAdmitter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "bad word bad"), (2, "clean text"), (3, "one bad " + "ok " * 18)],
+        "doc_id long, text string",
+    )
+    adm = BlocklistAdmitter(["bad"], max_blocked_ppm=50000)
+    got = {r["doc_id"] for r in adm.admit(docs, run_id="e0").collect()}
+    assert got == {2, 3}  # doc 3: 1/20 tokens = 50000 ppm, at budget
+    again = {r["doc_id"] for r in adm.admit(docs, run_id="e0").collect()}
+    assert got == again
+    # original columns survive (left-semi against the gate)
+    row = adm.admit(docs).filter("doc_id = 2").collect()[0]
+    assert row["text"] == "clean text"
