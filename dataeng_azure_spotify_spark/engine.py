@@ -58,6 +58,7 @@ from .operators import sketch as _sketch
 from .operators import skew as _skew
 from .sources import ingest as _ingest
 from .sources import jsonl as _jsonl
+from .sources import layout as _layout
 from .sources import watermark as _watermark
 from .streaming import admission as _admission
 from .streaming import anomaly as _anomaly
@@ -205,6 +206,10 @@ class Engine:
             rescue_read=_rescue.read_bronze_stream,
             read_jsonl=_jsonl.read_jsonl,
             jsonl_documents=_jsonl.jsonl_documents,
+            write_partitioned=_layout.write_partitioned,
+            write_bucketed=_layout.write_bucketed,
+            write_zordered=_layout.write_zordered,
+            compact_partition=_layout.compact_partition,
         )
         self.stream = SimpleNamespace(
             dedup=_silver.dedup_stream,

@@ -216,3 +216,35 @@ def atomic_swap_dir(path: str, write_tmp) -> None:
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "list[str]",
+    num_buckets: int,
+    sort_cols: "list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table: rows are
+    hash-distributed into ``num_buckets`` files by ``bucket_cols`` at
+    write time, so joins and aggregations keyed on those columns read
+    the data ALREADY co-located — Catalyst drops the Exchange on every
+    bucketed side (pinned in tests/test_layout.py). This is the
+    repeated-join amortization the task calls for: pay one shuffle at
+    write time, never again — at 100 TB a fact table joined every run
+    against the same key saves a full-corpus shuffle per query.
+    ``sort_cols`` additionally sorts within each bucket file (helps
+    merge joins and range scans). Both join sides must use the same
+    ``num_buckets`` for the exchange-free plan.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``;
+    plain ``parquet(path)`` writes cannot carry it), so read back with
+    ``spark.table(table)``.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        int(num_buckets), *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -257,3 +257,54 @@ def test_pruned_read_empty_envelope_keeps_schema(spark, tmp_path):
     out = pruned_read(spark, stats, {"l_partkey": (-100, -50)})
     assert out.count() == 0
     assert out.schema == spark.read.parquet(path).schema
+
+
+def test_bucketed_join_drops_both_exchanges(spark):
+    """write_bucketed pays the key shuffle once at write time: a join
+    of two tables bucketed on the same key with the same bucket count
+    plans WITHOUT any Exchange (both sides read pre-distributed), and
+    a groupBy on the bucket key also skips the shuffle. The same join
+    over plain parquet tables plans two Exchanges — asserted as the
+    control so the pin can't pass vacuously."""
+    from pyspark.sql import functions as F
+
+    from dataeng_azure_spotify_spark.sources.layout import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("w")
+    )
+    write_bucketed(left, "bkt_left", ["k"], 8, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", ["k"], 8, sort_cols=["k"])
+
+    # at this toy size the planner correctly prefers broadcast, which
+    # sidesteps bucketing entirely ("Bucketed: false (disabled by query
+    # planner)") — disable it so the test exercises the shuffle-join
+    # path a 100 TB fact-fact join would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 500  # correctness of the co-located join
+
+        agg_plan = (
+            spark.table("bkt_left")
+            .groupBy("k")
+            .agg(F.sum("v"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+
+        # control: the identical join over non-bucketed data shuffles
+        ctrl = left.join(right, "k")
+        ctrl_plan = ctrl._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in ctrl_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
