@@ -4363,7 +4363,8 @@ wf AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
         FROM documents WHERE text IS NOT NULL)
-  WHERE word <> '' GROUP BY word
+  WHERE word <> '' AND word NOT LIKE '%' || chr(31) || '%'
+  GROUP BY word
 ),
 subs AS (
   SELECT substring(word, s.i, l.l) AS piece,
@@ -4605,17 +4606,24 @@ def _nb_threshold_sweep_oracle(buckets: int, thresholds) -> str:
 WITH scored AS ({_quality_nb_oracle(buckets)}),
 thr AS (SELECT unnest([{thr_list}]::BIGINT[]) AS thr_nano),
 c AS (
+  -- LEFT JOIN (not CROSS): an empty scored slice still sweeps to one
+  -- all-zero row per threshold, matching the Spark side's coalesced
+  -- single-row aggregate
   SELECT t.thr_nano,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(CASE WHEN s.score_nano > t.thr_nano AND s.label_hq
-                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         CAST(SUM(CASE WHEN s.score_nano > t.thr_nano AND NOT s.label_hq
-                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         CAST(SUM(CASE WHEN s.score_nano <= t.thr_nano AND s.label_hq
-                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         CAST(SUM(CASE WHEN s.score_nano <= t.thr_nano AND NOT s.label_hq
-                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
-  FROM scored s CROSS JOIN thr t
+         CAST(COUNT(s.doc_id) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN s.score_nano > t.thr_nano
+                                     AND s.label_hq
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN s.score_nano > t.thr_nano
+                                     AND NOT s.label_hq
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(CASE WHEN s.score_nano <= t.thr_nano
+                                     AND s.label_hq
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+         CAST(COALESCE(SUM(CASE WHEN s.score_nano <= t.thr_nano
+                                     AND NOT s.label_hq
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM thr t LEFT JOIN scored s ON TRUE
   GROUP BY 1
 )
 SELECT thr_nano, n_docs, tp + fp AS n_pred_pos, tp, fp, fn, tn,
@@ -4634,11 +4642,15 @@ FROM c
 
 
 def _blocklist_filter_oracle(words, max_ppm: int) -> str:
-    """Twin of q_blocklist_filter: same token array (_TOKS), same exact
-    ppm floor, same keep threshold."""
+    """Twin of q_blocklist_filter: same NULL-safe token array, same
+    exact ppm floor for the report, and the same EXACT integer
+    cross-multiplication for keep (never the floored ppm — the
+    >1M-token any-hit hazard)."""
     in_list = ", ".join(f"'{w}'" for w in sorted(set(words)))
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH t AS (
+  SELECT doc_id, COALESCE({_TOKS}, []::VARCHAR[]) AS toks FROM documents
+),
 b AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -4654,7 +4666,7 @@ b AS (
   FROM b
 )
 SELECT doc_id, n_tokens, n_blocked, blocked_ppm,
-       blocked_ppm <= {int(max_ppm)} AS keep
+       n_blocked * 1000000 <= {int(max_ppm)} * n_tokens AS keep
 FROM p
 """
 
@@ -4788,9 +4800,9 @@ posw AS (
     FROM kept GROUP BY doc
 )
 SELECT t.doc AS doc_id,
-       CAST(len(t.t) AS BIGINT) AS n_tokens,
-       CAST(len(t.t) - COALESCE(a.kept_tokens, 0) AS BIGINT)
-           AS removed_tokens,
+       COALESCE(CAST(len(t.t) AS BIGINT), 0) AS n_tokens,
+       COALESCE(CAST(len(t.t) AS BIGINT), 0)
+           - COALESCE(a.kept_tokens, 0) AS removed_tokens,
        COALESCE(a.text_clean, '') AS text_clean
 FROM toks t LEFT JOIN agg a ON t.doc = a.doc
 """

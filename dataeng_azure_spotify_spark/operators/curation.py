@@ -1181,17 +1181,22 @@ def blocklist_filter(
     = 0`` is C4's any-hit drop). Matching is exact token equality —
     case/normalization is the caller's concern, as in the C4 recipe.
 
+    The ``keep`` decision compares EXACT integers —
+    ``n_blocked·1e6 ≤ max_blocked_ppm·n_tokens`` — never the floored
+    ``blocked_ppm`` report: a floored ratio reads 0 ppm for one bad
+    token in a >1M-token document and would wave the any-hit case
+    through (review r9). NULL text is 0 tokens → 0 blocked → kept.
+
     Scale: pure JVM row-parallel expressions (array filter + size on
     the token array), no shuffle, no UDF; the blocklist is a literal
     in the plan (wordlists are KBs). One corpus scan."""
-    from dataeng_azure_spotify_spark.functions.text import (
-        token_count,
-        tokens_col,
-    )
+    from dataeng_azure_spotify_spark.functions.text import tokens_col
 
     words = sorted(set(str(w) for w in blocklist))
-    toks = tokens_col(text_col)
-    n_tokens = token_count(text_col)
+    toks = F.coalesce(
+        tokens_col(text_col), F.array().cast("array<string>")
+    )
+    n_tokens = F.size(toks).cast("long")
     n_blocked = F.size(
         F.filter(toks, lambda t: t.isin(words))
     ).cast("long")
@@ -1204,12 +1209,15 @@ def blocklist_filter(
         )
         .cast("long")
     )
+    keep = n_blocked * F.lit(1000000) <= F.lit(
+        int(max_blocked_ppm)
+    ) * n_tokens
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),
         n_blocked.alias("n_blocked"),
         ppm.alias("blocked_ppm"),
-        (ppm <= F.lit(int(max_blocked_ppm))).alias("keep"),
+        keep.alias("keep"),
     )
 
 

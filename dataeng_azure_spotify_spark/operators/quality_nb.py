@@ -383,7 +383,12 @@ def nb_threshold_sweep(
             ("tn", ~pred & ~pos),
         ):
             aggs.append(
-                F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+                # coalesce: SUM over ZERO rows is NULL — an empty
+                # scored slice must sweep to all-zero rows, not NULLs
+                F.coalesce(
+                    F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias(f"{tag}_{i}")
             )

@@ -222,7 +222,13 @@ def _excise_spans(
     span_start, span_len) — the rewrite application shared by the
     batch operator and :meth:`SubstringDupIndex.rewrite` (so the two
     can never disagree on how a span is removed). One per-doc
-    span-array join + a JVM index-lambda array filter; no UDF."""
+    span-array join + a JVM index-lambda array filter; no UDF.
+    NULL token arrays (NULL text) count as empty — 0 tokens, 0
+    removed, '' — honoring the every-document-passes-through
+    contract (size(NULL) would otherwise report -1)."""
+    base = base.withColumn(
+        "t", F.coalesce(F.col("t"), F.array().cast("array<string>"))
+    )
     sp_arr = spans.groupBy("doc").agg(
         F.collect_list(
             F.struct(
@@ -483,10 +489,19 @@ class SubstringDupIndex:
     ) -> DataFrame:
         """Merged duplicated spans (doc, span_start, span_len, n_grams)
         of ``batch`` against (stored corpus so far, excluding
-        ``run_id``'s own partitions — replay discipline) + the batch
-        itself; the shared detection both :meth:`coverage` and
+        ``run_id``'s OWN contributions — replay discipline) + the
+        batch itself; the shared detection both :meth:`coverage` and
         :meth:`rewrite` consume. Stored reads touch only the batch's
-        hash buckets (partition-pruned)."""
+        hash buckets (partition-pruned).
+
+        Own-contribution exclusion is by DOCUMENT SET, not by run
+        partition: a run's gram rows are exactly its admitted
+        documents' rows, and the doc set survives :meth:`compact`
+        (live rows under ``run=run_id`` before folding, the per-run
+        admitted-id registry after) — a run-partition filter alone
+        would stop excluding once the run is folded, and a replayed
+        rewrite/coverage would then match the batch against its own
+        stored grams and over-count (review r9, reproduced)."""
         self._check_version()
         meta = self.meta
         k, B = int(meta["k"]), int(meta["num_buckets"])
@@ -504,10 +519,21 @@ class SubstringDupIndex:
             .distinct()
             .collect()  # O(min(batch grams, num_buckets))
         ]
+        own_docs = (
+            self.grams()
+            .filter(F.col("run") == F.lit(run_id))
+            .select("doc")
+            .union(
+                self._registry()
+                .filter(F.col("run") == F.lit(run_id))
+                .select("doc")
+            )
+            .distinct()  # O(one run's admitted docs)
+        )
         stored_tot = (
             self.grams()
             .filter(F.col("bucket").isin(touched))  # partition-pruned
-            .filter(F.col("run") != F.lit(run_id))  # replay discipline
+            .join(own_docs, "doc", "left_anti")  # replay discipline
             .groupBy("g")
             .agg(F.sum("c").cast("long").alias("sc"))
         )
@@ -605,7 +631,15 @@ class SubstringDupIndex:
         keep_ids = cov.filter(
             F.col("dup_token_frac") <= F.lit(float(max_dup_frac))
         ).select(id_col)
-        admitted = batch.join(keep_ids, id_col, "left_semi")
+        # materialize the decision BEFORE the write: on a replay the
+        # decision lineage reads this run's own stored partitions (the
+        # doc-set exclusion scans them), and the dynamic overwrite
+        # below replaces exactly those files — a lazily-returned
+        # `admitted` would re-scan deleted files when the caller
+        # finally collects it
+        admitted = batch.join(keep_ids, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
         new_grams = self._doc_gram_counts(
             admitted, id_col, text_col, k, B, run_id
             # the write replaces this run's own partitions, which the

@@ -65,11 +65,15 @@ from dataeng_azure_spotify_spark.operators.similarity import (
     _require_integral_id,
 )
 
-#: Path separator inside Viterbi path strings — a C0 control char that
-#: whitespace-split words can never contain, and that sorts below every
-#: printable char in both code-point and UTF-8 byte order (the
-#: tie-break comparison is on the JOINED string, so the separator's
-#: rank participates; both engines agree by construction).
+#: Path separator inside Viterbi TIE-BREAK strings — a C0 control char
+#: that sorts below every printable char in both code-point and UTF-8
+#: byte order (the tie comparison is on the joined string, so the
+#: separator's rank participates; both engines agree by construction).
+#: U+001F is NOT whitespace, so corpus words CAN contain it — which is
+#: why pieces travel as lists everywhere (the joined string exists only
+#: inside the DP comparison) and the trainer excludes SEP-containing
+#: words from vocabulary learning (binary junk; tokenize still handles
+#: them via UNK singletons).
 SEP = "\x1f"
 
 #: Score for an out-of-vocabulary single-character fallback piece at
@@ -82,23 +86,26 @@ UNK_NANO = -100 * 10**9
 PIECES_SCHEMA = "piece string, count long, score_nano long"
 
 
-def _viterbi(word: str, scores: dict, max_len: int) -> str:
-    """Best segmentation of ``word`` as a SEP-joined piece path:
-    maximal BIGINT score sum, ties to the lexicographically smallest
-    path string. Exact DP — at each end position keep the best
-    (score, path) tuple; Python tuple/str comparison is code-point
-    order, which matches the DuckDB twin's binary UTF-8 ``ORDER BY
-    score DESC, path ASC`` (UTF-8 preserves code-point order).
-    Positions where no vocabulary piece matches consume one character
-    as an UNK singleton (tokenize-time only; see module docstring)."""
+def _viterbi(word: str, scores: dict, max_len: int) -> "list[str]":
+    """Best segmentation of ``word`` as a PIECE LIST: maximal BIGINT
+    score sum, ties to the lexicographically smallest SEP-joined path
+    string. Exact DP — at each end position keep the best (score,
+    path, pieces) tuple; Python str comparison is code-point order,
+    which matches the DuckDB twin's binary UTF-8 ``ORDER BY score
+    DESC, path ASC`` (UTF-8 preserves code-point order). The path
+    string exists ONLY for the tie comparison — pieces travel as a
+    list, so a piece that itself contains SEP can never corrupt the
+    result (review r9). Positions where no vocabulary piece matches
+    consume one character as an UNK singleton (tokenize-time only;
+    see module docstring)."""
     n = len(word)
     best: list = [None] * (n + 1)
-    best[0] = (0, "")
+    best[0] = (0, "", [])
     for i in range(n):
         cur = best[i]
         if cur is None:
             continue
-        s0, p0 = cur
+        s0, p0, l0 = cur
         matched = False
         limit = min(max_len, n - i)
         for ln in range(1, limit + 1):
@@ -107,7 +114,11 @@ def _viterbi(word: str, scores: dict, max_len: int) -> str:
             if sc is None:
                 continue
             matched = True
-            cand = (s0 + sc, p0 + SEP + piece if p0 else piece)
+            cand = (
+                s0 + sc,
+                p0 + SEP + piece if p0 else piece,
+                l0 + [piece],
+            )
             j = i + ln
             prev = best[j]
             if (
@@ -118,7 +129,11 @@ def _viterbi(word: str, scores: dict, max_len: int) -> str:
                 best[j] = cand
         if not matched:
             piece = word[i]
-            cand = (s0 + UNK_NANO, p0 + SEP + piece if p0 else piece)
+            cand = (
+                s0 + UNK_NANO,
+                p0 + SEP + piece if p0 else piece,
+                l0 + [piece],
+            )
             prev = best[i + 1]
             if (
                 prev is None
@@ -126,21 +141,23 @@ def _viterbi(word: str, scores: dict, max_len: int) -> str:
                 or (cand[0] == prev[0] and cand[1] < prev[1])
             ):
                 best[i + 1] = cand
-    return best[n][1]
+    return best[n][2]
 
 
 def _best_paths(
     words: DataFrame, scores: dict, max_len: int
 ) -> DataFrame:
-    """(word, freq, path) — one Viterbi E-step over the distinct-word
-    table. The piece-score dict rides the closure (≤ vocab rows);
-    Arrow batches, no per-row Python in the corpus path (this table is
-    vocabulary-sized by the corpus→vocabulary reduction)."""
+    """(word, freq, path array<string>) — one Viterbi E-step over the
+    distinct-word table. The piece-score dict rides the closure
+    (≤ vocab rows); Arrow batches, no per-row Python in the corpus
+    path (this table is vocabulary-sized by the corpus→vocabulary
+    reduction). Pieces travel as ARRAYS (never a re-split joined
+    string), so piece content can't corrupt the protocol."""
 
     def run(batch_iter):
         import pandas as pd
 
-        cache: dict[str, str] = {}
+        cache: dict[str, list] = {}
         for pdf in batch_iter:
             paths = []
             for w in pdf["word"]:
@@ -152,7 +169,9 @@ def _best_paths(
                 {"word": pdf["word"], "freq": pdf["freq"], "path": paths}
             )
 
-    return words.mapInPandas(run, "word string, freq long, path string")
+    return words.mapInPandas(
+        run, "word string, freq long, path array<string>"
+    )
 
 
 def _score_table(vocab: DataFrame) -> DataFrame:
@@ -240,7 +259,16 @@ def unigram_train(
     ≤``max_pieces``+alphabet vocabulary (two O(V) collects/round — the
     BPE merge-list class of driver state)."""
     spark = df.sparkSession
-    words = _word_freq(df, text_col).localCheckpoint(eager=True)
+    # words containing the path separator (U+001F is NOT whitespace,
+    # so \s+ splitting keeps it inside a word) are binary junk by this
+    # trainer's definition: they are excluded from vocabulary learning
+    # (the DuckDB twin applies the same filter), and tokenize() still
+    # handles them gracefully via UNK singletons.
+    words = (
+        _word_freq(df, text_col)
+        .filter(~F.col("word").contains(SEP))
+        .localCheckpoint(eager=True)
+    )
     try:
         vocab_rows = sorted(
             (r["piece"], r["cnt"])
@@ -254,9 +282,7 @@ def unigram_train(
             scores = {r["piece"]: r["score_nano"] for r in sc_rows}
             usage = (
                 _best_paths(words, scores, max_piece_len)
-                .select(
-                    F.explode(F.split("path", SEP)).alias("piece"), "freq"
-                )
+                .select(F.explode("path").alias("piece"), "freq")
                 .groupBy("piece")
                 .agg(F.sum("freq").cast("long").alias("u"))
                 .collect()  # O(V): the E-step can only use vocab pieces
@@ -383,9 +409,7 @@ class UnigramTokenizer:
             def word_pieces(w: str) -> list[str]:
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = _viterbi(w, scores, max_len).split(
-                        SEP
-                    )
+                    got = cache[w] = _viterbi(w, scores, max_len)
                 return got
 
             for pdf in batch_iter:

@@ -89,6 +89,54 @@ def test_blocklist_filter_ppm_and_keep(spark):
     assert multi[2]["n_blocked"] == 1 and not multi[2]["keep"]
 
 
+def test_blocklist_filter_exact_keep_and_null_text(spark):
+    """keep compares EXACT integers (n_blocked·1e6 ≤ max·n_tokens),
+    never the floored ppm: 1/3 blocked at max 333333 is DROPPED
+    (1e6 > 999999) even though the floored report reads exactly
+    333333 ppm. NULL text is 0 tokens → kept, never -1/fabricated
+    ppm."""
+    from dataeng_azure_spotify_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "bad ok ok"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in blocklist_filter(
+            docs, ["bad"], max_blocked_ppm=333333
+        ).collect()
+    }
+    assert got[1]["blocked_ppm"] == 333333  # floored report
+    assert not got[1]["keep"]  # exact 1/3 > 333333/1e6
+    assert (got[2]["n_tokens"], got[2]["n_blocked"]) == (0, 0)
+    assert got[2]["blocked_ppm"] == 0 and got[2]["keep"]
+
+
+def test_nb_threshold_sweep_empty_input_all_zero_rows(spark):
+    """An empty scored slice sweeps to one ALL-ZERO row per threshold
+    (never NULL confusion counts — SUM over zero rows is NULL without
+    the coalesce), matching the oracle's LEFT-JOIN convention."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, score_nano long, label_hq boolean"
+    )
+    rows = nb_threshold_sweep(empty, [0, 5]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (
+            r["n_docs"],
+            r["n_pred_pos"],
+            r["tp"],
+            r["fp"],
+            r["fn"],
+            r["tn"],
+            r["precision_ppm"],
+            r["recall_ppm"],
+            r["f1_ppm"],
+        ) == (0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+
 def test_blocklist_admitter_stateless_gate(spark):
     """BlocklistAdmitter follows the admitter contract: admits exactly
     blocklist_filter's keep set, returns original batch rows, and is

@@ -2332,10 +2332,41 @@ def test_substring_index_rewrite_streaming_excision(spark, tmp_path):
     assert stored == {1, 2}
 
     # (c) after admitting b as e1, rewrite under run_id e1 excludes the
-    # batch's own partitions and reproduces the same excision
+    # batch's own contributions and reproduces the same excision
     adm.admit(b, run_id="e1")
     again = {
         r["doc_id"]: r["text_clean"]
         for r in adm.index.rewrite(b, "e1").collect()
     }
     assert again == {d: r["text_clean"] for d, r in got.items()}
+
+    # (d) ... and STILL after compaction folds e1's run partition away:
+    # own-contribution exclusion is by document set (live rows before
+    # folding, the registry after), so the replayed rewrite/coverage
+    # can never match the batch against its own stored grams
+    pre_cov = {
+        (r.doc_id, r.covered_tokens)
+        for r in adm.index.coverage(b, "e1").collect()
+    }
+    adm.index.compact("compact-rw1")
+    post = {
+        r["doc_id"]: r["text_clean"]
+        for r in adm.index.rewrite(b, "e1").collect()
+    }
+    assert post == {d: r["text_clean"] for d, r in got.items()}
+    post_cov = {
+        (r.doc_id, r.covered_tokens)
+        for r in adm.index.coverage(b, "e1").collect()
+    }
+    assert post_cov == pre_cov
+
+    # (e) NULL text passes through the batch rewrite as (0, 0, '')
+    withnull = spark.createDataFrame(
+        [(30, None)], "doc_id long, text string"
+    )
+    nr = remove_duplicate_spans(withnull, k=8).collect()[0]
+    assert (nr["n_tokens"], nr["removed_tokens"], nr["text_clean"]) == (
+        0,
+        0,
+        "",
+    )

@@ -156,11 +156,42 @@ def test_viterbi_tie_breaks_on_path_order():
     """An exact score tie between segmentations resolves to the
     lexicographically smallest SEP-joined path: 'a'+'b' (path
     'a\\x1fb') beats 'ab' because SEP sorts below every printable
-    char — the same comparison the DuckDB twin's ORDER BY performs."""
+    char — the same comparison the DuckDB twin's ORDER BY performs.
+    The result travels as a piece LIST (the joined string exists only
+    inside the comparison)."""
     scores = {"ab": -2, "a": -1, "b": -1}
-    assert _viterbi("ab", scores, 2) == "a" + SEP + "b"
+    assert _viterbi("ab", scores, 2) == ["a", "b"]
     # ... and a genuinely better single piece still wins
-    assert _viterbi("ab", {"ab": -1, "a": -1, "b": -1}, 2) == "ab"
+    assert _viterbi("ab", {"ab": -1, "a": -1, "b": -1}, 2) == ["ab"]
+
+
+def test_unigram_sep_containing_words_excluded_not_corrupting(
+    spark, tmp_path
+):
+    """U+001F is NOT whitespace, so a word CAN contain the tie-break
+    separator. Such words are excluded from vocabulary learning (both
+    engines — binary junk by contract), and tokenize handles them via
+    UNK singletons with exact piece accounting (pieces travel as
+    lists, so a separator inside a piece cannot fragment the
+    protocol)."""
+    weird = f"x{SEP}y"
+    df = spark.createDataFrame(
+        [(0, f"{weird} low low low low"), (1, "low lower")],
+        "doc_id long, text string",
+    )
+    final = unigram_train(df, n_iters=2).collect()
+    assert all(SEP not in r["piece"] for r in final)
+    # the trainer saw only 'low'/'lower': 'x'/'y' never entered the vocab
+    pieces = {r["piece"] for r in final}
+    assert "x" not in pieces and "y" not in pieces
+
+    tok = UnigramTokenizer.fit(df, str(tmp_path / "m"), n_iters=1)
+    out = {r["doc_id"]: r for r in tok.tokenize(df).collect()}
+    got = out[0]["pieces"].split(" ")
+    # the weird word's 3 chars all fall back to UNK singletons
+    # (including the separator char itself, intact as a piece)
+    assert got[:3] == ["x", SEP, "y"]
+    assert out[0]["n_pieces"] == len(got)
 
 
 def test_unigram_artifact_and_replay(spark, tmp_path):
