@@ -251,3 +251,61 @@ def test_unigram_degenerate_corpora(spark, tmp_path):
     }
     assert out[7]["n_pieces"] == 3  # a, b, c — all UNK singletons
     assert out[7]["pieces"] == "a b c"
+
+
+def test_viterbi_equals_bruteforce_on_random_vocabs():
+    """Property: the DP equals brute-force enumeration of ALL
+    segmentations under the documented total order (score DESC,
+    SEP-joined path ASC) — including exact ties and UNK fallback
+    positions. This is the composition claim the DuckDB twin's window
+    argmax relies on, attacked with random small vocabularies."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abc"
+
+    def all_segmentations(word, scores, max_len):
+        if not word:
+            return [(0, "", [])]
+        out = []
+        n = len(word)
+        for ln in range(1, min(max_len, n) + 1):
+            piece = word[:ln]
+            sc = scores.get(piece)
+            if sc is None:
+                continue
+            for s, p, l in all_segmentations(word[ln:], scores, max_len):
+                out.append(
+                    (sc + s, piece + (SEP + p if p else ""), [piece] + l)
+                )
+        if not out and word:
+            # UNK fallback fires only when nothing matches at pos 0
+            piece = word[0]
+            for s, p, l in all_segmentations(word[1:], scores, max_len):
+                out.append(
+                    (
+                        UNK_NANO + s,
+                        piece + (SEP + p if p else ""),
+                        [piece] + l,
+                    )
+                )
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet=alphabet, min_size=1, max_size=7),
+        pieces=st.dictionaries(
+            st.text(alphabet=alphabet, min_size=1, max_size=3),
+            st.integers(min_value=-10, max_value=-1),
+            min_size=0,
+            max_size=8,
+        ),
+    )
+    def check(word, pieces):
+        got = _viterbi(word, pieces, 3)
+        cands = all_segmentations(word, pieces, 3)
+        assert cands, "every word has at least the UNK chain"
+        best = min(cands, key=lambda t: (-t[0], t[1]))
+        assert got == best[2], (word, pieces, got, best)
+
+    check()
