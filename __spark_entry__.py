@@ -4439,25 +4439,61 @@ def _unigram_tokenize_oracle(**params) -> str:
     count + exact segmentation string from one more recursive Viterbi
     under the final scores, reassembled in document word order. Docs
     whose text yields no words (NULL/blank) surface with 0 pieces and
-    '' — UnigramTokenizer.tokenize's convention."""
+    '' — UnigramTokenizer.tokenize's convention.
+
+    Tokenization covers EVERY document word — including words the
+    trainer excluded (U+001F-containing) and characters outside the
+    vocabulary: the edge table adds the UNK singleton edge (one char,
+    ``UNK_NANO``) at exactly the positions where NO vocabulary piece
+    matches, mirroring ``_viterbi``'s fallback rule precisely."""
+    from dataeng_azure_spotify_spark.operators.unigram import UNK_NANO
+
     T = int(params["n_iters"])
     return f"""
 WITH RECURSIVE
 {_unigram_ctes(**params)},
-ptok(word, pos, path, score) AS (
-  SELECT word, 0, '', CAST(0 AS BIGINT) FROM wf
+tokwords AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL)
+  WHERE word <> ''
+),
+tokedges AS (
+  SELECT w.word, p.pos, v.piece, v.score_nano AS sc
+  FROM tokwords w,
+       unnest(generate_series(0, length(w.word) - 1)) p(pos)
+       JOIN s{T} v
+         ON v.piece = substring(w.word, p.pos + 1, length(v.piece))
   UNION ALL
-  SELECT q.word, q.pos + length(v.piece),
-         CASE WHEN q.path = '' THEN v.piece
-              ELSE q.path || chr(31) || v.piece END,
-         q.score + v.score_nano
-  FROM ptok q JOIN s{T} v
-    ON q.pos < length(q.word)
-   AND v.piece = substring(q.word, q.pos + 1, length(v.piece))
+  SELECT w.word, p.pos, substring(w.word, p.pos + 1, 1),
+         CAST({int(UNK_NANO)} AS BIGINT)
+  FROM tokwords w,
+       unnest(generate_series(0, length(w.word) - 1)) p(pos)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s{T} v
+    WHERE v.piece = substring(w.word, p.pos + 1, length(v.piece)))
+),
+ptok(word, pos, path, score, n, disp) AS (
+  -- n/disp carry the piece COUNT and the space-joined display string
+  -- through the recursion: deriving them from the tie-break path by
+  -- splitting on chr(31) would miscount when a piece IS chr(31)
+  -- (an UNK singleton), the case the UNK edge makes reachable
+  SELECT word, 0, '', CAST(0 AS BIGINT), CAST(0 AS BIGINT), ''
+  FROM tokwords
+  UNION ALL
+  SELECT q.word, q.pos + length(e.piece),
+         CASE WHEN q.path = '' THEN e.piece
+              ELSE q.path || chr(31) || e.piece END,
+         q.score + e.sc,
+         q.n + 1,
+         CASE WHEN q.disp = '' THEN e.piece
+              ELSE q.disp || ' ' || e.piece END
+  FROM ptok q JOIN tokedges e
+    ON e.word = q.word AND e.pos = q.pos
 ),
 btok AS (
-  SELECT word, path FROM (
-    SELECT word, path,
+  SELECT word, n, disp FROM (
+    SELECT word, n, disp,
            row_number() OVER (PARTITION BY word
                               ORDER BY score DESC, path ASC) AS rn
     FROM ptok WHERE pos = length(word))
@@ -4474,10 +4510,8 @@ expl AS (
 ),
 agg AS (
   SELECT e.doc_id,
-         CAST(SUM(len(string_split(b.path, chr(31)))) AS BIGINT)
-             AS n_pieces,
-         string_agg(replace(b.path, chr(31), ' '), ' ' ORDER BY e.pos)
-             AS pieces
+         CAST(SUM(b.n) AS BIGINT) AS n_pieces,
+         string_agg(b.disp, ' ' ORDER BY e.pos) AS pieces
   FROM expl e JOIN btok b ON e.word = b.word
   GROUP BY e.doc_id
 )
@@ -4819,7 +4853,7 @@ stats AS (
            CAST(MAX(span_len) AS BIGINT) AS max_span_len
     FROM spans GROUP BY doc
 ), base AS (
-    SELECT doc, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+    SELECT doc, COALESCE(CAST(len(t) AS BIGINT), 0) AS n_tokens FROM toks
 )
 SELECT base.doc AS doc_id, n_tokens,
        CAST(COALESCE(n_dup_positions, 0) AS BIGINT) AS n_dup_positions,

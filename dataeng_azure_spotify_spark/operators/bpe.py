@@ -127,9 +127,20 @@ def bpe_train(
     nothing). Deterministic: ties on count break lexicographically on
     (left, right)."""
     spark = df.sparkSession
+    wf = _word_freq(df, text_col)
+    # the cross-engine trainer twin (_bpe_steps_cte) encodes symbols
+    # with the U+001F unit separator; a corpus word containing it
+    # would silently corrupt the oracle's merge rewrite, so refuse it
+    # loudly here (U+001F is NOT whitespace — \s+ splitting keeps it
+    # inside a word). One vocabulary-sized check per fit.
+    if wf.filter(F.col("word").contains("\x1f")).limit(1).count() > 0:
+        raise ValueError(
+            "bpe_train: corpus words containing U+001F are not "
+            "supported (the cross-engine twin reserves it as the "
+            "symbol separator) — strip C0 control chars upstream"
+        )
     words = (
-        _word_freq(df, text_col)
-        .select(_to_symbols(F.col("word")).alias("syms"), "freq")
+        wf.select(_to_symbols(F.col("word")).alias("syms"), "freq")
         .localCheckpoint(eager=True)
     )
     merges: list[tuple] = []

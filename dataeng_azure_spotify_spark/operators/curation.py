@@ -1175,11 +1175,15 @@ def blocklist_filter(
     with a ratio threshold instead of any-hit): per-document blocked
     token accounting plus the keep flag a curation pipeline filters
     on. Returns (``id_col``, n_tokens, n_blocked, blocked_ppm, keep)
-    where ``blocked_ppm`` is exact parts-per-million of whitespace
-    tokens (``tokens_col`` semantics — blank text → 0 tokens → 0 ppm)
-    and ``keep = blocked_ppm <= max_blocked_ppm`` (so ``max_blocked_ppm
-    = 0`` is C4's any-hit drop). Matching is exact token equality —
-    case/normalization is the caller's concern, as in the C4 recipe.
+    where ``blocked_ppm`` is the FLOORED parts-per-million REPORT of
+    whitespace tokens (``tokens_col`` semantics — blank text → 0
+    tokens → 0 ppm) and ``keep`` is the exact rational comparison
+    ``n_blocked/n_tokens ≤ max_blocked_ppm/1e6`` (so ``max_blocked_ppm
+    = 0`` is C4's any-hit drop at any corpus size; at floor
+    boundaries — e.g. 1 blocked of 3 tokens vs a 333333 cutoff —
+    ``keep`` can be stricter than comparing the floored report).
+    Matching is exact token equality — case/normalization is the
+    caller's concern, as in the C4 recipe.
 
     The ``keep`` decision compares EXACT integers —
     ``n_blocked·1e6 ≤ max_blocked_ppm·n_tokens`` — never the floored

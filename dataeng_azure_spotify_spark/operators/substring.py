@@ -209,7 +209,14 @@ def dup_span_stats(
     spans = _merge_positions_to_spans(dup, k)
     base = df.select(
         F.col(id_col),
-        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        # coalesce: NULL text is 0 tokens, never size(NULL) = -1
+        F.size(
+            F.coalesce(
+                tokens_col(text_col), F.array().cast("array<string>")
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
     )
     return _span_coverage_stats(spans, base, id_col)
 
@@ -533,7 +540,10 @@ class SubstringDupIndex:
         stored_tot = (
             self.grams()
             .filter(F.col("bucket").isin(touched))  # partition-pruned
-            .join(own_docs, "doc", "left_anti")  # replay discipline
+            # replay discipline; broadcast — own_docs is one run's
+            # admitted ids (usually empty), never worth shuffling the
+            # bucket-pruned gram table on doc
+            .join(F.broadcast(own_docs), "doc", "left_anti")
             .groupBy("g")
             .agg(F.sum("c").cast("long").alias("sc"))
         )
@@ -550,15 +560,25 @@ class SubstringDupIndex:
         self, batch: DataFrame, run_id: str, min_count: int = 2
     ) -> DataFrame:
         """Per-document duplicated-span coverage of ``batch`` against
-        (stored corpus so far, excluding ``run_id``'s own partitions) +
-        the batch itself — the :func:`dup_span_stats` row shape, same
-        columns, computed with the shared span machinery."""
+        (stored corpus so far, excluding ``run_id``'s own
+        contributions by document set) + the batch itself — the
+        :func:`dup_span_stats` row shape, same columns, computed with
+        the shared span machinery."""
+        self._check_version()
         meta = self.meta
         id_col, text_col = meta["id_col"], meta["text_col"]
         spans = self._batch_dup_spans(batch, run_id, min_count)
         base = batch.select(
             F.col(id_col),
-            F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+            # coalesce: NULL text is 0 tokens, never size(NULL) = -1
+            F.size(
+                F.coalesce(
+                    tokens_col(text_col),
+                    F.array().cast("array<string>"),
+                )
+            )
+            .cast("long")
+            .alias("n_tokens"),
         )
         return _span_coverage_stats(spans, base, id_col)
 
@@ -568,7 +588,8 @@ class SubstringDupIndex:
         """The STREAMING form of :func:`remove_duplicate_spans`: excise
         from each batch document every span duplicated against the
         stored corpus so far (the global boilerplate profile —
-        excluding ``run_id``'s own partitions, the replay discipline)
+        excluding ``run_id``'s own contributions by document set, the
+        compaction-proof replay discipline)
         plus the batch itself, via the shared detection
         (:meth:`_batch_dup_spans`) and the shared excision
         (:func:`_excise_spans`). Read-only — no store mutation — and
@@ -576,6 +597,7 @@ class SubstringDupIndex:
         combine with :meth:`admit_batch` to gate-then-clean an ingest
         micro-batch. Returns (``id_col``, n_tokens, removed_tokens,
         text_clean)."""
+        self._check_version()
         meta = self.meta
         id_col, text_col = meta["id_col"], meta["text_col"]
         spans = self._batch_dup_spans(batch, run_id, min_count)

@@ -278,7 +278,6 @@ def test_bucketed_join_drops_both_exchanges(spark):
     )
     write_bucketed(left, "bkt_left", ["k"], 8, sort_cols=["k"])
     write_bucketed(right, "bkt_right", ["k"], 8, sort_cols=["k"])
-
     # at this toy size the planner correctly prefers broadcast, which
     # sidesteps bucketing entirely ("Bucketed: false (disabled by query
     # planner)") — disable it so the test exercises the shuffle-join
@@ -308,3 +307,6 @@ def test_bucketed_join_drops_both_exchanges(spark):
         assert "Exchange" in ctrl_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # the session is shared module-wide: don't leak catalog tables
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -309,3 +309,51 @@ def test_viterbi_equals_bruteforce_on_random_vocabs():
         assert got == best[2], (word, pieces, got, best)
 
     check()
+
+
+def test_unigram_tokenize_oracle_covers_unk_and_sep_words(
+    spark, tmp_path
+):
+    """The DuckDB tokenize twin must reproduce the operator on the
+    inputs the trainer EXCLUDES: separator-containing words, unseen
+    characters, NULL and blank text — via its UNK edge (one char,
+    UNK_NANO, exactly where no vocabulary piece matches) and the
+    recursion-carried piece count/display (splitting the tie-break
+    path would miscount when a piece IS the separator)."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (0, f"x{SEP}y low low low low lower Zq"),
+        (1, "low lower lowest wide wider"),
+        (2, None),
+        (3, "  "),
+    ]
+    d = str(tmp_path)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = os.path.join(d, "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    params = dict(n_iters=2, max_piece_len=4, min_count=2, max_pieces=120)
+    tok = UnigramTokenizer.fit(
+        spark.read.parquet(pq), os.path.join(d, "model"), **params
+    )
+    got = sorted(
+        tuple(r) for r in tok.tokenize(spark.read.parquet(pq)).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pq}/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            entrymod._unigram_tokenize_oracle(**params)
+        ).fetchall()
+    )
+    assert got == want
