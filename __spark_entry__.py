@@ -2471,8 +2471,12 @@ def _neardup_label_index(spark: SparkSession, sf_dir: str):
 
     # FORMAT_VERSION in the tag: a layout bump changes the cache path,
     # so the stale-format index is simply never loaded (labels() would
-    # refuse it) and a fresh one is built under the new tag
-    params = f"{os.path.abspath(sf_dir)}|t0.5|n3|v{FORMAT_VERSION}"
+    # refuse it) and a fresh one is built under the new tag. The corpus
+    # fingerprint makes regenerated data at the same path a cache miss.
+    params = (
+        f"{os.path.abspath(sf_dir)}|t0.5|n3|v{FORMAT_VERSION}"
+        f"|data{_corpus_fingerprint(sf_dir)}"
+    )
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".labels_cache", tag
@@ -2770,7 +2774,10 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = _cat(spark, sf_dir)
     emb = cat["embeddings"]
-    params = f"{os.path.abspath(sf_dir)}|nc16|it1"
+    params = (
+        f"{os.path.abspath(sf_dir)}|nc16|it1"
+        f"|data{_corpus_fingerprint(sf_dir, 'embeddings')}"
+    )
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".ivf_cache", tag
@@ -3165,17 +3172,46 @@ def q_quality_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_NUM_MERGES = 12
 
 
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap data fingerprint for the fit-once tokenizer caches:
+    (relative path, size, mtime_ns) of every file under the training
+    table's parquet path, hashed. Folded into the cache tag so
+    REGENERATING data at the same sf_dir path is a cache MISS (a fresh
+    fit) instead of a stale-artifact reuse that would surface later as
+    a confusing red hash in the vocab/tokenize driver twins."""
+    import hashlib
+
+    base = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    entries = []
+    if os.path.isfile(base):
+        st = os.stat(base)
+        entries.append(f"{table}.parquet|{st.st_size}|{st.st_mtime_ns}")
+    elif os.path.isdir(base):
+        for root, _dirs, files in os.walk(base):
+            for fn in sorted(files):
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, base)
+                entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+    fp_str = ";".join(sorted(entries)) or "absent"
+    return hashlib.md5(fp_str.encode()).hexdigest()[:12]
+
+
 def _bpe_tok(spark: SparkSession, sf_dir: str):
     """Fit-once cached BpeTokenizer for the driver queries (the
-    ``.ivf_cache`` idiom: keyed by sf_dir + params under a repo-local
-    dir, so repeated bench runs measure the merge-table read /
-    tokenization, not training — training economics are measured
-    separately in docs/BENCH_NOTES.md 'BPE trainer round economics')."""
+    ``.ivf_cache`` idiom: keyed by sf_dir + params + a corpus data
+    fingerprint — see _corpus_fingerprint — under a repo-local dir, so
+    repeated bench runs measure the merge-table read / tokenization,
+    not training — training economics are measured separately in
+    docs/BENCH_NOTES.md 'BPE trainer round economics')."""
     import hashlib
 
     from dataeng_azure_spotify_spark.operators.bpe import BpeTokenizer
 
-    params = f"{os.path.abspath(sf_dir)}|nm{BPE_NUM_MERGES}|mpc2"
+    params = (
+        f"{os.path.abspath(sf_dir)}|nm{BPE_NUM_MERGES}|mpc2"
+        f"|data{_corpus_fingerprint(sf_dir)}"
+    )
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bpe_cache", tag
@@ -3244,7 +3280,10 @@ def q_quality_nb_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = _cat(spark, sf_dir)
-    params = f"{os.path.abspath(sf_dir)}|b4096"
+    params = (
+        f"{os.path.abspath(sf_dir)}|b4096"
+        f"|data{_corpus_fingerprint(sf_dir)}"
+    )
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".nb_cache", tag
@@ -3343,10 +3382,11 @@ UNIGRAM_PARAMS = dict(
 
 def _unigram_tok(spark: SparkSession, sf_dir: str):
     """Fit-once cached UnigramTokenizer for the driver queries (the
-    ``.bpe_cache`` idiom: keyed by sf_dir + params under a repo-local
-    dir, so repeated bench runs measure the piece-table read /
-    tokenization, not training — training economics are measured
-    separately in docs/BENCH_NOTES.md)."""
+    ``.bpe_cache`` idiom: keyed by sf_dir + params + a corpus data
+    fingerprint — see _corpus_fingerprint — under a repo-local dir, so
+    repeated bench runs measure the piece-table read / tokenization,
+    not training — training economics are measured separately in
+    docs/BENCH_NOTES.md)."""
     import hashlib
 
     from dataeng_azure_spotify_spark.operators.unigram import (
@@ -3357,6 +3397,7 @@ def _unigram_tok(spark: SparkSession, sf_dir: str):
     params = (
         f"{os.path.abspath(sf_dir)}|t{p['n_iters']}|L{p['max_piece_len']}"
         f"|mc{p['min_count']}|mp{p['max_pieces']}"
+        f"|data{_corpus_fingerprint(sf_dir)}"
     )
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     path = os.path.join(
@@ -4316,6 +4357,31 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+#: Loud combinatorial guard for the unigram recursive-CTE twins: the
+#: oracle enumerates every segmentation of every distinct word
+#: (~1.93^len paths with 4-char pieces), so ONE long unbroken token —
+#: a URL, a hash — in a future parity corpus would blow the sweep up
+#: exponentially and silently. Words longer than this raise a DuckDB
+#: error() naming the word instead (corpus max today: 8 chars at every
+#: SF; 16 caps the enumeration at ~20k paths/word).
+UNIGRAM_ORACLE_MAX_WORD_LEN = 16
+
+
+def _unigram_word_guard_sql(col: str = "word") -> str:
+    """CASE wrapper that passes ``col`` through unchanged but raises a
+    loud DuckDB error naming the offending word when it exceeds
+    UNIGRAM_ORACLE_MAX_WORD_LEN (error() is lazily evaluated per row,
+    verified on this DuckDB build)."""
+    n = int(UNIGRAM_ORACLE_MAX_WORD_LEN)
+    return (
+        f"CASE WHEN length({col}) > {n} THEN error("
+        f"'unigram oracle: word \"' || {col} || '\" exceeds {n} chars; "
+        f"path enumeration is ~1.93^len — shorten the corpus word or "
+        f"raise UNIGRAM_ORACLE_MAX_WORD_LEN deliberately') "
+        f"ELSE {col} END"
+    )
+
+
 def _unigram_score_sql(v: str) -> str:
     """Score-table twin of operators/unigram.py::_score_table over the
     vocabulary CTE ``v``: nano-quantized portable-ln log probability
@@ -4360,7 +4426,8 @@ def _unigram_ctes(
     parts = [
         f"""
 wf AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  SELECT {_unigram_word_guard_sql('word')} AS word,
+         CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
         FROM documents WHERE text IS NOT NULL)
   WHERE word <> '' AND word NOT LIKE '%' || chr(31) || '%'
@@ -4453,7 +4520,7 @@ def _unigram_tokenize_oracle(**params) -> str:
 WITH RECURSIVE
 {_unigram_ctes(**params)},
 tokwords AS (
-  SELECT DISTINCT word
+  SELECT DISTINCT {_unigram_word_guard_sql('word')} AS word
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
         FROM documents WHERE text IS NOT NULL)
   WHERE word <> ''
@@ -4679,8 +4746,17 @@ def _blocklist_filter_oracle(words, max_ppm: int) -> str:
     """Twin of q_blocklist_filter: same NULL-safe token array, same
     exact ppm floor for the report, and the same EXACT integer
     cross-multiplication for keep (never the floored ppm — the
-    >1M-token any-hit hazard)."""
-    in_list = ", ".join(f"'{w}'" for w in sorted(set(words)))
+    >1M-token any-hit hazard). Words are quote-escaped ('' doubling)
+    and an EMPTY blocklist renders a constant-FALSE membership test —
+    ``x IN ()`` is a DuckDB syntax error — matching the Spark
+    operator's ``isin([])`` = nothing-blocked semantics on all
+    inputs."""
+    uniq = sorted(set(words))
+    if uniq:
+        esc = ", ".join("'{}'".format(w.replace("'", "''")) for w in uniq)
+        member = f"x IN ({esc})"
+    else:
+        member = "FALSE"
     return f"""
 WITH t AS (
   SELECT doc_id, COALESCE({_TOKS}, []::VARCHAR[]) AS toks FROM documents
@@ -4688,7 +4764,7 @@ WITH t AS (
 b AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(toks, x -> x IN ({in_list}))) AS BIGINT)
+         CAST(len(list_filter(toks, x -> {member})) AS BIGINT)
              AS n_blocked
   FROM t
 ), p AS (
@@ -5104,21 +5180,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # entries in dict order. Round-9 rotation: positions 1-7 are this
-    # round's new queries (the two BPE twins — the one operator family
-    # with no prior CORRECTNESS entry — the two unigram-LM twins, the
-    # persisted-NB-model score path, the NB threshold sweep, and the
-    # C4 blocklist gate). Positions 8-50 rotate the LLM
-    # dedup/ANN/curation tier back in (last driver-certified r7, two
-    # rounds stale at driver scale); multimodal_features, profile_docs,
-    # token_counts and doc_fingerprints (all pass(r7)) yield their
-    # slots to the new queries.
-    # The relational/TPC-H/SURVEY-2 tier (just recertified r8)
-    # and the event/streaming remainder sit below 50 — everything there
-    # stays continuously verified by tests/test_oracle_parity.py at
-    # sf0.001 every run and the slow-marked sf0.01 sweep (the driver's
-    # scale).
+    # entries in dict order. Round-10 rotation (per the r9 verdict):
+    # positions 1-30 are the STALE tier — every query whose last driver
+    # window was r7 or older (date_dim r4, zorder_code r5, eleven r6
+    # text/relational queries, seventeen r7 events/funnel/asof queries).
+    # Positions 31-38 keep the eight r9-new queries in (one round old:
+    # the two BPE twins, the two unigram-LM twins, the persisted-NB
+    # score path, the NB threshold sweep, the C4 blocklist gate, and
+    # the span rewrite). Positions 39-50 are this round's NEW queries
+    # followed by r8-certified fillers (non-TPC-H first).
+    # The relational/TPC-H/SURVEY-2 remainder (recertified r8) and the
+    # r9-certified LLM dedup/ANN/curation tier sit below 50 —
+    # everything there stays continuously verified by
+    # tests/test_oracle_parity.py at sf0.001 every run and the
+    # slow-marked sf0.01 sweep (the driver's scale).
     return {
+        # --- stale tier: last driver window r4-r7 (30) ---
+        "date_dim": q_date_dim,
+        "zorder_code": q_zorder_code,
+        "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "bucketize_case_when": q_bucketize,
+        "email_validation": q_email_validation,
+        "json_extract_agg": q_json_extract_agg,
+        "asof_join": q_asof_join,
+        "pii_redaction": q_pii_redaction,
+        "constant_injection": q_constant_injection,
+        "scalar_max_watermark": q_scalar_max_watermark,
+        "profile_docs": q_profile_docs,
+        "sentence_split": q_sentence_split,
+        "star_join_asof": q_star_join_asof,
+        "approx_distinct": q_approx_distinct,
+        "range_join": q_range_join,
+        "funnel_analysis": q_funnel_analysis,
+        "funnel_one_pass": q_funnel_one_pass,
+        "cohort_retention": q_cohort_retention,
+        "metric_anomalies": q_metric_anomalies,
+        "gap_fill": q_gap_fill,
+        "user_activity_gaps": q_user_activity_gaps,
+        "event_transitions": q_event_transitions,
+        "conversion_latency": q_conversion_latency,
+        "embedding_class_stats": q_embedding_class_stats,
+        "event_attribution": q_event_attribution,
+        "events_sliding_window": q_events_sliding_window,
+        "events_session_window": q_events_session_window,
+        # --- r9-new, kept in (8) ---
         "bpe_merge_table": q_bpe_merge_table,
         "bpe_tokenize_stats": q_bpe_tokenize_stats,
         "unigram_vocab_table": q_unigram_vocab_table,
@@ -5127,6 +5235,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_threshold_sweep": q_nb_threshold_sweep,
         "blocklist_filter": q_blocklist_filter,
         "remove_dup_spans": q_remove_dup_spans,
+        # --- r10-new + r8 fillers (12) ---
+        "dup_span_stats": q_dup_span_stats,
+        "substring_dup_spans": q_substring_dup_spans,
+        "temperature_mix": q_temperature_mix,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "quality_nb_score": q_quality_nb_score,
+        "pricing_summary": q_pricing_summary,
+        "star_join": q_star_join,
+        "star_join_wide": q_star_join_wide,
+        "star_join_agg": q_star_join_agg,
+        "scd1_upsert": q_scd1_upsert,
+        "scd2_history": q_scd2_history,
+        "scd2_incremental": q_scd2_incremental,
+        # position 51+ (outside the driver window; oracle-checked by
+        # the pytest parity sweeps at sf0.001 every run + sf0.01 slow):
+        "scd2_asof_lookup": q_scd2_asof_lookup,
+        "dedup_latest_per_key": q_dedup_latest,
+        "topk_per_group": q_topk_per_group,
+        "events_tumbling_window": q_events_tumbling,
+        "running_totals": q_running_totals,
+        "window_rank_suite": q_window_rank_suite,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "grouping_sets": q_grouping_sets,
+        "distinct_agg": q_distinct_agg,
+        "set_ops": q_set_ops,
+        "pivot_event_counts": q_pivot_event_counts,
+        "unpivot_metrics": q_unpivot_metrics,
+        "value_histogram": q_value_histogram,
+        "percentile_summary": q_percentile_summary,
+        "incremental_filter": q_incremental_filter,
+        "expectations_drop": q_expectations_drop,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "ann_pq_topk": q_ann_pq_topk,
@@ -5169,87 +5330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "heavy_hitters": q_heavy_hitters,
         "gopher_quality": q_gopher_quality,
-        # position 51+ (outside the driver window; oracle-checked by the pytest parity sweeps):
-        "text_stats": q_text_stats,
-        "token_counts": q_token_counts,
-        "doc_fingerprints": q_doc_fingerprints,
-        "multimodal_features": q_multimodal_features,
-        "profile_docs": q_profile_docs,
-        "sentence_split": q_sentence_split,
-        "dup_span_stats": q_dup_span_stats,
-        "substring_dup_spans": q_substring_dup_spans,
-        "temperature_mix": q_temperature_mix,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "quality_nb_score": q_quality_nb_score,
-        "pricing_summary": q_pricing_summary,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_q22": q_tpch_q22,
-        "star_join": q_star_join,
-        "star_join_wide": q_star_join_wide,
-        "star_join_agg": q_star_join_agg,
-        "scd1_upsert": q_scd1_upsert,
-        "scd2_history": q_scd2_history,
-        "scd2_incremental": q_scd2_incremental,
-        "scd2_asof_lookup": q_scd2_asof_lookup,
-        "dedup_latest_per_key": q_dedup_latest,
-        "topk_per_group": q_topk_per_group,
-        "events_tumbling_window": q_events_tumbling,
-        "running_totals": q_running_totals,
-        "window_rank_suite": q_window_rank_suite,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "grouping_sets": q_grouping_sets,
-        "distinct_agg": q_distinct_agg,
-        "set_ops": q_set_ops,
-        "pivot_event_counts": q_pivot_event_counts,
-        "unpivot_metrics": q_unpivot_metrics,
-        "value_histogram": q_value_histogram,
-        "percentile_summary": q_percentile_summary,
-        "incremental_filter": q_incremental_filter,
-        "expectations_drop": q_expectations_drop,
-        "bucketize_case_when": q_bucketize,
-        "star_join_asof": q_star_join_asof,
-        "approx_distinct": q_approx_distinct,
-        "range_join": q_range_join,
-        "funnel_analysis": q_funnel_analysis,
-        "funnel_one_pass": q_funnel_one_pass,
-        "cohort_retention": q_cohort_retention,
-        "metric_anomalies": q_metric_anomalies,
-        "gap_fill": q_gap_fill,
-        "user_activity_gaps": q_user_activity_gaps,
-        "event_transitions": q_event_transitions,
-        "conversion_latency": q_conversion_latency,
-        "embedding_class_stats": q_embedding_class_stats,
-        "event_attribution": q_event_attribution,
-        "events_sliding_window": q_events_sliding_window,
-        "events_session_window": q_events_session_window,
-        "email_validation": q_email_validation,
-        "json_extract_agg": q_json_extract_agg,
-        "asof_join": q_asof_join,
-        "pii_redaction": q_pii_redaction,
-        "constant_injection": q_constant_injection,
-        "scalar_max_watermark": q_scalar_max_watermark,
-        "zorder_code": q_zorder_code,
-        "date_dim": q_date_dim,
     }
 
 

@@ -177,8 +177,19 @@ def main() -> None:
     # fastest of those too if the line still exceeds the budget), folds
     # everything else into the "folded" {n, total_sec} bucket, and
     # carries IQR for the variance-prone heavy family only.
+    #
+    # The COMMITTED baseline (BENCH_DETAIL.json) is only written under
+    # an explicit --commit flag: the overwrite hazard actually fired in
+    # r9 (an elevated-load sf0.01 side-effect run swept into a commit,
+    # making every comparison against it read a phantom +33%). Default
+    # runs — including the driver's — write the gitignored .local file.
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if "--commit" in sys.argv[1:]
+        else "BENCH_DETAIL.local.json"
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+                           detail_name), "w") as f:
         json.dump(full, f, indent=1)
     slow = {n: t for n, t in timings.items() if t >= 0.01}
     fast = {n: t for n, t in timings.items() if t < 0.01}

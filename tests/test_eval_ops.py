@@ -157,3 +157,53 @@ def test_blocklist_admitter_stateless_gate(spark):
     # original columns survive (left-semi against the gate)
     row = adm.admit(docs).filter("doc_id = 2").collect()[0]
     assert row["text"] == "clean text"
+
+
+def test_blocklist_oracle_quote_escape_and_empty_list(spark, tmp_path):
+    """The DuckDB blocklist oracle must match the Spark operator on
+    the inputs only the operator used to survive: blocklist words
+    containing single quotes (SQL-escaped by '' doubling) and an
+    EMPTY blocklist (``x IN ()`` is a DuckDB parse error — the oracle
+    renders a constant-FALSE membership, matching ``isin([])``)."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "it's a don't day it's"),
+            (2, "plain words only"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    pq = os.path.join(str(tmp_path), "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    sdocs = spark.read.parquet(pq)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pq}/*.parquet')"
+    )
+    for words in (["it's", "don't"], []):
+        got = sorted(
+            tuple(r)
+            for r in blocklist_filter(
+                sdocs, words, max_blocked_ppm=400000
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                entrymod._blocklist_filter_oracle(words, max_ppm=400000)
+            ).fetchall()
+        )
+        assert got == want, f"oracle diverged for words={words}"
+    # the quoted words really were counted (3/5 tokens blocked on doc 1)
+    row = blocklist_filter(
+        sdocs, ["it's", "don't"], max_blocked_ppm=400000
+    ).filter("doc_id = 1").collect()[0]
+    assert row["n_blocked"] == 3 and not row["keep"]

@@ -357,3 +357,47 @@ def test_unigram_tokenize_oracle_covers_unk_and_sep_words(
         ).fetchall()
     )
     assert got == want
+
+
+def test_unigram_oracle_long_word_guard_raises(spark, tmp_path):
+    """The recursive-CTE twins enumerate ~1.93^len paths per word, so
+    one long unbroken token (a URL, a hash) would silently blow the
+    parity sweep up. Words over UNIGRAM_ORACLE_MAX_WORD_LEN must raise
+    a loud DuckDB error NAMING the word; words at the limit pass."""
+    import os
+
+    import duckdb
+    import pytest
+
+    import __spark_entry__ as entrymod
+
+    n = entrymod.UNIGRAM_ORACLE_MAX_WORD_LEN
+    ok_word = "a" * n
+    bad_word = "b" * (n + 1)
+    params = dict(n_iters=1, max_piece_len=4, min_count=2, max_pieces=20)
+
+    def corpus_con(text):
+        d = os.path.join(str(tmp_path), text[:2])
+        docs = spark.createDataFrame(
+            [(0, text), (1, "low lower low")], "doc_id long, text string"
+        )
+        pq = os.path.join(d, "documents.parquet")
+        docs.coalesce(1).write.mode("overwrite").parquet(pq)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{pq}/*.parquet')"
+        )
+        return con
+
+    con = corpus_con(ok_word)
+    assert con.execute(entrymod._unigram_vocab_oracle(**params)).fetchall()
+    assert con.execute(
+        entrymod._unigram_tokenize_oracle(**params)
+    ).fetchall()
+
+    con = corpus_con(bad_word)
+    with pytest.raises(duckdb.Error, match=bad_word):
+        con.execute(entrymod._unigram_vocab_oracle(**params)).fetchall()
+    with pytest.raises(duckdb.Error, match=bad_word):
+        con.execute(entrymod._unigram_tokenize_oracle(**params)).fetchall()
