@@ -222,6 +222,9 @@ class Engine:
             funnel=_stream_funnel.funnel_stage_stream,
             asof_enrich=_stream_asof.asof_enrich_stream,
             admission=_admission.run_admission_stream,
+            chained=_admission.ChainedAdmitter,
+            bound=_admission.BoundAdmitter,
+            rewrite_stage=_substring.SubstringRewriteStage,
             read_admitted=_admission.read_admitted,
             anomaly_monitor=_anomaly.AnomalyMonitor,
         )
@@ -357,6 +360,133 @@ class Engine:
             )
             out[name] = {"class": type(art).__name__, "result": result}
         return out
+
+    def curation_stream(
+        self,
+        source: DataFrame,
+        workdir: str,
+        *,
+        blocklist: "tuple[str, ...] | None" = None,
+        max_blocked_ppm: int = 40000,
+        nb_model=None,
+        nb_min_score_nano: int = 0,
+        exact: bool = True,
+        near_dup: bool = True,
+        lsh_threshold: float = 0.5,
+        rewrite: bool = True,
+        max_dup_frac: float = 1.0,
+        extra_stages: "tuple" = (),
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        """One-call STREAMING twin of :func:`...plans.llm_corpus.
+        build_llm_corpus_pipeline`'s gate chain: build the standard
+        curation gates (blocklist → NB quality → exact dedup → LSH
+        near-dup → [extra_stages] → substring rewrite) over per-gate
+        state under ``<workdir>/state/``, then run ONE checkpointed
+        ``availableNow`` admission pass of ``source`` (checkpoint
+        ``<workdir>/_checkpoint``, admitted corpus
+        ``<workdir>/admitted`` — read it back with
+        ``stream.read_admitted``). Exactly-once END-TO-END across all
+        gates: one checkpoint, one per-epoch run_id threaded through
+        the whole :class:`...streaming.admission.ChainedAdmitter`
+        (see its docstring for the crash-replay induction).
+
+        Gates are included only when configured: ``blocklist`` tuple
+        enables the C4 gate; a trained ``NbQualityModel`` enables the
+        quality gate (training is an offline batch step — fit one with
+        ``curate.nb_quality_model``); ``exact``/``near_dup``/
+        ``rewrite`` toggle the dedup tiers. Embedding/semantic gates
+        need an embedding column a raw document stream lacks — pass
+        one pre-built via ``extra_stages`` (inserted before the
+        rewrite) after joining embeddings upstream. The batch
+        pipeline's mix/shards stages are corpus-global re-balancing,
+        not per-batch gates — run them as batch post-processing over
+        the admitted corpus.
+
+        Returns the ``ChainedAdmitter`` — call ``curation_stream``
+        again after new source files land (same ``workdir``) and the
+        same chain state + checkpoint continue where they left off.
+
+        Scale: per-epoch cost is the sum of the member gates
+        (each O(batch × log state)); the admitted corpus lands
+        epoch-partitioned for pruned downstream reads.
+        """
+        import os as _os
+
+        from .operators.curation import BlocklistAdmitter
+        from .operators.dedup import IncrementalDedup, IncrementalLsh
+        from .operators.quality_nb import NbQualityAdmitter
+        from .operators.substring import SubstringRewriteStage
+        from .streaming.admission import (
+            BoundAdmitter,
+            ChainedAdmitter,
+            run_admission_stream,
+        )
+
+        state = _os.path.join(workdir, "state")
+        stages: list = []
+        if blocklist:
+            stages.append((
+                "blocklist",
+                BlocklistAdmitter(
+                    blocklist,
+                    max_blocked_ppm=max_blocked_ppm,
+                    text_col=text_col,
+                    id_col=id_col,
+                ),
+            ))
+        if nb_model is not None:
+            stages.append((
+                "nb_quality",
+                NbQualityAdmitter(
+                    nb_model, min_score_nano=nb_min_score_nano
+                ),
+            ))
+        if exact:
+            stages.append((
+                "dedup_exact",
+                BoundAdmitter(
+                    IncrementalDedup(
+                        self.spark, _os.path.join(state, "exact")
+                    ),
+                    text_col=text_col,
+                    id_col=id_col,
+                ),
+            ))
+        if near_dup:
+            stages.append((
+                "dedup_near",
+                BoundAdmitter(
+                    IncrementalLsh(
+                        self.spark,
+                        _os.path.join(state, "lsh"),
+                        threshold=lsh_threshold,
+                    ),
+                    text_col=text_col,
+                    id_col=id_col,
+                ),
+            ))
+        stages.extend(extra_stages)
+        if rewrite:
+            stages.append((
+                "rewrite_spans",
+                SubstringRewriteStage(
+                    self.spark,
+                    _os.path.join(state, "substring"),
+                    max_dup_frac=max_dup_frac,
+                    id_col=id_col,
+                    text_col=text_col,
+                ),
+            ))
+        chain = ChainedAdmitter(stages)
+        run_admission_stream(
+            source,
+            chain,
+            _os.path.join(workdir, "admitted"),
+            _os.path.join(workdir, "_checkpoint"),
+        )
+        return chain
 
     def compact_artifacts(self, tag: str) -> dict[str, dict]:
         """Run crash-safe ``compact`` on every registered artifact that

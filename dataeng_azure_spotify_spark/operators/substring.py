@@ -939,3 +939,66 @@ class IncrementalSubstringDedup:
         return self.index.admit_batch(
             batch, run_id or "adhoc", max_dup_frac=self.max_dup_frac
         )
+
+
+class SubstringRewriteStage:
+    """Admission-chain TRANSFORM stage: gate each micro-batch on
+    duplicated-span coverage (:class:`IncrementalSubstringDedup`) and
+    return the admitted documents with their duplicated spans EXCISED
+    — ``text_col`` replaced by the cleaned text via
+    :meth:`SubstringDupIndex.rewrite`, all other columns carried
+    through unchanged. The last stage of a
+    :class:`...streaming.admission.ChainedAdmitter` curation chain:
+    earlier gates judge the original text; the corpus that lands is
+    the cleaned one (the batch pipeline's ``rewrite_spans`` stage,
+    streaming form).
+
+    Default ``max_dup_frac=1.0`` admits everything (pure transform —
+    the grams still append to the store so FUTURE epochs see this
+    epoch's boilerplate); tighten it to also drop documents that are
+    mostly duplicated.
+
+    Replay-convergent, hence chain-safe: ``admit_batch`` re-returns a
+    crashed epoch's admitted set without re-mutating state (registry
+    answer after a compact; doc-set self-exclusion before), and
+    ``rewrite`` is read-only + deterministic and EXCLUDES this
+    run_id's own stored contributions by document set — so the cleaned
+    text is byte-identical whether or not the crashed attempt's gram
+    write committed, or a later ``compact()`` folded it.
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        max_dup_frac: float = 1.0,
+        min_count: int = 2,
+        k: int = 8,
+        num_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self._inc = IncrementalSubstringDedup(
+            spark,
+            state_dir,
+            max_dup_frac=max_dup_frac,
+            k=k,
+            num_buckets=num_buckets,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        self.index = self._inc.index
+        self.state_dir = state_dir
+        self.min_count = int(min_count)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        admitted = self._inc.admit(batch, run_id=run_id)
+        cleaned = self.index.rewrite(
+            admitted, run_id or "adhoc", min_count=self.min_count
+        ).select(
+            self.id_col, F.col("text_clean").alias(self.text_col)
+        )
+        carried = [c for c in admitted.columns if c != self.text_col]
+        return admitted.select(*carried).join(cleaned, self.id_col)

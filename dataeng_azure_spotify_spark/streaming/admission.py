@@ -52,6 +52,170 @@ from pyspark.sql import DataFrame
 _UNSET = object()
 
 
+def _admit_accepts_run_id(admitter) -> bool:
+    fn = getattr(admitter, "admit", None)
+    if not callable(fn):
+        return False
+    return "run_id" in inspect.signature(fn).parameters
+
+
+def _state_paths(admitter) -> "list[str]":
+    """Best-effort persistent-state paths of an admitter, for the
+    shared-state refusal: ``state_dir`` on the incremental admitters,
+    plus the wrapped index's ``path``/``state_dir`` when present
+    (following :class:`BoundAdmitter`'s ``inner``). Stateless gates
+    (blocklist/NB/DSIR) report none."""
+    paths = set()
+    seen = set()
+    frontier = [admitter]
+    while frontier:
+        owner = frontier.pop()
+        if owner is None or id(owner) in seen:
+            continue
+        seen.add(id(owner))
+        for attr in ("state_dir", "path"):
+            p = getattr(owner, attr, None)
+            if isinstance(p, str) and p:
+                paths.add(os.path.abspath(p))
+        frontier.extend(
+            getattr(owner, a, None) for a in ("index", "inner", "_inc")
+        )
+    return sorted(paths)
+
+
+class BoundAdmitter:
+    """Adapter fixing an admitter's call-time column kwargs at
+    construction, so gates whose ``admit`` takes ``text_col``/
+    ``id_col`` per call (:class:`...operators.dedup.IncrementalDedup`,
+    :class:`...operators.dedup.IncrementalLsh`) satisfy the uniform
+    ``admit(batch, run_id=)`` shape a :class:`ChainedAdmitter` calls.
+    Kwargs are validated against the inner ``admit`` signature up
+    front — a typo'd column name must fail at construction, not run
+    the stream against the wrong column."""
+
+    def __init__(self, inner, **kwargs) -> None:
+        params = set(inspect.signature(inner.admit).parameters)
+        bad = sorted(set(kwargs) - params)
+        if bad:
+            raise TypeError(
+                f"BoundAdmitter: {type(inner).__name__}.admit does not "
+                f"accept {bad}"
+            )
+        if "run_id" not in params:
+            raise TypeError(
+                f"BoundAdmitter: {type(inner).__name__}.admit lacks "
+                "run_id — cannot participate in replay-convergent chains"
+            )
+        self.inner = inner
+        self.kwargs = kwargs
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        return self.inner.admit(batch, run_id=run_id, **self.kwargs)
+
+
+class ChainedAdmitter:
+    """Sequential multi-gate admission under ONE per-epoch ``run_id``
+    — the streaming twin of :mod:`...plans.llm_corpus`'s batch gate
+    chain (blocklist → NB quality → exact → LSH near-dup → semantic →
+    substring rewrite, or any subset/order).
+
+    ``ChainedAdmitter`` satisfies the admitter contract itself
+    (``admit(batch, run_id=) -> admitted slice``), so it drops into
+    :func:`run_admission_stream` unchanged: ONE checkpoint, ONE
+    namespaced epoch run_id threaded verbatim through every gate, ONE
+    idempotent epoch output partition — instead of N separate streams
+    with N checkpoints and no cross-gate atomicity story.
+
+    **Exactly-once across the chain, by induction.** Each constituent
+    gate is individually replay-convergent: calling ``admit`` again
+    with the same ``run_id`` returns exactly the rows the first
+    attempt admitted, without re-mutating state (run-tracked state for
+    the incremental gates; determinism for the stateless ones). A
+    crash between gate N and N+1 leaves gates 1..N committed and
+    N+1.. untouched; the checkpoint re-delivers the epoch with the
+    SAME id, so gate 1 sees its original input, returns its original
+    output (replay path), which is gate 2's original input, and so on
+    — gates 1..N answer from state, gates N+1.. run as if for the
+    first time, and the chain's output is identical no matter where
+    the crash fell. The epoch-partition overwrite sink then commits
+    the identical result. ``tests/test_chained_admission.py`` pins
+    this with a crash injected at every boundary.
+
+    **Construction refusals** (each would silently break the replay
+    induction): a stage whose ``admit`` lacks ``run_id``; the same
+    admitter INSTANCE twice (its second replay would alias the first
+    stage's run-tracked rows); two stages sharing a persistent state
+    path (same aliasing through the artifact); duplicate stage names.
+
+    Scale: per-epoch cost is the sum of the member gates' costs — each
+    is O(batch × log state) by its own contract — and admission state
+    stays per-gate (no combined artifact), so retraction/compaction
+    keep working per artifact via ``Engine.remove_document`` /
+    ``compact_artifacts``.
+
+    ``stages``: iterable of admitters, or ``(name, admitter)`` pairs
+    (bare admitters auto-name ``s{i}-{ClassName}``). Gate order is
+    chain order; put transform stages (e.g. :class:`...operators.
+    substring.SubstringRewriteStage`) last so earlier gates judge the
+    original text.
+    """
+
+    def __init__(self, stages) -> None:
+        self.stages: "list[tuple[str, object]]" = []
+        seen_names: set = set()
+        seen_instances: dict = {}
+        seen_paths: dict = {}
+        for i, entry in enumerate(stages):
+            if isinstance(entry, tuple):
+                name, adm = entry
+            else:
+                name, adm = f"s{i}-{type(entry).__name__}", entry
+            if not _admit_accepts_run_id(adm):
+                raise TypeError(
+                    f"ChainedAdmitter stage {name!r}: "
+                    f"{type(adm).__name__}.admit missing or lacks "
+                    "run_id — every gate must be replay-convergent for "
+                    "the chain's exactly-once induction to hold"
+                )
+            if name in seen_names:
+                raise ValueError(
+                    f"ChainedAdmitter: duplicate stage name {name!r}"
+                )
+            if id(adm) in seen_instances:
+                raise ValueError(
+                    f"ChainedAdmitter: stage {name!r} reuses the same "
+                    f"admitter instance as {seen_instances[id(adm)]!r} — "
+                    "its replay would alias the earlier stage's "
+                    "run-tracked state rows under the shared run_id"
+                )
+            for p in _state_paths(adm):
+                if p in seen_paths:
+                    raise ValueError(
+                        f"ChainedAdmitter: stage {name!r} shares state "
+                        f"path {p} with stage {seen_paths[p]!r} — two "
+                        "gates mutating one artifact under the shared "
+                        "run_id breaks replay convergence"
+                    )
+                seen_paths[p] = name
+            seen_names.add(name)
+            seen_instances[id(adm)] = name
+            self.stages.append((name, adm))
+        if not self.stages:
+            raise ValueError("ChainedAdmitter: empty stage list")
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        """Fold ``batch`` through every gate in order under the SAME
+        ``run_id``; return the final admitted (possibly transformed)
+        slice. Each stateful gate materializes its own decision before
+        mutating its state (their documented discipline), so the
+        returned DataFrame is safe to write even though later actions
+        re-execute the stateless gates' lineage."""
+        cur = batch
+        for _name, adm in self.stages:
+            cur = adm.admit(cur, run_id=run_id)
+        return cur
+
+
 def run_admission_stream(
     source: DataFrame,
     admitter,

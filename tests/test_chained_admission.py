@@ -1,0 +1,306 @@
+"""ChainedAdmitter — the streaming twin of plans/llm_corpus.py's gate
+chain: one checkpoint, one per-epoch run_id threaded through every
+gate, exactly-once END-TO-END. The core pin is crash-at-every-boundary
+replay convergence: whichever gate boundary the crash falls on, the
+re-delivered epoch converges to the identical admitted set and
+identical per-gate artifact state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dataeng_azure_spotify_spark.operators.curation import BlocklistAdmitter
+from dataeng_azure_spotify_spark.operators.dedup import (
+    IncrementalDedup,
+    IncrementalLsh,
+)
+from dataeng_azure_spotify_spark.operators.substring import (
+    SubstringRewriteStage,
+)
+from dataeng_azure_spotify_spark.streaming.admission import (
+    BoundAdmitter,
+    ChainedAdmitter,
+    read_admitted,
+    run_admission_stream,
+)
+
+_SCHEMA = "doc_id long, text string"
+
+# 12 unique tokens + a 10-token boilerplate block shared across docs:
+# long enough that the k=8 substring tier sees duplicated 8-gram runs,
+# short enough that boiler-sharing docs stay BELOW the 0.6 LSH
+# threshold (J = 8 shared 3-shingles / 32 = 0.25) while one-word edits
+# stay above it (J ≈ 17/23 ≈ 0.74).
+_UNIQ1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+_BOILER = "mu nu xi omicron pi rho sigma tau upsilon phi"
+_UNIQ5 = (
+    "quebec romeo sierra tango uniform victor whiskey xray yankee zulu "
+    "november december"
+)
+_UNIQ12 = (
+    "one two three four five six seven eight nine ten eleven twelve"
+)
+_TEXT13 = (
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen "
+    "twenty twentyone twentytwo"
+)
+
+_B1 = [
+    (1, f"{_UNIQ1} {_BOILER}"),  # survives; boiler excised
+    (2, "bad bad bad words here"),  # blocklist: 600000 ppm > budget
+    (3, f"Alpha  bravo charlie delta echo foxtrot golf hotel india "
+        f"juliet kilo lima {_BOILER}"),  # exact dup of 1 (normalized)
+    (4, f"{_UNIQ1} {_BOILER}".replace("foxtrot", "FOXTROT-X")),  # near-dup of 1
+    (5, f"{_UNIQ5} {_BOILER}"),  # survives; boiler excised
+]
+_B2 = [
+    (10, f"ALPHA bravo charlie delta echo foxtrot golf hotel india "
+         f"juliet kilo lima {_BOILER}"),  # cross-epoch exact dup of 1
+    (11, f"{_UNIQ1} {_BOILER}".replace("phi", "phi-variant")),  # near-dup of 1
+    (12, f"{_UNIQ12} {_BOILER}"),  # boiler vs STORED corpus -> excised
+    (13, _TEXT13),  # clean, untouched
+]
+_E1_EXPECT = {(1, _UNIQ1), (5, _UNIQ5)}
+_E2_EXPECT = {(12, _UNIQ12), (13, _TEXT13)}
+
+
+def _mk_stages(spark, root: str):
+    """The 4-gate chain every test uses: C4 blocklist -> exact dedup ->
+    LSH near-dup -> substring-span rewrite, state under ``root``."""
+    return [
+        ("blocklist", BlocklistAdmitter(["bad"], max_blocked_ppm=100000)),
+        ("exact", BoundAdmitter(
+            IncrementalDedup(spark, os.path.join(root, "exact")))),
+        ("lsh", BoundAdmitter(
+            IncrementalLsh(spark, os.path.join(root, "lsh"), threshold=0.6))),
+        ("rewrite", SubstringRewriteStage(
+            spark, os.path.join(root, "substr"))),
+    ]
+
+
+def _rows(df):
+    return {(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()}
+
+
+def _state_counts(spark, root: str) -> dict:
+    """Row counts of each gate's persistent state (the cross-run
+    artifacts whose convergence the crash tests assert)."""
+    out = {}
+    for leg in ("exact", "lsh"):
+        p = os.path.join(root, leg)
+        out[leg] = (
+            spark.read.parquet(p).count() if os.path.isdir(p) and any(
+                f.endswith(".parquet") for f in os.listdir(p)
+            ) else 0
+        )
+    gp = os.path.join(root, "substr", "grams")
+    out["substr"] = (
+        spark.read.parquet(gp).count() if os.path.isdir(gp) else 0
+    )
+    return out
+
+
+class _CrashAfter:
+    """Wrapper injecting a crash AT the boundary after its gate: the
+    inner admit runs fully (state mutations included — that is the
+    point), its output is forced, then the epoch dies."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def admit(self, batch, run_id=None):
+        out = self.inner.admit(batch, run_id=run_id)
+        out.count()  # force lazy (stateless-gate) lineage too
+        raise RuntimeError("injected crash at gate boundary")
+
+
+class _CrashOnce:
+    """Crash the FIRST invocation only — the streaming restart shape."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.crashed = False
+
+    def admit(self, batch, run_id=None):
+        out = self.inner.admit(batch, run_id=run_id)
+        if not self.crashed:
+            out.count()
+            self.crashed = True
+            raise RuntimeError("injected first-attempt crash")
+        return out
+
+
+def test_chain_two_epochs_each_gate_fires(spark, tmp_path):
+    """Baseline semantics: every gate drops/rewrites what it should,
+    within the batch (epoch 1) and against history (epoch 2)."""
+    chain = ChainedAdmitter(_mk_stages(spark, str(tmp_path / "s")))
+    b1 = spark.createDataFrame(_B1, _SCHEMA)
+    b2 = spark.createDataFrame(_B2, _SCHEMA)
+    assert _rows(chain.admit(b1, run_id="e0")) == _E1_EXPECT
+    assert _rows(chain.admit(b2, run_id="e1")) == _E2_EXPECT
+
+
+def test_chain_construction_refusals(spark, tmp_path):
+    class _NoRunId:
+        def admit(self, batch):
+            return batch
+
+    with pytest.raises(TypeError, match="run_id"):
+        ChainedAdmitter([_NoRunId()])
+    with pytest.raises(ValueError, match="empty"):
+        ChainedAdmitter([])
+    gate = BlocklistAdmitter(["x"])
+    with pytest.raises(ValueError, match="duplicate stage name"):
+        ChainedAdmitter([("g", gate), ("g", BlocklistAdmitter(["y"]))])
+    with pytest.raises(ValueError, match="same .* instance|reuses"):
+        ChainedAdmitter([("a", gate), ("b", gate)])
+    p = str(tmp_path / "shared")
+    with pytest.raises(ValueError, match="shares state path"):
+        ChainedAdmitter([
+            ("a", BoundAdmitter(IncrementalDedup(spark, p))),
+            ("b", BoundAdmitter(IncrementalDedup(spark, p))),
+        ])
+
+
+def test_bound_admitter_validates_kwargs(spark, tmp_path):
+    inner = IncrementalDedup(spark, str(tmp_path / "st"))
+    with pytest.raises(TypeError, match="does not accept"):
+        BoundAdmitter(inner, nope_col="text")
+    bound = BoundAdmitter(inner, text_col="text", id_col="doc_id")
+    got = bound.admit(
+        spark.createDataFrame([(1, "a b"), (2, "a b")], _SCHEMA),
+        run_id="e0",
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [1]
+
+
+def test_chain_crash_at_every_boundary_replay_converges(spark, tmp_path):
+    """THE exactly-once pin: for each boundary k (crash after gate k
+    fully committed, before gate k+1 ran), the re-delivered epoch —
+    through a FRESH chain over the same state, the process-restart
+    shape — admits the identical set, leaves every gate's artifact in
+    the identical state as the never-crashed control, and the NEXT
+    epoch proceeds unharmed."""
+    b1 = spark.createDataFrame(_B1, _SCHEMA)
+    b2 = spark.createDataFrame(_B2, _SCHEMA)
+
+    control_root = str(tmp_path / "control")
+    control = ChainedAdmitter(_mk_stages(spark, control_root))
+    assert _rows(control.admit(b1, run_id="e0")) == _E1_EXPECT
+    control_state_e0 = _state_counts(spark, control_root)
+    assert _rows(control.admit(b2, run_id="e1")) == _E2_EXPECT
+
+    n_gates = 4
+    for k in range(n_gates):
+        root = str(tmp_path / f"crash{k}")
+        stages = _mk_stages(spark, root)
+        name_k, gate_k = stages[k]
+        stages[k] = (name_k, _CrashAfter(gate_k))
+        crashing = ChainedAdmitter(stages)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            crashing.admit(b1, run_id="e0")
+
+        # process restart: fresh chain instances over the same state
+        replay = ChainedAdmitter(_mk_stages(spark, root))
+        assert _rows(replay.admit(b1, run_id="e0")) == _E1_EXPECT, (
+            f"replay diverged after crash at boundary {k}"
+        )
+        assert _state_counts(spark, root) == control_state_e0, (
+            f"artifact state diverged after crash at boundary {k}"
+        )
+        # replay-of-replay: still identical, state still unchanged
+        assert _rows(replay.admit(b1, run_id="e0")) == _E1_EXPECT
+        assert _state_counts(spark, root) == control_state_e0
+        # and the next epoch proceeds exactly like the control
+        assert _rows(replay.admit(b2, run_id="e1")) == _E2_EXPECT, (
+            f"epoch 2 diverged after crash at boundary {k}"
+        )
+
+
+def test_chain_streaming_end_to_end_with_restart(spark, tmp_path):
+    """The chain through run_admission_stream: one checkpoint, the
+    first attempt dies mid-chain (after the LSH gate committed), the
+    restarted stream re-delivers the epoch with the same id and the
+    landed corpus equals the batch-chain control — then a second epoch
+    drains normally."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    root = str(tmp_path / "state")
+
+    spark.createDataFrame(_B1, _SCHEMA).write.mode("append").parquet(inp)
+
+    stages = _mk_stages(spark, root)
+    stages[2] = (stages[2][0], _CrashOnce(stages[2][1]))
+    chain = ChainedAdmitter(stages)
+
+    def drain():
+        src = spark.readStream.schema(_SCHEMA).parquet(inp)
+        run_admission_stream(src, chain, out, chk)
+
+    with pytest.raises(Exception, match="injected first-attempt crash"):
+        drain()
+    drain()  # restart: same checkpoint, epoch re-delivered, same run_id
+    assert _rows(read_admitted(spark, out)) == _E1_EXPECT
+
+    spark.createDataFrame(_B2, _SCHEMA).write.mode("append").parquet(inp)
+    drain()
+    assert _rows(read_admitted(spark, out)) == _E1_EXPECT | _E2_EXPECT
+
+
+def test_rewrite_stage_pure_transform_and_cross_epoch_store(spark, tmp_path):
+    """SubstringRewriteStage alone: default max_dup_frac=1.0 admits
+    everything; within-epoch duplicated spans are excised from BOTH
+    carriers; epoch-2 docs are cleaned against epoch-1's STORED
+    boilerplate; extra columns carry through."""
+    stage = SubstringRewriteStage(spark, str(tmp_path / "st"))
+    b1 = spark.createDataFrame(
+        [(1, f"{_UNIQ1} {_BOILER}", "web"), (5, f"{_UNIQ5} {_BOILER}", "web")],
+        "doc_id long, text string, source string",
+    )
+    got1 = stage.admit(b1, run_id="e0")
+    assert _rows(got1) == {(1, _UNIQ1), (5, _UNIQ5)}
+    assert {r["source"] for r in got1.collect()} == {"web"}
+
+    b2 = spark.createDataFrame(
+        [(12, f"{_UNIQ12} {_BOILER}", "web")],
+        "doc_id long, text string, source string",
+    )
+    # epoch 2 carries the boiler ONCE — only the stored corpus makes
+    # it a duplicate, so this pins rewrite-vs-store (not just in-batch)
+    assert _rows(stage.admit(b2, run_id="e1")) == {(12, _UNIQ12)}
+
+
+def test_engine_curation_stream_one_call(spark, tmp_path):
+    """Engine.curation_stream builds the standard chain, drains the
+    source exactly-once across two calls, and lands the cleaned
+    corpus."""
+    from dataeng_azure_spotify_spark.engine import Engine
+
+    eng = Engine(spark)
+    inp = str(tmp_path / "in")
+    wd = str(tmp_path / "wd")
+    spark.createDataFrame(_B1, _SCHEMA).write.mode("append").parquet(inp)
+
+    def src():
+        return spark.readStream.schema(_SCHEMA).parquet(inp)
+
+    chain = eng.curation_stream(
+        src(), wd, blocklist=("bad",), max_blocked_ppm=100000,
+        lsh_threshold=0.6,
+    )
+    assert [n for n, _ in chain.stages] == [
+        "blocklist", "dedup_exact", "dedup_near", "rewrite_spans",
+    ]
+    admitted = read_admitted(spark, os.path.join(wd, "admitted"))
+    assert _rows(admitted) == _E1_EXPECT
+
+    spark.createDataFrame(_B2, _SCHEMA).write.mode("append").parquet(inp)
+    eng.curation_stream(
+        src(), wd, blocklist=("bad",), max_blocked_ppm=100000,
+        lsh_threshold=0.6,
+    )
+    admitted = read_admitted(spark, os.path.join(wd, "admitted"))
+    assert _rows(admitted) == _E1_EXPECT | _E2_EXPECT
