@@ -136,6 +136,10 @@ class Engine:
             pq_encode=_pq.pq_encode,
             pq_decode=_pq.pq_decode,
             pq_topk=_pq.pq_topk,
+            ivfpq_topk=_pq.ivfpq_topk,
+            pq_residual_codebook=_pq.residual_codebook,
+            pq_residual_encode=_pq.residual_encode,
+            adc_probe_topk=_pq.adc_probe_topk,
         )
         self.text = SimpleNamespace(
             tokens=_text.tokens_col,

@@ -1556,6 +1556,7 @@ class IvfIndex:
 
     CENTROIDS = "centroids"
     BUCKETS = "buckets"
+    PQ_CODEBOOK = "pq_codebook"
 
     def __init__(
         self,
@@ -1572,6 +1573,7 @@ class IvfIndex:
         self.vec_col = vec_col
         self._centroids_path = os.path.join(path, self.CENTROIDS)
         self._buckets_path = os.path.join(path, self.BUCKETS)
+        self._pq_codebook_path = os.path.join(path, self.PQ_CODEBOOK)
 
     @classmethod
     def build(
@@ -1625,6 +1627,125 @@ class IvfIndex:
             df = df.withColumn("run_id", F.lit(None).cast("string"))
         return df
 
+    # -- PQ codes leg (IVF-PQ / FAISS IVFADC) --------------------------
+    def has_codes(self) -> bool:
+        import os
+
+        return os.path.exists(self._pq_codebook_path)
+
+    def pq_codebook(self) -> DataFrame:
+        return self.spark.read.parquet(self._pq_codebook_path)
+
+    def add_codes(
+        self,
+        m: int = 4,
+        nbits: int = 4,
+        iters: int = 8,
+        train_n: int = 16384,
+    ) -> None:
+        """Enable the IVF-PQ leg: train a residual PQ codebook
+        (``unit(vec) − unit(own centroid)`` on a bounded deterministic
+        sample) and rewrite the bucket table with a ``codes`` column.
+
+        Codes live as a COLUMN of the bucket rows, not a second
+        artifact: one write path means append/remove/compact/replay
+        semantics are untouched (whole-row operations carry the column
+        for free, with no cross-artifact crash window), while
+        Parquet's columnar layout means the ADC probe reads ONLY
+        (centroid_id, id, codes) — 16-byte scans with the floats left
+        on disk for exact re-rank and maintenance (ReadSchema pinned
+        in tests/test_pq.py). The migration is one corpus-linear
+        encode + full bucket rewrite; single-writer like every other
+        maintenance method. Raises if codes are already enabled
+        (re-encoding under a silently different codebook would corrupt
+        every committed code)."""
+        from dataeng_azure_spotify_spark.operators.pq import (
+            residual_codebook,
+        )
+
+        if self.has_codes():
+            raise ValueError(
+                "IvfIndex.add_codes: codes already enabled; build a new "
+                "index to change PQ parameters"
+            )
+        cb = residual_codebook(
+            self.buckets(),
+            self.centroids(),
+            self.id_col,
+            self.vec_col,
+            m=m,
+            nbits=nbits,
+            iters=iters,
+            train_n=train_n,
+        )
+        # codebook lands LAST: its existence is the has_codes() commit
+        # marker, so a crash mid-rewrite leaves a no-codes index that a
+        # retry rewrites again (the bucket rewrite is idempotent)
+        coded = self._with_codes(self.buckets(), self.centroids(), cb)
+        (
+            coded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id")
+            .parquet(self._buckets_path)
+        )
+        cb.write.mode("overwrite").parquet(self._pq_codebook_path)
+
+    def _with_codes(
+        self, rows: DataFrame, centroids: DataFrame, codebook: DataFrame
+    ) -> DataFrame:
+        """``rows`` (bucketed, with ``centroid_id``) plus a fresh
+        ``codes`` column — residual-encoded against ``centroids`` with
+        ``codebook``; materialized (the rewrite callers replace the
+        very files this lineage reads)."""
+        from dataeng_azure_spotify_spark.operators.pq import (
+            residual_encode,
+        )
+
+        codes = residual_encode(
+            rows, centroids, codebook, self.id_col, self.vec_col
+        ).select(self.id_col, "codes")
+        base = rows.drop("codes") if "codes" in rows.columns else rows
+        return base.join(codes, self.id_col).localCheckpoint(eager=True)
+
+    def query_adc(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 12,
+        rerank: int | None = None,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Probe the index scoring PQ codes via ADC instead of full
+        floats (requires :meth:`add_codes`): centroid routing + per-
+        query LUT + per-(query, centroid) bias over the probed
+        buckets' (id, codes) columns only; optional exact re-rank of
+        the ADC top-``rerank`` shortlist against the stored floats.
+        The scan the 100 TB index actually runs — 16 bytes/vector."""
+        from dataeng_azure_spotify_spark.operators.pq import adc_probe_topk
+
+        if not self.has_codes():
+            raise ValueError(
+                "IvfIndex.query_adc: no PQ codes — call add_codes() first"
+            )
+        b = self.buckets()
+        return adc_probe_topk(
+            queries,
+            self.centroids(),
+            b.select("centroid_id", self.id_col, "codes"),
+            self.pq_codebook(),
+            k=k,
+            nprobe=nprobe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            rerank_vectors=(
+                b.select(self.id_col, self.vec_col)
+                if rerank is not None
+                else None
+            ),
+            rerank=rerank,
+            exclude_self=exclude_self,
+        )
+
     def append(self, vectors: DataFrame, run_id: str | None = None) -> None:
         """Assign new vectors to the EXISTING centroids and append their
         bucket rows. Centroids stay fixed — the standard IVF ingest
@@ -1632,14 +1753,22 @@ class IvfIndex:
         periodically to re-balance). Append lands only the new rows'
         partitions; committed buckets are untouched. ``run_id`` tags the
         rows with the admitting run for exactly-once streaming replays
-        (see :class:`IncrementalEmbeddingDedup`)."""
+        (see :class:`IncrementalEmbeddingDedup`). With the PQ leg
+        enabled, the new rows' residual codes are encoded inline
+        against the frozen codebook — still ONE write, so the
+        exactly-once replay story gains no new crash window."""
         assignment = ivf_assign(
             vectors, self.centroids(), self.id_col, self.vec_col
         )
+        rows = vectors.join(assignment, on=self.id_col).withColumn(
+            "run_id", F.lit(run_id).cast("string")
+        )
+        if self.has_codes():
+            rows = self._with_codes(
+                rows, self.centroids(), self.pq_codebook()
+            )
         (
-            vectors.join(assignment, on=self.id_col)
-            .withColumn("run_id", F.lit(run_id).cast("string"))
-            .write.mode("append")
+            rows.write.mode("append")
             .partitionBy("centroid_id")
             .parquet(self._buckets_path)
         )
@@ -1927,11 +2056,29 @@ class IvfIndex:
             reassigned = (
                 moved if reassigned is None else reassigned.unionByName(moved)
             )
-        # `reassigned`'s lineage lazily reads the very bucket files the
-        # overwrite below replaces — materialize it FIRST (executor-side
-        # blocks, GC-reclaimed) so no task can re-read a replaced file
-        # after a speculative retry or driver-side re-execution
-        reassigned = reassigned.localCheckpoint(eager=True)
+        kept = self.centroids().filter(
+            ~F.col("centroid_id").isin([int(c) for c in oversized])
+        )
+        updated = kept.unionByName(
+            spark.createDataFrame(
+                new_cent_rows, f"centroid_id long, {self.vec_col} array<float>"
+            )
+        ).localCheckpoint(eager=True)  # materialize before overwriting source
+        if self.has_codes():
+            # split rows changed centroid (and the first sub-bucket kept
+            # its id but got a NEW centroid vector), so their residual
+            # codes are stale — re-encode exactly the rewritten rows
+            # against the updated centroids; _with_codes materializes
+            reassigned = self._with_codes(
+                reassigned, updated, self.pq_codebook()
+            )
+        else:
+            # `reassigned`'s lineage lazily reads the very bucket files
+            # the overwrite below replaces — materialize it FIRST
+            # (executor-side blocks, GC-reclaimed) so no task can
+            # re-read a replaced file after a speculative retry or
+            # driver-side re-execution
+            reassigned = reassigned.localCheckpoint(eager=True)
         # dynamic overwrite: only the partitions present in `reassigned`
         # (= the split buckets and their new siblings) are replaced.
         # Scoped as a WRITER option, not a session-conf flip — a
@@ -1943,14 +2090,6 @@ class IvfIndex:
             .partitionBy("centroid_id")
             .parquet(self._buckets_path)
         )
-        kept = self.centroids().filter(
-            ~F.col("centroid_id").isin([int(c) for c in oversized])
-        )
-        updated = kept.unionByName(
-            spark.createDataFrame(
-                new_cent_rows, f"centroid_id long, {self.vec_col} array<float>"
-            )
-        ).localCheckpoint(eager=True)  # materialize before overwriting source
         updated.write.mode("overwrite").parquet(self._centroids_path)
         return oversized
 

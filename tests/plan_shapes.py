@@ -23,7 +23,12 @@ import re
 #: time (k-means fits, index builds) — excluded to keep generation fast;
 #: their plans are covered by dedicated tests in test_plans.py /
 #: test_llm_ops.py
-SKIP = {"ann_ivf_topk", "ann_ivf_index_topk", "pagerank_central_docs"}
+SKIP = {
+    "ann_ivf_topk",
+    "ann_ivf_index_topk",
+    "ann_ivfpq_topk",
+    "pagerank_central_docs",
+}
 
 
 def shape(plan: str) -> dict[str, int]:

@@ -514,6 +514,58 @@ def test_ivf_compact_files(spark, tmp_path):
     assert idx.buckets().filter(F.col("vec_id") == 100).count() == 0
 
 
+def test_ivf_compact_with_pq_codes_leg(spark, tmp_path):
+    """The r10 codes leg rides the SAME bucket rows, so compaction,
+    removal and run attribution carry it with zero new protocol:
+    appended coded runs fold to one file per bucket with row-identical
+    (id, run_id, codes), ADC probes are byte-identical across the
+    fold, and remove-after-compact retracts the coded row."""
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(
+        [(i, [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2),
+              float(i % 4 == 3)]) for i in range(16)],
+        schema,
+    )
+    idx = IvfIndex.build(base, str(tmp_path / "ivfpq"), num_centroids=4,
+                         run_id="r0")
+    idx.add_codes(m=2, nbits=2, iters=3)
+    for e in range(1, 4):
+        batch = spark.createDataFrame(
+            [(100 * e + i,
+              [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2),
+               float(i % 4 == 3)]) for i in range(8)],
+            schema,
+        )
+        idx.append(batch, run_id=f"r{e}")
+    rows_before = {
+        (r.vec_id, r.run_id, r.centroid_id, tuple(r.codes))
+        for r in idx.buckets()
+        .select("vec_id", "run_id", "centroid_id", "codes").collect()
+    }
+    assert all(c is not None for (_v, _r, _c, c) in rows_before)
+    probes = base.filter(F.col("vec_id") < 2)
+    q_before = sorted(
+        map(tuple, idx.query_adc(probes, k=3, nprobe=2, rerank=6).collect())
+    )
+
+    s = idx.compact()
+    assert s["files_after"] < s["files_before"]
+    assert {
+        (r.vec_id, r.run_id, r.centroid_id, tuple(r.codes))
+        for r in idx.buckets()
+        .select("vec_id", "run_id", "centroid_id", "codes").collect()
+    } == rows_before
+    assert sorted(
+        map(tuple, idx.query_adc(probes, k=3, nprobe=2, rerank=6).collect())
+    ) == q_before
+
+    assert idx.remove(spark.createDataFrame([(100,)], "vec_id long")) != []
+    assert idx.buckets().filter(F.col("vec_id") == 100).count() == 0
+    assert idx.buckets().filter("codes is null").count() == 0
+
+
 # --------------------------------------------------------------------------
 # Engine facade fan-out
 # --------------------------------------------------------------------------

@@ -149,3 +149,211 @@ def test_pq_topk_total_order_and_zero_vectors(spark):
     zq = spark.createDataFrame([(6, [0.0, 0.0, 0.0, 0.0])], SCHEMA)
     zgot = pq_topk(zq, codes, cb, k=2).collect()
     assert all(math.isfinite(r.score) for r in zgot)
+
+
+# -- IVF-PQ composition -------------------------------------------------
+
+
+def test_ivfpq_topk_recall_beats_bound_and_is_deterministic(spark):
+    """The composed FAISS recipe (coarse routing + residual-PQ ADC +
+    exact re-rank) on the real embeddings: measured 0.80 mean top-5
+    recall at nc16/nprobe8/m16×256/rerank20 (sf0.001) — certified
+    bound 0.6, above raw-PQ-full-scan's 0.5 bound while the probed
+    scan touches ~nprobe/nc of the corpus at 16 bytes/vector. Two runs
+    are row-identical (every stage is deterministic)."""
+    from dataeng_azure_spotify_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, n=500)
+    probes = emb.filter(F.col("vec_id") < 10)
+    kwargs = dict(
+        k=5, num_centroids=16, nprobe=8, m=16, nbits=8, pq_iters=6,
+        rerank=20,
+    )
+    approx = ivfpq_topk(probes, emb, **kwargs)
+    got = sorted(map(tuple, approx.collect()))
+    exact = cosine_topk(probes, emb, k=5)
+    a = {(r[0], r[1]) for r in got}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    n_q = probes.count()
+    assert len(a & e) / (5.0 * n_q) >= 0.6
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)  # k-complete
+    again = sorted(map(tuple, ivfpq_topk(probes, emb, **kwargs).collect()))
+    assert got == again
+
+
+def test_ivfpq_rerank_scores_are_exact_cosine(spark):
+    """With rerank, returned scores are the EXACT cosine of the
+    shortlist survivors — bit-comparable to cosine_topk's scores for
+    the pairs both return."""
+    from dataeng_azure_spotify_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, n=200)
+    probes = emb.filter(F.col("vec_id") < 5)
+    approx = ivfpq_topk(
+        probes, emb, k=5, num_centroids=8, nprobe=8,  # nprobe=nc: full route
+        m=16, nbits=8, pq_iters=4, rerank=30,
+    )
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(probes, emb, k=30).collect()
+    }
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        assert key in exact
+        assert abs(r.score - exact[key]) < 1e-9, key
+
+
+def test_ivfpq_rerank_guards(spark):
+    from dataeng_azure_spotify_spark.operators.pq import (
+        adc_probe_topk,
+        ivfpq_topk,
+    )
+
+    emb = _emb(spark, n=100)
+    probes = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="rerank=2 must be >= k=5"):
+        ivfpq_topk(probes, emb, k=5, num_centroids=4, nprobe=2, rerank=2)
+
+
+def _built_index(spark, tmp_path, n=300, with_codes=True):
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    emb = _emb(spark, n=n)
+    idx = IvfIndex.build(
+        emb, str(tmp_path / "idx"), num_centroids=8, kmeans_iters=1
+    )
+    if with_codes:
+        idx.add_codes(m=16, nbits=8, iters=4)
+    return idx, emb
+
+
+def test_ivfindex_codes_leg_query_adc(spark, tmp_path):
+    """The persisted leg: add_codes rewrites buckets with a codes
+    column, query_adc clears the recall bound, double-enable and
+    codes-less query_adc raise."""
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    idx, emb = _built_index(spark, tmp_path)
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = idx.query_adc(probes, k=5, nprobe=6, rerank=20)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(probes, emb, k=5).collect()
+    }
+    assert len(a & e) / len(e) >= 0.6
+    with pytest.raises(ValueError, match="already enabled"):
+        idx.add_codes()
+    bare = IvfIndex.build(
+        emb, str(tmp_path / "bare"), num_centroids=4, kmeans_iters=1
+    )
+    with pytest.raises(ValueError, match="add_codes"):
+        bare.query_adc(probes)
+
+
+def test_ivfindex_adc_scan_reads_codes_not_floats(spark, tmp_path):
+    """THE 100 TB point of the codes leg: the ADC probe's parquet scan
+    must read (centroid_id, vec_id, codes) ONLY — the float embedding
+    column stays on disk (Parquet column pruning; 16 B/vector instead
+    of 256). Pinned on the executed plan's ReadSchema. The rerank
+    stage's separate scan DOES read the floats — for the q × rerank
+    shortlist join only."""
+    idx, emb = _built_index(spark, tmp_path)
+    probes = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        idx.query_adc(probes, k=3, nprobe=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # (no path check: the Location string abbreviates at 100 chars, so
+    # the "buckets" dir name is not reliably visible under long tmp paths)
+    scans = [
+        line.split("ReadSchema: ")[1]
+        for line in plan.splitlines()
+        if "ReadSchema: " in line
+    ]
+    assert scans, "no parquet scan in ADC plan"
+    adc_scans = [s for s in scans if "codes" in s]
+    assert adc_scans, f"no codes scan found in {scans}"
+    for s in adc_scans:
+        assert "embedding" not in s, f"ADC scan reads floats: {s}"
+
+
+def test_ivfindex_append_encodes_inline_and_remove_carries_codes(
+    spark, tmp_path
+):
+    """append on a coded index writes codes in the SAME write (no
+    second artifact, no new crash window): an appended near-twin of a
+    probe vector is immediately visible to query_adc; remove retracts
+    it again, and every surviving bucket row still has codes."""
+    idx, emb = _built_index(spark, tmp_path, n=100)
+    probe = emb.filter(F.col("vec_id") == 1)
+    pvec = probe.collect()[0]["embedding"]
+    twin = spark.createDataFrame(
+        [(9001, [float(x) + 1e-4 for x in pvec])], SCHEMA
+    )
+    idx.append(twin, run_id="e7")
+    got = idx.query_adc(probe, k=1, nprobe=8, rerank=10).collect()
+    assert got[0]["neighbor_id"] == 9001
+    rows = idx.buckets().filter("vec_id = 9001").collect()
+    assert len(rows) == 1 and rows[0]["codes"] is not None
+    assert rows[0]["run_id"] == "e7"
+
+    idx.remove(spark.createDataFrame([(9001,)], "vec_id long"))
+    got = idx.query_adc(probe, k=1, nprobe=8, rerank=10).collect()
+    assert got[0]["neighbor_id"] != 9001
+    assert idx.buckets().filter("codes is null").count() == 0
+
+
+def test_ivfindex_rebalance_reencodes_moved_rows(spark, tmp_path):
+    """rebalance changes centroid assignments (and the kept id's
+    centroid VECTOR), so moved rows' residual codes are stale — the
+    split path must re-encode them against the updated centroids.
+    Verified by recomputing codes from scratch post-rebalance."""
+    import numpy as np
+
+    from dataeng_azure_spotify_spark.operators.pq import residual_encode
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+
+    # 2 centroids, one massively oversized -> rebalance splits it
+    rows = [(i, [1.0, 0.0, 0.0, 0.0 + i * 1e-3]) for i in range(40)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 1e-3])]
+    corpus = spark.createDataFrame(rows, SCHEMA)
+    idx = IvfIndex.build(
+        corpus, str(tmp_path / "skew"), num_centroids=2, kmeans_iters=1
+    )
+    idx.add_codes(m=2, nbits=2, iters=4)
+    split = idx.rebalance(max_factor=1.5)
+    assert split, "expected an oversized bucket to split"
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in residual_encode(
+            idx.buckets(), idx.centroids(), idx.pq_codebook()
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in idx.buckets().collect()
+    }
+    assert got == want
+
+
+def test_ivfindex_compact_preserves_adc_probes(spark, tmp_path):
+    """compact() folds bucket files with the codes column riding along
+    — the ADC probe result is row-identical across the fold."""
+    idx, emb = _built_index(spark, tmp_path, n=100)
+    # a few appends to fragment the bucket dirs
+    for i, rid in enumerate(("e1", "e2", "e3")):
+        extra = spark.createDataFrame(
+            [(5000 + i, [float(i + 1), 1.0, 0.0, 0.5] * 16)], SCHEMA
+        )
+        idx.append(extra, run_id=rid)
+    probes = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, idx.query_adc(probes, k=5, nprobe=8, rerank=15).collect())
+    )
+    stats = idx.compact()
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(
+        map(tuple, idx.query_adc(probes, k=5, nprobe=8, rerank=15).collect())
+    )
+    assert before == after
