@@ -812,6 +812,21 @@ class NearDupLabels:
 
     # -- internals ------------------------------------------------------
     # -- maintenance ------------------------------------------------------
+    def live_run_count(self) -> int:
+        """Number of LIVE ``run=`` partition names on disk across the
+        shingle/prefix tables (distinct names minus committed-folded)
+        — the quantity the :func:`...operators.compaction.
+        maybe_autocompact` policy thresholds. os.listdir only, no
+        Spark job."""
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            distinct_run_names,
+        )
+
+        names = distinct_run_names(
+            self._shingles_path, nested=False
+        ) | distinct_run_names(self._prefix_path, nested=False)
+        return len(names - self._clog.folded())
+
     def compact(self, tag: str) -> dict:
         """Fold every COMMITTED run's shingle/prefix partitions into ONE
         consolidated ``run=<tag>`` partition per table (``tag`` must

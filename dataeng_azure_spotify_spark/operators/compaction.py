@@ -218,3 +218,81 @@ def count_run_partitions(table_path: str, nested: bool) -> int:
         for d in os.listdir(parent)
         if d.startswith("run=") and os.path.isdir(os.path.join(parent, d))
     )
+
+
+def distinct_run_names(table_path: str, nested: bool) -> set[str]:
+    """Distinct ``run=<name>`` partition names currently on disk (one
+    listing pass; names, not per-bucket dir counts)."""
+    if not os.path.isdir(table_path):
+        return set()
+    parents = (
+        [
+            os.path.join(table_path, d)
+            for d in os.listdir(table_path)
+            if os.path.isdir(os.path.join(table_path, d)) and "=" in d
+        ]
+        if nested
+        else [table_path]
+    )
+    return {
+        d[len("run="):]
+        for parent in parents
+        for d in os.listdir(parent)
+        if d.startswith("run=") and os.path.isdir(os.path.join(parent, d))
+    }
+
+
+def maybe_autocompact(artifact, run_id: str, max_live_runs) -> "dict | None":
+    """Admission-commit compaction policy (r10): when the artifact's
+    LIVE run-partition count (``artifact.live_run_count()``) exceeds
+    ``max_live_runs``, fold it now under the DETERMINISTIC tag
+    ``compact-auto-<run_id>`` — so at streaming cadence the per-probe
+    file-listing cost stays bounded without anyone remembering to call
+    ``compact()`` by hand.
+
+    Crash-resumable by construction: a replayed epoch re-enters with
+    the SAME run_id, its admit answers from run-tracked state/registry
+    (no mutation), the live count is re-checked — if the crashed
+    auto-fold committed, the count is back under the threshold and
+    this is a no-op; if it crashed mid-protocol, the SAME tag is
+    retried and ``compact``'s idempotent 4-step protocol resumes from
+    wherever it stopped. The single-writer contract holds because the
+    policy runs inside the admission commit path (sequential per
+    stream), never concurrently with it; and a run that crashed
+    MID-WRITE is repaired by its own replay BEFORE any later
+    admission's policy can fold it (the policy only fires at the end
+    of a successful admit).
+
+    Returns ``compact()``'s summary dict when the fold fired, else
+    None. ``max_live_runs=None`` disables the policy."""
+    if max_live_runs is None:
+        return None
+    if int(max_live_runs) < 1:
+        raise ValueError(
+            f"maybe_autocompact: max_live_runs must be >= 1, got "
+            f"{max_live_runs}"
+        )
+    if run_id is None:
+        raise ValueError(
+            "maybe_autocompact: run_id is required when max_live_runs "
+            "is set — the auto-fold tag is derived from it so a crashed "
+            "fold resumes under the replayed epoch's identical tag"
+        )
+    if artifact.live_run_count() <= int(max_live_runs):
+        return None
+    tag = f"{COMPACT_PREFIX}auto-{run_id}"
+    validate_compact_tag(tag, "maybe_autocompact")
+    # run_id-reuse guard: a LOW live count short-circuits the
+    # crash-retry case above, so reaching a committed tag here means
+    # new runs accreted since this run_id's fold committed — i.e. the
+    # caller reused a run_id across epochs. Folding a NEW set under a
+    # committed tag would orphan the tag's earlier folds from the
+    # marker (their replays would silently take the wrong path).
+    if tag in artifact._clog.committed():
+        raise ValueError(
+            f"maybe_autocompact: tag {tag!r} is already committed but "
+            "the live-run count is above threshold again — run_id "
+            f"{run_id!r} was reused across epochs; auto-compaction "
+            "requires unique per-epoch run ids"
+        )
+    return artifact.compact(tag)

@@ -1393,6 +1393,20 @@ class SemanticDedupIndex:
             )
 
     # -- maintenance ------------------------------------------------------
+    def live_run_count(self) -> int:
+        """Number of LIVE keeper ``run=`` partition names on disk
+        (distinct names minus committed-folded) — the quantity the
+        :func:`...operators.compaction.maybe_autocompact` policy
+        thresholds. One os.listdir pass, no Spark job."""
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            distinct_run_names,
+        )
+
+        return len(
+            distinct_run_names(self._keepers_path, nested=True)
+            - self._clog.folded()
+        )
+
     def compact(self, tag: str) -> dict:
         """Fold every live keeper run partition into ONE consolidated
         ``run=<tag>`` partition per cluster (``tag`` must start with
@@ -1497,6 +1511,7 @@ class IncrementalSemanticDedup:
         iters: int = 2,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        max_live_runs: "int | None" = None,
     ) -> None:
         self.index = SemanticDedupIndex(spark, state_dir)
         self.state_dir = state_dir
@@ -1505,8 +1520,17 @@ class IncrementalSemanticDedup:
         self.iters = iters
         self.id_col = id_col
         self.vec_col = vec_col
+        #: auto-compaction policy (r10): when set, each admission
+        #: commit folds the keeper run partitions under
+        #: ``compact-auto-<run_id>`` once the live count exceeds this.
+        #: See :func:`..compaction.maybe_autocompact`.
+        self.max_live_runs = max_live_runs
 
     def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            maybe_autocompact,
+        )
+
         rid = run_id if run_id is not None else "adhoc"
         if not self.index.exists():
             batch = batch.localCheckpoint(eager=True)  # read by build + below
@@ -1529,8 +1553,18 @@ class IncrementalSemanticDedup:
                 run_id=rid,
             )
             kept = idx.keepers().select(F.col("vid").alias(self.id_col))
+            # no policy check on the bootstrap: it creates exactly one
+            # run partition, necessarily <= any legal max_live_runs
             return batch.join(kept, self.id_col)
-        return self.index.admit_batch(batch, rid)
+        admitted = self.index.admit_batch(batch, rid)
+        if self.max_live_runs is not None:
+            # admit_batch's return lazily joins the keeper partitions
+            # the policy's fold would delete — materialize FIRST
+            # (batch-sized, executor-side) so the auto-fold cannot
+            # invalidate the rows the caller is about to sink
+            admitted = admitted.localCheckpoint(eager=True)
+        maybe_autocompact(self.index, run_id, self.max_live_runs)
+        return admitted
 
 
 class IvfIndex:

@@ -745,6 +745,20 @@ class SubstringDupIndex:
         return len(touched)
 
     # -- maintenance ------------------------------------------------------
+    def live_run_count(self) -> int:
+        """Number of LIVE ``run=`` partition names on disk (distinct
+        names minus committed-folded ones) — the per-probe file-listing
+        load the :func:`...operators.compaction.maybe_autocompact`
+        policy thresholds. One os.listdir pass, no Spark job."""
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            distinct_run_names,
+        )
+
+        return len(
+            distinct_run_names(self._grams_path, nested=True)
+            - self._clog.folded()
+        )
+
     def compact(self, tag: str) -> dict:
         """Fold every live run partition into ONE consolidated
         ``run=<tag>`` partition per bucket (``tag`` must start with
@@ -912,6 +926,7 @@ class IncrementalSubstringDedup:
         num_buckets: int = 64,
         id_col: str = "doc_id",
         text_col: str = "text",
+        max_live_runs: "int | None" = None,
     ) -> None:
         self.index = SubstringDupIndex(spark, state_dir)
         self.state_dir = state_dir
@@ -920,8 +935,20 @@ class IncrementalSubstringDedup:
         self.num_buckets = int(num_buckets)
         self.id_col = id_col
         self.text_col = text_col
+        #: auto-compaction policy (r10): when set, each admission
+        #: commit checks the index's live run-partition count and
+        #: folds it under ``compact-auto-<run_id>`` once it exceeds
+        #: this — so streaming cadence cannot grow the per-probe file
+        #: listing without bound. See
+        #: :func:`..compaction.maybe_autocompact` for the crash-replay
+        #: argument.
+        self.max_live_runs = max_live_runs
 
     def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        from dataeng_azure_spotify_spark.operators.compaction import (
+            maybe_autocompact,
+        )
+
         if not self.index.exists():
             # first contact: commit an EMPTY index (meta only) so the
             # admission below is the one writing this run's partitions
@@ -936,9 +963,15 @@ class IncrementalSubstringDedup:
                 k=self.k,
                 num_buckets=self.num_buckets,
             )
-        return self.index.admit_batch(
+        admitted = self.index.admit_batch(
             batch, run_id or "adhoc", max_dup_frac=self.max_dup_frac
         )
+        # policy AFTER the admission commit: `admitted` is either
+        # materialized (normal path) or a registry read compact never
+        # rewrites (folded-replay path), so the fold cannot invalidate
+        # the returned rows
+        maybe_autocompact(self.index, run_id, self.max_live_runs)
+        return admitted
 
 
 class SubstringRewriteStage:

@@ -224,6 +224,7 @@ def run_admission_stream(
     text_col=_UNSET,
     id_col=_UNSET,
     labels_index=None,
+    labels_max_live_runs=None,
 ):
     """Bounded (``availableNow``) checkpointed admission run.
 
@@ -249,7 +250,22 @@ def run_admission_stream(
     idempotent, and ``NearDupLabels.append`` is itself replay-safe for
     a crashed or committed run_id — whichever of the three steps the
     crash interrupts, the re-delivered epoch converges.
+
+    ``labels_max_live_runs``: auto-compaction policy for the labels
+    index (r10): when set, each epoch's label append is followed by a
+    live-run-count check that folds the index under the deterministic
+    tag ``compact-auto-<run_id>`` once it exceeds the threshold — so a
+    long-running stream's run-partition count stays bounded without a
+    manual ``compact()`` call. Crash-resumable (same epoch → same tag
+    → the idempotent protocol resumes); see
+    :func:`...operators.compaction.maybe_autocompact`. Stateful
+    ADMITTERS take their own ``max_live_runs`` constructor knob
+    (IncrementalSubstringDedup, IncrementalSemanticDedup).
     """
+    from dataeng_azure_spotify_spark.operators.compaction import (
+        maybe_autocompact,
+    )
+
     admit_params = set(inspect.signature(admitter.admit).parameters)
     if "run_id" not in admit_params:
         raise TypeError(
@@ -279,6 +295,7 @@ def run_admission_stream(
             # could double-execute non-idempotent admitter state reads)
             spark = batch.sparkSession
             labels_index.append(spark.read.parquet(epoch_path), run_id=run_id)
+            maybe_autocompact(labels_index, run_id, labels_max_live_runs)
 
     q = (
         source.writeStream.foreachBatch(handle)

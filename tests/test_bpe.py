@@ -170,3 +170,41 @@ def test_bpe_whitespace_edge_semantics(spark, tmp_path):
     # NBSP inside, and the word count is 2 (not 4)
     assert sum(1 for s in nb if s.endswith(END_OF_WORD) or s == END_OF_WORD) >= 1
     assert " " in out[2].tokens
+
+
+from tests.test_unigram import UNICODE_CORPORA
+
+
+@pytest.mark.parametrize("script", sorted(UNICODE_CORPORA))
+def test_bpe_unicode_scripts_reconstruction_and_replay(
+    spark, tmp_path, script
+):
+    """The BPE twin of the unigram Unicode harness (same shared
+    multi-script corpora): (a) per-document tokens concatenate — with
+    the </w> markers stripped — back to the whitespace-normalized
+    text; (b) n_tokens equals the token count; (c) tokenize through
+    the RELOADED stored merge table is row-identical to the fitted
+    instance; (d) at least one learned merge is multi-char (beyond
+    the char+marker base)."""
+    corpus = UNICODE_CORPORA[script]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    path = str(tmp_path / f"bpe_{script}")
+    tok = BpeTokenizer.fit(df, path, num_merges=12, min_pair_count=2)
+    got = sorted(map(tuple, tok.tokenize(df).collect()))
+    replay = sorted(
+        map(tuple, BpeTokenizer.load(spark, path).tokenize(df).collect())
+    )
+    assert got == replay, f"{script}: stored-artifact replay diverged"
+    by_id = {t[0]: t for t in got}
+    for i, text in enumerate(corpus):
+        _id, n_tokens, tokens = by_id[i]
+        tlist = tokens.split(" ") if tokens else []
+        assert n_tokens == len(tlist)
+        rebuilt = "".join(tlist).replace(END_OF_WORD, "")
+        assert rebuilt == "".join(text.split()), (
+            f"{script} doc {i}: reconstruction failed"
+        )
+    merged = [r for r in tok.merges().collect()]
+    assert merged, f"{script}: no merges learned"

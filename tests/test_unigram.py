@@ -401,3 +401,73 @@ def test_unigram_oracle_long_word_guard_raises(spark, tmp_path):
         con.execute(entrymod._unigram_vocab_oracle(**params)).fetchall()
     with pytest.raises(duckdb.Error, match=bad_word):
         con.execute(entrymod._unigram_tokenize_oracle(**params)).fetchall()
+
+
+#: Multi-script corpora for the Unicode parity harness (the r9 verdict
+#: item: U+001F and UNK edges were caught by review, not by a harness —
+#: pin non-Latin structure explicitly). Each corpus repeats words so
+#: the trainer learns real multi-char pieces; all words <= 16 chars
+#: (code points). Python string ops are code-point based, so pieces MAY
+#: split inside a grapheme cluster (combining marks, ZWJ emoji) — the
+#: invariants below are structural (reconstruction + artifact-replay
+#: determinism), not grapheme-aware.
+UNICODE_CORPORA = {
+    "latin_marks": [  # combining acute/diaeresis (NFD-style)
+        "café café naïve résumé",
+        "cafés naïve naïveté café",
+        "résumé résumés café",
+    ],
+    "cjk": [
+        "深度学习 模型训练 语料清洗 去重",
+        "深度学习 语料清洗 模型训练 模型训练",
+        "去重 深度学习 语料 清洗 训练",
+    ],
+    "emoji_zwj": [  # ZWJ sequences + skin-tone modifiers
+        "\U0001f642\U0001f642 \U0001f44d\U0001f3fd \U0001f469‍\U0001f52c",
+        "\U0001f680\U0001f680\U0001f680 \U0001f469‍\U0001f52c \U0001f642\U0001f642",
+        "\U0001f44d\U0001f3fd \U0001f44d \U0001f680\U0001f680\U0001f680",
+    ],
+    "cyrillic_arabic": [  # incl. RTL text
+        "данные очистка данные مرحبا",
+        "مرحبا بك очистка данные",
+        "очистка بك بك данные",
+    ],
+}
+
+
+@pytest.mark.parametrize("script", sorted(UNICODE_CORPORA))
+def test_unigram_unicode_scripts_reconstruction_and_replay(
+    spark, tmp_path, script
+):
+    """Unicode structural pins per script: (a) every document's pieces
+    concatenate back to its whitespace-normalized text (no piece ever
+    drops/duplicates a code point, in any script); (b) n_pieces equals
+    the piece count; (c) tokenize through the RELOADED stored artifact
+    is row-identical to the fitted instance (engine-internal
+    determinism — the stored score table reproduces the in-memory
+    one); (d) the vocabulary contains at least one multi-char piece
+    (the trainer actually learned something beyond char fallback)."""
+    corpus = UNICODE_CORPORA[script]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    path = str(tmp_path / f"uni_{script}")
+    tok = UnigramTokenizer.fit(
+        df, path, n_iters=2, max_piece_len=4, min_count=2, max_pieces=64
+    )
+    got = sorted(map(tuple, tok.tokenize(df).collect()))
+    replay = sorted(
+        map(tuple, UnigramTokenizer.load(spark, path).tokenize(df).collect())
+    )
+    assert got == replay, f"{script}: stored-artifact replay diverged"
+    by_id = {t[0]: t for t in got}
+    for i, text in enumerate(corpus):
+        _id, n_pieces, pieces = by_id[i]
+        plist = pieces.split(" ") if pieces else []
+        assert n_pieces == len(plist)
+        assert "".join(plist) == "".join(text.split()), (
+            f"{script} doc {i}: reconstruction failed"
+        )
+    assert any(
+        len(r["piece"]) >= 2 for r in tok.pieces().collect()
+    ), f"{script}: no multi-char piece learned"
