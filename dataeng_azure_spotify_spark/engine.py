@@ -379,6 +379,7 @@ class Engine:
         lsh_threshold: float = 0.5,
         rewrite: bool = True,
         max_dup_frac: float = 1.0,
+        max_live_runs: "int | None" = None,
         extra_stages: "tuple" = (),
         text_col: str = "text",
         id_col: str = "doc_id",
@@ -411,6 +412,15 @@ class Engine:
         Returns the ``ChainedAdmitter`` — call ``curation_stream``
         again after new source files land (same ``workdir``) and the
         same chain state + checkpoint continue where they left off.
+
+        ``max_live_runs``: the auto-compaction policy
+        (:func:`...operators.compaction.maybe_autocompact`) for the
+        chain's run-partitioned artifact (the substring index): at
+        streaming cadence its per-epoch ``run=`` partitions fold
+        themselves under ``compact-auto-<run_id>`` whenever an
+        admission commit pushes the live count past the threshold, so
+        a long-running curation stream's file listings stay bounded
+        with no manual ``compact()`` call.
 
         Scale: per-epoch cost is the sum of the member gates
         (each O(batch × log state)); the admitted corpus lands
@@ -481,6 +491,7 @@ class Engine:
                     max_dup_frac=max_dup_frac,
                     id_col=id_col,
                     text_col=text_col,
+                    max_live_runs=max_live_runs,
                 ),
             ))
         chain = ChainedAdmitter(stages)

@@ -2012,6 +2012,16 @@ class IvfIndex:
         """Split oversized buckets in place; returns the centroid ids
         that were split (empty = no-op).
 
+        Guarantee: each split bucket's rows redistribute among its
+        sub-centroids (no sub-bucket can exceed the original), and
+        committed balanced buckets are untouched — so the MAX bucket
+        size never grows and the split buckets shrink as far as the
+        data allows. When the hot mass is one NEAR-DUPLICATE cluster,
+        k-means cannot separate it and most of it stays together (the
+        max/mean imbalance ratio may even rise as k grows) — that mass
+        is the dedup tier's job (`IncrementalEmbeddingDedup` /
+        `semantic_dedup`), not re-clustering's.
+
         Appends never re-cluster, so a skewed ingest concentrates in a
         few buckets and probe recall/pruning degrade silently. This
         re-runs clustering ONLY for buckets larger than ``max_factor ×

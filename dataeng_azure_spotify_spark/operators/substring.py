@@ -1010,7 +1010,12 @@ class SubstringRewriteStage:
         num_buckets: int = 64,
         id_col: str = "doc_id",
         text_col: str = "text",
+        max_live_runs: "int | None" = None,
     ) -> None:
+        # max_live_runs: the auto-compaction policy rides the inner
+        # admitter; the rewrite below is byte-identical across folds
+        # (document-set self-exclusion — the r9 compaction-proof
+        # discipline), so the policy composes with the transform
         self._inc = IncrementalSubstringDedup(
             spark,
             state_dir,
@@ -1019,6 +1024,7 @@ class SubstringRewriteStage:
             num_buckets=num_buckets,
             id_col=id_col,
             text_col=text_col,
+            max_live_runs=max_live_runs,
         )
         self.index = self._inc.index
         self.state_dir = state_dir

@@ -304,3 +304,47 @@ def test_engine_curation_stream_one_call(spark, tmp_path):
     )
     admitted = read_admitted(spark, os.path.join(wd, "admitted"))
     assert _rows(admitted) == _E1_EXPECT | _E2_EXPECT
+
+
+def test_curation_stream_with_autocompact_stays_bounded(spark, tmp_path):
+    """The two r10 features composed: a long curation stream
+    (8 drained epochs through Engine.curation_stream with
+    max_live_runs=2) keeps the rewrite-stage artifact's run-partition
+    count bounded by self-compaction, while the landed corpus stays
+    identical to an unbounded-policy control run over the same
+    batches."""
+    from dataeng_azure_spotify_spark.engine import Engine
+    from dataeng_azure_spotify_spark.operators.substring import (
+        SubstringDupIndex,
+    )
+
+    eng = Engine(spark)
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india"
+
+    def batch(e):
+        return spark.createDataFrame(
+            [(e * 100 + i, f"e{e} d{i} {words} t{e} x{i}") for i in range(2)],
+            _SCHEMA,
+        )
+
+    def run(workdir, inp, **kw):
+        src = spark.readStream.schema(_SCHEMA).parquet(inp)
+        return eng.curation_stream(
+            src, workdir, exact=True, near_dup=False, rewrite=True, **kw
+        )
+
+    auto_in, ctl_in = str(tmp_path / "ain"), str(tmp_path / "cin")
+    auto_wd, ctl_wd = str(tmp_path / "awd"), str(tmp_path / "cwd")
+    for e in range(8):
+        batch(e).write.mode("append").parquet(auto_in)
+        batch(e).write.mode("append").parquet(ctl_in)
+        run(auto_wd, auto_in, max_live_runs=2)
+        run(ctl_wd, ctl_in)
+
+    auto_sub = SubstringDupIndex(spark, os.path.join(auto_wd, "state", "substring"))
+    ctl_sub = SubstringDupIndex(spark, os.path.join(ctl_wd, "state", "substring"))
+    assert auto_sub.live_run_count() <= 3
+    assert ctl_sub.live_run_count() == 8
+    a = _rows(read_admitted(spark, os.path.join(auto_wd, "admitted")))
+    c = _rows(read_admitted(spark, os.path.join(ctl_wd, "admitted")))
+    assert a == c and len(a) == 16

@@ -795,12 +795,24 @@ def test_ivf_drift_detection_and_rebalance(spark, tmp_path):
     split = idx.rebalance(max_factor=2.0)
     assert hot in split and len(split) >= 1
 
-    # no rows lost or duplicated; imbalance strictly reduced
+    # no rows lost or duplicated; the hot bucket strictly shrank and no
+    # bucket grew. NOTE (r10, caught by regenerated test data): the
+    # max/mean "imbalance" ratio is NOT guaranteed to drop — when the
+    # hot bucket is one near-duplicate cluster (300 copies at 1e-7
+    # perturbation here), k-means cannot separate it, so the split
+    # peels off only the organic members while k grows and the mean
+    # shrinks. Irreducible near-dup mass is the dedup tier's job, not
+    # rebalance's; what rebalance guarantees is monotone max-size
+    # relief and untouched committed buckets.
     assert idx.buckets().count() == n_total
     ids_now = {r.vec_id for r in idx.buckets().select("vec_id").collect()}
     assert len(ids_now) == n_total
-    rebalanced = idx.drift_summary()
-    assert rebalanced["imbalance"] < drifted["imbalance"]
+    sizes_mid = {
+        int(r.centroid_id): int(r.n)
+        for r in idx.drift_stats().select("centroid_id", "n").collect()
+    }
+    assert sizes_mid[hot] < sizes_before[hot]  # hot bucket shrank
+    assert max(sizes_mid.values()) <= max(sizes_before.values())
     # only split buckets changed: every non-split old bucket keeps its size
     sizes_after = {
         int(r.centroid_id): int(r.n)
