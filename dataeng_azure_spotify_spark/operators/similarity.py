@@ -1531,6 +1531,14 @@ class IncrementalSemanticDedup:
             maybe_autocompact,
         )
 
+        if self.max_live_runs is not None and run_id is None:
+            # fail BEFORE the admission commit (the substring twin's
+            # discipline): the policy's fold tag derives from run_id
+            raise ValueError(
+                "IncrementalSemanticDedup.admit: max_live_runs is set "
+                "but run_id is None — auto-compaction needs the "
+                "per-epoch run id for its fold tag"
+            )
         rid = run_id if run_id is not None else "adhoc"
         if not self.index.exists():
             batch = batch.localCheckpoint(eager=True)  # read by build + below

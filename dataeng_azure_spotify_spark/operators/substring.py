@@ -949,6 +949,16 @@ class IncrementalSubstringDedup:
             maybe_autocompact,
         )
 
+        if self.max_live_runs is not None and run_id is None:
+            # fail BEFORE the admission commit — the policy would raise
+            # anyway (its fold tag derives from run_id), and failing
+            # after the state write leaves a committed adhoc run the
+            # caller did not expect
+            raise ValueError(
+                "IncrementalSubstringDedup.admit: max_live_runs is set "
+                "but run_id is None — auto-compaction needs the "
+                "per-epoch run id for its fold tag"
+            )
         if not self.index.exists():
             # first contact: commit an EMPTY index (meta only) so the
             # admission below is the one writing this run's partitions

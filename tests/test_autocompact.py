@@ -216,3 +216,30 @@ def test_admission_stream_labels_autocompact(spark, tmp_path):
         (r["doc_id"], r["cluster_id"]) for r in ctl_idx.labels().collect()
     )
     assert a == b
+
+
+def test_policy_without_run_id_fails_before_admission(spark, tmp_path):
+    """max_live_runs set + run_id=None must fail BEFORE the admission
+    commit — failing after would leave a committed adhoc run the
+    caller did not expect."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+
+    inc = IncrementalSubstringDedup(
+        spark, str(tmp_path / "s"), max_live_runs=2
+    )
+    with pytest.raises(ValueError, match="run_id is None"):
+        inc.admit(_batch(spark, 0))
+    assert not inc.index.exists()  # nothing was committed
+
+    sem = IncrementalSemanticDedup(
+        spark, str(tmp_path / "sem"), max_live_runs=2
+    )
+    with pytest.raises(ValueError, match="run_id is None"):
+        sem.admit(
+            spark.createDataFrame(
+                [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+            )
+        )
+    assert not sem.index.exists()
