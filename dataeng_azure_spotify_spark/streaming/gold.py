@@ -163,6 +163,139 @@ class ParquetSnapshotTable:
             if d != live:
                 shutil.rmtree(os.path.join(self.base, d), ignore_errors=True)
 
+    def change_feed(
+        self,
+        key_cols: "list[str]",
+        from_version: int,
+        to_version: "int | None" = None,
+    ) -> DataFrame:
+        """Delta Change-Data-Feed semantics on the snapshot backend
+        (``table_changes(from, to)``): row-level changes committed in
+        versions ``from_version..to_version`` (inclusive; default = the
+        live version), with Delta CDF's public columns appended —
+        ``_change_type`` ('insert' | 'update_preimage' |
+        'update_postimage' | 'delete') and ``_commit_version``. This is
+        the API an incremental downstream consumer reads instead of
+        re-diffing full snapshots itself (reference parity: the
+        reference's gold tables are Delta, whose CDF serves exactly
+        this role; here changes are DERIVED by key-diffing consecutive
+        retained snapshots — identical row-level semantics for the
+        keyed SCD1 tables :class:`CdcFlow` maintains).
+
+        ``key_cols`` identify a row across versions (the merge keys);
+        duplicate keys within one snapshot raise — the diff would be
+        ambiguous. An update is any key present in both versions whose
+        NON-key columns differ (NULL-safe struct compare); it emits the
+        preimage (old row) AND postimage (new row), both stamped with
+        the committing version. Versions older than the retained window
+        raise (Delta errors likewise once CDF files are vacuumed).
+
+        Scale: one full-outer key join per consecutive version pair in
+        the requested range — O(|old| + |new|) shuffle each, nothing
+        pairwise; version count in a range is small by construction
+        (vacuum keeps the window short)."""
+        hist = self.history()
+        if not hist:
+            raise ValueError("change_feed: table has no committed versions")
+        by_n = {self._snap_n(d): d for d in hist}
+        live_n = max(by_n)
+        to_n = live_n if to_version is None else int(to_version)
+        from_n = int(from_version)
+        if from_n < 1:
+            # version v's changes need snapshot v-1; version 0 is the
+            # initial full snapshot (Delta CDF likewise starts at the
+            # first commit that had CDF enabled)
+            raise ValueError(
+                "change_feed: from_version must be >= 1 (version 0 is "
+                "the initial snapshot; read_version(0) for its content)"
+            )
+        if to_n > live_n or from_n > to_n:
+            raise ValueError(
+                f"change_feed: requested versions {from_n}..{to_n} "
+                f"outside committed range 1..{live_n}"
+            )
+        needed = range(from_n - 1, to_n + 1)
+        missing = [n for n in needed if n not in by_n]
+        if missing:
+            raise ValueError(
+                f"change_feed: snapshot version(s) {missing} were "
+                "vacuumed — the requested change range is no longer "
+                "derivable (retain a longer window via vacuum keep_last)"
+            )
+
+        def _snap(n: int) -> DataFrame:
+            return self.spark.read.parquet(
+                os.path.join(self.base, by_n[n])
+            )
+
+        first = _snap(from_n - 1)
+        cols = first.columns
+        keys = list(key_cols)
+        bad = [k for k in keys if k not in cols]
+        if bad:
+            raise ValueError(f"change_feed: key column(s) {bad} not in table")
+        val_cols = [c for c in cols if c not in keys]
+        out = None
+        for v in range(from_n, to_n + 1):
+            old, new = _snap(v - 1), _snap(v)
+            for side, df in (("old", old), ("new", new)):
+                dup = (
+                    df.groupBy(*keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"change_feed: duplicate key {tuple(dup[0])[:-1]} "
+                        f"in version {v - 1 if side == 'old' else v} — "
+                        "key_cols must uniquely identify a row"
+                    )
+            o = old.select(
+                *[F.col(k) for k in keys],
+                F.struct(*val_cols).alias("__o") if val_cols
+                else F.lit(None).alias("__o"),
+                F.lit(True).alias("__in_o"),
+            )
+            n_ = new.select(
+                *[F.col(k) for k in keys],
+                F.struct(*val_cols).alias("__n") if val_cols
+                else F.lit(None).alias("__n"),
+                F.lit(True).alias("__in_n"),
+            )
+            j = o.join(n_, keys, "full_outer")
+            ver = F.lit(int(v)).cast("long").alias("_commit_version")
+
+            def _emit(struct_col: str, ctype: str):
+                sel = [F.col(k) for k in keys]
+                sel += [
+                    F.col(f"{struct_col}.{c}").alias(c) for c in val_cols
+                ]
+                sel += [F.lit(ctype).alias("_change_type"), ver]
+                return sel
+
+            inserts = j.filter(F.col("__in_o").isNull()).select(
+                *_emit("__n", "insert")
+            )
+            deletes = j.filter(F.col("__in_n").isNull()).select(
+                *_emit("__o", "delete")
+            )
+            changed = j.filter(
+                F.col("__in_o").isNotNull()
+                & F.col("__in_n").isNotNull()
+                & ~F.col("__o").eqNullSafe(F.col("__n"))
+            )
+            pre = changed.select(*_emit("__o", "update_preimage"))
+            post = changed.select(*_emit("__n", "update_postimage"))
+            step = (
+                inserts.unionByName(deletes)
+                .unionByName(pre)
+                .unionByName(post)
+            )
+            out = step if out is None else out.unionByName(step)
+        return out
+
 
 class DeltaSnapshotTable:
     """Delta-backed twin of :class:`ParquetSnapshotTable` (same surface:
@@ -231,6 +364,28 @@ class DeltaSnapshotTable:
             dt.vacuum(retention_hours)
         else:
             dt.vacuum()
+
+    def change_feed(
+        self,
+        key_cols: "list[str]",
+        from_version: int,
+        to_version: "int | None" = None,
+    ) -> DataFrame:  # pragma: no cover - exercised on delta envs
+        """The real Delta Change Data Feed (requires the table property
+        ``delta.enableChangeDataFeed=true``): same public columns as
+        the parquet-snapshot emulation (``_change_type``,
+        ``_commit_version``; Delta adds ``_commit_timestamp``).
+        ``key_cols`` is unused here — Delta derives changes from its
+        transaction log, not a key diff — and accepted only so the two
+        backends stay call-compatible."""
+        r = (
+            self.spark.read.format("delta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", int(from_version))
+        )
+        if to_version is not None:
+            r = r.option("endingVersion", int(to_version))
+        return r.load(self.base)
 
 
 def _lexicographic_newer(seq: str, tiebreakers: list[str]) -> str:

@@ -178,3 +178,105 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert t.read_version(-1).count() == 2  # == read()
     t.vacuum(keep_last=1)
     assert len(t.history()) == 1
+
+
+def _cf_rows(df):
+    return {
+        tuple(r) for r in df.select(
+            "id", "v", "_change_type", "_commit_version"
+        ).collect()
+    }
+
+
+def test_change_feed_insert_update_delete_semantics(spark, tmp_path):
+    """Delta CDF semantics on the snapshot backend: key-diffing
+    consecutive versions yields exact insert / update pre+post / delete
+    rows stamped with the committing version; ranges filter; a no-op
+    overwrite contributes zero change rows; NULL-safe value compare."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    S = "id long, v string"
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (4, None)], S))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "B"), (3, "c"), (4, None)], S)
+    )  # v1: update 2, insert 3; 4 NULL->NULL is NOT an update
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (3, "c"), (4, "x")], S)
+    )  # v2: delete 2, NULL->x update on 4
+
+    assert _cf_rows(t.change_feed(["id"], 1, 1)) == {
+        (2, "b", "update_preimage", 1),
+        (2, "B", "update_postimage", 1),
+        (3, "c", "insert", 1),
+    }
+    assert _cf_rows(t.change_feed(["id"], 2)) == {
+        (2, "B", "delete", 2),
+        (4, None, "update_preimage", 2),
+        (4, "x", "update_postimage", 2),
+    }
+    assert len(_cf_rows(t.change_feed(["id"], 1))) == 6  # both versions
+
+    t.overwrite(spark.createDataFrame([(1, "a"), (3, "c"), (4, "x")], S))
+    assert t.change_feed(["id"], 3).count() == 0  # no-op commit
+
+
+def test_change_feed_guards(spark, tmp_path):
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    S = "id long, v string"
+    t.overwrite(spark.createDataFrame([(1, "a")], S))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], S))
+    t.overwrite(spark.createDataFrame([(2, "b")], S))
+    with pytest.raises(ValueError, match="from_version must be >= 1"):
+        t.change_feed(["id"], 0)
+    with pytest.raises(ValueError, match="outside committed range"):
+        t.change_feed(["id"], 1, 9)
+    with pytest.raises(ValueError, match="not in table"):
+        t.change_feed(["nope"], 1)
+    t.vacuum(keep_last=1)  # drops snapshots 0 and 1
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.change_feed(["id"], 1)
+    # duplicate keys make the diff ambiguous -> loud refusal
+    d = ParquetSnapshotTable(spark, str(tmp_path / "dup"))
+    d.overwrite(spark.createDataFrame([(1, "a"), (1, "b")], S))
+    d.overwrite(spark.createDataFrame([(1, "a")], S))
+    with pytest.raises(ValueError, match="duplicate key"):
+        d.change_feed(["id"], 1).count()
+
+
+def test_change_feed_from_cdc_flow_gold_table(spark, tmp_path):
+    """The consumer story: an SCD1 CdcFlow's gold table exposes its
+    per-epoch changes through change_feed — what a downstream
+    incremental reader consumes instead of re-diffing snapshots."""
+    silver = str(tmp_path / "silver")
+    flow = CdcFlow(
+        name="dim_user", gold_base=str(tmp_path / "gold"),
+        keys=["user_id"], sequence_by="updated_at", scd_type=1,
+        tiebreakers=["name"],
+    )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id bigint, name string, updated_at timestamp"
+        ).parquet(silver)
+        flow.run_stream(spark, stream, str(tmp_path / "chk"))
+
+    _users(spark, [(1, "ana", 1), (2, "bo", 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(silver)
+    drain()
+    _users(spark, [(1, "ana-maria", 5), (3, "cy", 2)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(silver)
+    drain()
+
+    feed = ParquetSnapshotTable(spark, flow.gold_base).change_feed(
+        ["user_id"], 1
+    )
+    got = sorted(
+        (r.user_id, r.name, r._change_type, r._commit_version)
+        for r in feed.collect()
+    )
+    assert got == sorted([
+        (1, "ana", "update_preimage", 1),
+        (1, "ana-maria", "update_postimage", 1),
+        (3, "cy", "insert", 1),
+    ])
