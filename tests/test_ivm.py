@@ -123,3 +123,55 @@ def test_streaming_front_end_matches_batch(spark, tmp_path):
         spark.readStream.schema(SCHEMA).parquet(src), chk, op_col="op"
     )
     assert _view(spark, mat) == {"a": (1, 2.5), "b": (1, 4.0)}
+
+
+def test_apply_change_feed_follows_snapshot_table(spark, tmp_path):
+    """The CDF→IVM composition: a grouped SUM/COUNT view maintained
+    purely from a snapshot table's change_feed equals a from-scratch
+    aggregation of the LIVE snapshot at every point — across inserts,
+    updates (pre/post cancel and re-add), and deletes — and
+    re-applying an overlapping version window never double-counts
+    (per-commit run ids overwrite idempotently)."""
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "gold"))
+    S = "id long, k string, v double"
+    mat = MaterializedAggregate(
+        str(tmp_path / "view"), keys=["k"], sums={"total": "v"}
+    )
+
+    def scratch():
+        return {
+            r["k"]: (r["n"], float(r["s"]))
+            for r in t.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,4)")).alias("s"),
+            )
+            .collect()
+        }
+
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", 2.0), (3, "b", 4.0)], S))
+    # version 0 is the initial snapshot — seed the view from it directly
+    mat.apply_delta(t.read_version(0), run_id="cdf-v0")
+    assert _view(spark, mat) == scratch()
+
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 9.0), (3, "b", 4.0), (4, "b", 1.0)], S))  # upd 1, del 2, ins 4
+    applied = mat.apply_change_feed(t.change_feed(["id"], 1))
+    assert applied == [1]
+    assert _view(spark, mat) == scratch() == {"a": (1, 9.0), "b": (2, 5.0)}
+
+    t.overwrite(spark.createDataFrame([(4, "b", 1.0)], S))  # del 1, del 3
+    # overlapping re-pull: versions 1 AND 2 — v1 re-overwrites its run
+    applied = mat.apply_change_feed(t.change_feed(["id"], 1))
+    assert applied == [1, 2]
+    assert _view(spark, mat) == scratch() == {"b": (1, 1.0)}
+    # fully-retracted group "a" is gone, and a second overlapping
+    # re-apply is still a no-op
+    mat.apply_change_feed(t.change_feed(["id"], 2))
+    assert _view(spark, mat) == scratch()
