@@ -348,3 +348,55 @@ def test_curation_stream_with_autocompact_stays_bounded(spark, tmp_path):
     a = _rows(read_admitted(spark, os.path.join(auto_wd, "admitted")))
     c = _rows(read_admitted(spark, os.path.join(ctl_wd, "admitted")))
     assert a == c and len(a) == 16
+
+
+def test_curation_stream_semantic_gate_via_extra_stages(spark, tmp_path):
+    """The documented embedding path: join embeddings upstream, pass an
+    IncrementalSemanticDedup (keyed on doc_id) through extra_stages —
+    it slots between the dedup gates and the rewrite under the same
+    checkpoint/run_id, and a cross-epoch semantic twin is rejected."""
+    from dataeng_azure_spotify_spark.engine import Engine
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+
+    eng = Engine(spark)
+    schema = "doc_id long, text string, embedding array<float>"
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    b1 = [
+        (1, f"one {words} x", [1.0, 0.0, 0.0, 0.0]),
+        (2, f"two {words} y", [0.0, 1.0, 0.0, 0.0]),
+        (3, f"bad bad bad {words}", [0.0, 0.0, 1.0, 0.0]),  # blocklist
+    ]
+    b2 = [
+        (10, f"ten {words} z", [1.0, 1e-4, 0.0, 0.0]),  # semantic twin of 1
+        (11, f"eleven {words} w", [0.0, 0.0, 0.0, 1.0]),
+    ]
+    inp = str(tmp_path / "in")
+    wd = str(tmp_path / "wd")
+    sem = IncrementalSemanticDedup(
+        spark, os.path.join(wd, "state", "semantic"),
+        threshold=0.95, k=2, iters=1, id_col="doc_id",
+    )
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(inp)
+        return eng.curation_stream(
+            src, wd, blocklist=("bad",), max_blocked_ppm=100000,
+            near_dup=False, extra_stages=(("semantic", sem),),
+        )
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(inp)
+    chain = run()
+    assert [n for n, _ in chain.stages] == [
+        "blocklist", "dedup_exact", "semantic", "rewrite_spans",
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(inp)
+    run()
+    got = {
+        r["doc_id"]
+        for r in read_admitted(
+            spark, os.path.join(wd, "admitted")
+        ).collect()
+    }
+    assert got == {1, 2, 11}  # 3 blocklisted, 10 semantically deduped
