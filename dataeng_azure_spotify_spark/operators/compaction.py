@@ -110,7 +110,18 @@ class CompactionLog:
 
     # -- reads ----------------------------------------------------------
     def committed(self) -> dict[str, list[str]]:
-        """{tag: [folded runs]} for every committed marker."""
+        """{tag: [folded runs]} for every committed marker.
+
+        Markers are tiny (O(folded runs) strings) and immutable once
+        their ``_SUCCESS`` exists, so they are read DRIVER-SIDE with
+        pyarrow — zero Spark jobs. This runs on EVERY artifact read
+        (``live_run_filter``), and the per-tag ``spark.read`` it
+        replaced cost one Spark job per committed compaction per read:
+        at streaming cadence with auto-compaction that grew probe
+        latency linearly in fold count (measured r10,
+        docs/BENCH_NOTES.md)."""
+        import pyarrow.parquet as pq
+
         if not os.path.isdir(self.path):
             return {}
         out: dict[str, list[str]] = {}
@@ -120,12 +131,15 @@ class CompactionLog:
                 os.path.join(d, "_SUCCESS")
             ):
                 continue  # uncommitted (crashed) marker — ignored
-            rows = (
-                self.spark.read.schema("folded_run string")
-                .parquet(d)
-                .collect()  # O(folded runs)
-            )
-            out[tag] = [r["folded_run"] for r in rows]
+            folded: list[str] = []
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet") or fn.startswith("."):
+                    continue
+                col = pq.read_table(
+                    os.path.join(d, fn), columns=["folded_run"]
+                ).column("folded_run")
+                folded.extend(str(v) for v in col.to_pylist())
+            out[tag] = folded
         return out
 
     def folded(self) -> set[str]:
