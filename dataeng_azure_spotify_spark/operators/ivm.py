@@ -185,13 +185,14 @@ class MaterializedAggregate:
         consumers may re-pull any window, or poll from
         ``max(applied)+1``. Returns the version numbers applied.
 
-        Scale: one O(versions) distinct-collect + one grouped partial
-        per version (each O(changes in that commit)); the read side
-        stays O(groups × runs)."""
-        versions = sorted(
-            int(r[0])
-            for r in feed.select("_commit_version").distinct().collect()
-        )  # O(versions in the window) — bounded by the retention window
+        Scale: the feed is materialized ONCE (localCheckpoint —
+        executor-side, O(changes in window), bounded by retention)
+        before the distinct-collect and the per-version partials, so an
+        expensive feed lineage (e.g. the pre-upgrade snapshot-diff
+        fallback's full-outer joins) never re-executes per version;
+        then one O(versions) distinct-collect + one grouped partial per
+        version (each O(changes in that commit)); the read side stays
+        O(groups × runs)."""
         op = (
             F.when(
                 F.col("_change_type").isin("insert", "update_postimage"),
@@ -213,7 +214,11 @@ class MaterializedAggregate:
             )
             .alias("__op")
         )
-        mapped = feed.withColumn("__op", op)
+        mapped = feed.withColumn("__op", op).localCheckpoint(eager=True)
+        versions = sorted(
+            int(r[0])
+            for r in mapped.select("_commit_version").distinct().collect()
+        )  # O(versions in the window) — bounded by the retention window
         for v in versions:
             self.apply_delta(
                 mapped.filter(F.col("_commit_version") == v),

@@ -48,14 +48,43 @@ class ParquetSnapshotTable:
     stand-in for Delta's MERGE commit.
     """
 
-    def __init__(self, spark: SparkSession, base: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: str,
+        cdf_keys: "list[str] | None" = None,
+    ) -> None:
+        """``cdf_keys``: enable COMMIT-TIME change-data-feed derivation
+        (r11). When set, every :meth:`overwrite` derives the key-diff
+        against the outgoing snapshot ONCE and persists it under
+        ``<base>/_changes/v=N/`` before repointing — so
+        :meth:`change_feed` pulls read O(changes in window) persisted
+        rows with ZERO joins instead of re-running one full-outer join
+        per version pair per pull (real Delta CDF's cost model:
+        change files are written at commit). Key uniqueness is
+        validated once per commit, not twice per version per pull."""
         self.spark = spark
         self.base = base
+        self.cdf_keys = list(cdf_keys) if cdf_keys else None
         os.makedirs(base, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.base, "_current")
+
+    def _changes_dir(self, version: int) -> str:
+        return os.path.join(self.base, "_changes", f"v={int(version):08d}")
+
+    def _change_partial(self, version: int) -> "DataFrame | None":
+        """The COMMITTED persisted change partial for ``version``, or
+        None (pre-upgrade version, crashed partial write, or table not
+        using commit-time CDF). Committed = Spark's ``_SUCCESS`` footer
+        exists — a half-written partial is invisible, and the pull
+        falls back to snapshot-diff derivation for that version."""
+        d = self._changes_dir(version)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(d)
 
     def exists(self) -> bool:
         return os.path.exists(self._pointer)
@@ -118,12 +147,83 @@ class ParquetSnapshotTable:
             os.path.join(self.base, self.history()[version])
         )
 
+    @staticmethod
+    def _check_unique_keys(df: DataFrame, keys: "list[str]", where: str) -> None:
+        dup = (
+            df.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"change_feed: duplicate key {tuple(dup[0])[:-1]} in "
+                f"{where} — key_cols must uniquely identify a row"
+            )
+
+    @staticmethod
+    def _diff(old: DataFrame, new: DataFrame, keys: "list[str]", version: int) -> DataFrame:
+        """CDF rows for one version pair: one full-outer key join,
+        O(|old| + |new|) shuffle, nothing pairwise."""
+        cols = old.columns
+        val_cols = [c for c in cols if c not in keys]
+        o = old.select(
+            *[F.col(k) for k in keys],
+            F.struct(*val_cols).alias("__o") if val_cols
+            else F.lit(None).alias("__o"),
+            F.lit(True).alias("__in_o"),
+        )
+        n_ = new.select(
+            *[F.col(k) for k in keys],
+            F.struct(*val_cols).alias("__n") if val_cols
+            else F.lit(None).alias("__n"),
+            F.lit(True).alias("__in_n"),
+        )
+        j = o.join(n_, keys, "full_outer")
+        ver = F.lit(int(version)).cast("long").alias("_commit_version")
+
+        def _emit(struct_col: str, ctype: str):
+            sel = [F.col(k) for k in keys]
+            sel += [F.col(f"{struct_col}.{c}").alias(c) for c in val_cols]
+            sel += [F.lit(ctype).alias("_change_type"), ver]
+            return sel
+
+        inserts = j.filter(F.col("__in_o").isNull()).select(
+            *_emit("__n", "insert")
+        )
+        deletes = j.filter(F.col("__in_n").isNull()).select(
+            *_emit("__o", "delete")
+        )
+        changed = j.filter(
+            F.col("__in_o").isNotNull()
+            & F.col("__in_n").isNotNull()
+            & ~F.col("__o").eqNullSafe(F.col("__n"))
+        )
+        pre = changed.select(*_emit("__o", "update_preimage"))
+        post = changed.select(*_emit("__n", "update_postimage"))
+        return (
+            inserts.unionByName(deletes)
+            .unionByName(pre)
+            .unionByName(post)
+        )
+
     def overwrite(self, df: DataFrame) -> None:
         """Write a new snapshot and atomically repoint.
 
         Old snapshots are retained (like Delta's versioned files): lazy
         DataFrames already planned against a prior snapshot keep working.
         Call :meth:`vacuum` to reclaim space once readers have drained.
+
+        With ``cdf_keys`` set, the commit additionally (a) validates
+        key uniqueness of the incoming snapshot (raising BEFORE the
+        repoint — a bad batch leaves the old table live) and (b)
+        derives + persists this version's change partial, all ahead of
+        the pointer swap so a committed version always has its partial.
+        A crash between the partial write and the repoint is healed by
+        the retry: the same version number re-derives and overwrites
+        the partial (an uncommitted ``_SUCCESS``-less partial is
+        invisible to readers meanwhile).
         """
         live = self._live()
         live_n = self._snap_n(live) if live else None
@@ -144,6 +244,31 @@ class ParquetSnapshotTable:
         snap = f"snap-{next_n:08d}-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.base, snap)
         df.write.mode("overwrite").parquet(path)
+        if self.cdf_keys:
+            new = self.spark.read.parquet(path)
+            bad = [k for k in self.cdf_keys if k not in new.columns]
+            if bad:
+                raise ValueError(
+                    f"overwrite: cdf_keys {bad} not in incoming snapshot"
+                )
+            self._check_unique_keys(new, self.cdf_keys, f"version {next_n}")
+            old = self.read() if live is not None else None
+            if old is not None and set(old.columns) == set(new.columns):
+                # commit-time change partial (see __init__). An old
+                # side carrying a committed partial was key-validated
+                # at ITS commit — never re-probed; one without (the
+                # initial snapshot, or a legacy pre-cdf_keys version)
+                # is validated here, once, at the first diff over it.
+                if live_n is not None and self._change_partial(live_n) is None:
+                    self._check_unique_keys(
+                        old, self.cdf_keys, f"version {live_n}"
+                    )
+                self._diff(
+                    old, new, self.cdf_keys, next_n
+                ).write.mode("overwrite").parquet(self._changes_dir(next_n))
+            # schema change: no partial — pulls covering this version
+            # fall back to snapshot-diff (which raises on mismatched
+            # columns rather than guessing evolution semantics)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(snap)
@@ -154,7 +279,13 @@ class ParquetSnapshotTable:
         never the live one. Orphans from crashed/in-flight writers
         (version above the live pointer) are left alone — deleting them
         could race a writer mid-commit; they never count toward
-        ``keep_last`` because :meth:`history` excludes them."""
+        ``keep_last`` because :meth:`history` excludes them.
+
+        Persisted change partials (``_changes/v=N``) are RETAINED —
+        they are O(changes), not O(snapshot), and keeping them is what
+        lets :meth:`change_feed` serve windows whose snapshots are
+        gone (Delta keeps change files under their own retention the
+        same way)."""
         live = self._live()
         if live is None:
             return
@@ -190,10 +321,16 @@ class ParquetSnapshotTable:
         the committing version. Versions older than the retained window
         raise (Delta errors likewise once CDF files are vacuumed).
 
-        Scale: one full-outer key join per consecutive version pair in
-        the requested range — O(|old| + |new|) shuffle each, nothing
-        pairwise; version count in a range is small by construction
-        (vacuum keeps the window short)."""
+        Scale (r11): versions committed by a ``cdf_keys`` table read
+        their PERSISTED commit-time partial — O(changes in window)
+        scan, ZERO joins, and the underlying snapshots may already be
+        vacuumed (the partial outlives them, like Delta's change
+        files). Only pre-upgrade versions (no committed partial) fall
+        back to deriving one full-outer key join per version pair —
+        O(|old| + |new|) shuffle each, nothing pairwise — and need
+        both snapshots retained. Key uniqueness is validated at most
+        once per version per pull on the fallback path (commit-time
+        for persisted partials)."""
         hist = self.history()
         if not hist:
             raise ValueError("change_feed: table has no committed versions")
@@ -214,13 +351,26 @@ class ParquetSnapshotTable:
                 f"change_feed: requested versions {from_n}..{to_n} "
                 f"outside committed range 1..{live_n}"
             )
-        needed = range(from_n - 1, to_n + 1)
+        keys = list(key_cols)
+        if self.cdf_keys is not None and keys != self.cdf_keys:
+            raise ValueError(
+                f"change_feed: key_cols {keys} differ from the table's "
+                f"cdf_keys {self.cdf_keys} — commit-time partials were "
+                "derived under the latter; one table, one key definition"
+            )
+        partials = {
+            v: self._change_partial(v) for v in range(from_n, to_n + 1)
+        }
+        derive = [v for v, p in partials.items() if p is None]
+        needed = sorted({x for v in derive for x in (v - 1, v)})
         missing = [n for n in needed if n not in by_n]
         if missing:
             raise ValueError(
                 f"change_feed: snapshot version(s) {missing} were "
-                "vacuumed — the requested change range is no longer "
-                "derivable (retain a longer window via vacuum keep_last)"
+                "vacuumed and carry no persisted change partial — the "
+                "requested change range is no longer derivable (retain "
+                "a longer window via vacuum keep_last, or commit via a "
+                "cdf_keys table for O(changes) pulls past vacuum)"
             )
 
         def _snap(n: int) -> DataFrame:
@@ -228,71 +378,25 @@ class ParquetSnapshotTable:
                 os.path.join(self.base, by_n[n])
             )
 
-        first = _snap(from_n - 1)
-        cols = first.columns
-        keys = list(key_cols)
-        bad = [k for k in keys if k not in cols]
-        if bad:
-            raise ValueError(f"change_feed: key column(s) {bad} not in table")
-        val_cols = [c for c in cols if c not in keys]
+        if derive:
+            cols = _snap(derive[0] - 1).columns
+            bad = [k for k in keys if k not in cols]
+            if bad:
+                raise ValueError(
+                    f"change_feed: key column(s) {bad} not in table"
+                )
+            validated: set[int] = set()
+            for v in derive:
+                for n in (v - 1, v):
+                    if n in validated:
+                        continue  # each snapshot checked once per pull
+                    self._check_unique_keys(_snap(n), keys, f"version {n}")
+                    validated.add(n)
         out = None
         for v in range(from_n, to_n + 1):
-            old, new = _snap(v - 1), _snap(v)
-            for side, df in (("old", old), ("new", new)):
-                dup = (
-                    df.groupBy(*keys)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(1)
-                    .collect()
-                )
-                if dup:
-                    raise ValueError(
-                        f"change_feed: duplicate key {tuple(dup[0])[:-1]} "
-                        f"in version {v - 1 if side == 'old' else v} — "
-                        "key_cols must uniquely identify a row"
-                    )
-            o = old.select(
-                *[F.col(k) for k in keys],
-                F.struct(*val_cols).alias("__o") if val_cols
-                else F.lit(None).alias("__o"),
-                F.lit(True).alias("__in_o"),
-            )
-            n_ = new.select(
-                *[F.col(k) for k in keys],
-                F.struct(*val_cols).alias("__n") if val_cols
-                else F.lit(None).alias("__n"),
-                F.lit(True).alias("__in_n"),
-            )
-            j = o.join(n_, keys, "full_outer")
-            ver = F.lit(int(v)).cast("long").alias("_commit_version")
-
-            def _emit(struct_col: str, ctype: str):
-                sel = [F.col(k) for k in keys]
-                sel += [
-                    F.col(f"{struct_col}.{c}").alias(c) for c in val_cols
-                ]
-                sel += [F.lit(ctype).alias("_change_type"), ver]
-                return sel
-
-            inserts = j.filter(F.col("__in_o").isNull()).select(
-                *_emit("__n", "insert")
-            )
-            deletes = j.filter(F.col("__in_n").isNull()).select(
-                *_emit("__o", "delete")
-            )
-            changed = j.filter(
-                F.col("__in_o").isNotNull()
-                & F.col("__in_n").isNotNull()
-                & ~F.col("__o").eqNullSafe(F.col("__n"))
-            )
-            pre = changed.select(*_emit("__o", "update_preimage"))
-            post = changed.select(*_emit("__n", "update_postimage"))
-            step = (
-                inserts.unionByName(deletes)
-                .unionByName(pre)
-                .unionByName(post)
-            )
+            step = partials[v]
+            if step is None:
+                step = self._diff(_snap(v - 1), _snap(v), keys, v)
             out = step if out is None else out.unionByName(step)
         return out
 
@@ -377,7 +481,17 @@ class DeltaSnapshotTable:
         ``_commit_version``; Delta adds ``_commit_timestamp``).
         ``key_cols`` is unused here — Delta derives changes from its
         transaction log, not a key diff — and accepted only so the two
-        backends stay call-compatible."""
+        backends stay call-compatible. Call-compatibility includes the
+        guards: ``from_version >= 1`` is enforced here too (Delta
+        itself would serve startingVersion=0 as the initial commit's
+        inserts; the parquet emulation cannot — version 0 predates any
+        diffable pair — so both backends refuse and point the caller
+        at ``read_version(0)``)."""
+        if int(from_version) < 1:
+            raise ValueError(
+                "change_feed: from_version must be >= 1 (version 0 is "
+                "the initial snapshot; read_version(0) for its content)"
+            )
         r = (
             self.spark.read.format("delta")
             .option("readChangeFeed", "true")
@@ -447,10 +561,18 @@ class CdcFlow:
         return self.backend
 
     def table(self, spark: SparkSession):
-        """The gold table handle for the resolved backend."""
+        """The gold table handle for the resolved backend. SCD1 parquet
+        tables enable commit-time CDF on the merge keys (the Delta
+        ``enableChangeDataFeed`` analogue): each merge commit persists
+        its O(changes) partial so downstream ``change_feed`` pulls run
+        zero joins. SCD2 tables don't — their merge keys are NOT unique
+        across history rows (one row per version), so a key diff on
+        them is ambiguous by design; diff SCD2 history on
+        ``keys + __START_AT`` explicitly if needed."""
         if self._resolved_backend() == "delta":
             return DeltaSnapshotTable(spark, self.gold_base)
-        return ParquetSnapshotTable(spark, self.gold_base)
+        cdf = self.keys if self.scd_type == 1 else None
+        return ParquetSnapshotTable(spark, self.gold_base, cdf_keys=cdf)
 
     def _tracked_cols(self, batch: DataFrame) -> list[str] | None:
         if self.track_history_cols is not None:

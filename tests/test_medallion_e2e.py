@@ -280,3 +280,124 @@ def test_change_feed_from_cdc_flow_gold_table(spark, tmp_path):
         (1, "ana-maria", "update_postimage", 1),
         (3, "cy", "insert", 1),
     ])
+
+
+# ---- r11: commit-time change partials (O(changes) CDF) -------------------
+
+
+def _no_joins(df) -> bool:
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return "Join" not in plan
+
+
+def test_change_feed_persisted_partials_parity_and_zero_joins(spark, tmp_path):
+    """A cdf_keys table persists each commit's diff once; pulls read the
+    partials — byte-identical rows to the derived-diff control over the
+    same history, with ZERO joins in the pull plan (the O(changes)
+    cost model real Delta CDF has)."""
+    S = "id long, v string"
+    hist = [
+        [(1, "a"), (2, "b"), (4, None)],
+        [(1, "a"), (2, "B"), (3, "c"), (4, None)],
+        [(1, "a"), (3, "c"), (4, "x")],
+    ]
+    fast = ParquetSnapshotTable(spark, str(tmp_path / "f"), cdf_keys=["id"])
+    slow = ParquetSnapshotTable(spark, str(tmp_path / "s"))
+    for rows in hist:
+        fast.overwrite(spark.createDataFrame(rows, S))
+        slow.overwrite(spark.createDataFrame(rows, S))
+    got = fast.change_feed(["id"], 1)
+    assert _no_joins(got), "partial-backed pull must not re-derive joins"
+    assert not _no_joins(slow.change_feed(["id"], 1))  # control derives
+    assert _cf_rows(got) == _cf_rows(slow.change_feed(["id"], 1))
+    # windows filter on the persisted path too
+    assert _cf_rows(fast.change_feed(["id"], 2, 2)) == _cf_rows(
+        slow.change_feed(["id"], 2, 2)
+    )
+
+
+def test_change_feed_partials_survive_vacuum(spark, tmp_path):
+    """Change partials outlive their snapshots: after vacuum drops the
+    old snapshots, the same window still serves from persisted
+    partials (the derived path would raise 'vacuumed')."""
+    S = "id long, v string"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    t.overwrite(spark.createDataFrame([(1, "a")], S))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], S))
+    t.overwrite(spark.createDataFrame([(2, "b")], S))
+    t.vacuum(keep_last=1)
+    assert len(t.history()) == 1
+    assert _cf_rows(t.change_feed(["id"], 1)) == {
+        (2, "b", "insert", 1),
+        (1, "a", "delete", 2),
+    }
+
+
+def test_change_feed_commit_time_guards(spark, tmp_path):
+    """cdf_keys moves the duplicate-key refusal to COMMIT time (before
+    the repoint — the old table stays live), and a pull with a
+    different key definition than the committing writer's refuses."""
+    S = "id long, v string"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    t.overwrite(spark.createDataFrame([(1, "a")], S))
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.overwrite(spark.createDataFrame([(2, "x"), (2, "y")], S))
+    assert [r.id for r in t.read().collect()] == [1]  # old version live
+    assert len(t.history()) == 1
+    t.overwrite(spark.createDataFrame([(1, "a"), (3, "c")], S))
+    with pytest.raises(ValueError, match="cdf_keys"):
+        t.change_feed(["v"], 1)
+    with pytest.raises(ValueError, match="not in incoming snapshot"):
+        t.overwrite(spark.createDataFrame([("a",)], "other string"))
+
+
+def test_change_feed_partial_crash_falls_back_to_derivation(spark, tmp_path):
+    """A partial without Spark's _SUCCESS footer (crashed step) is
+    invisible: the pull falls back to deriving that version's diff
+    from retained snapshots and still returns exact rows."""
+    import os
+
+    S = "id long, v string"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    t.overwrite(spark.createDataFrame([(1, "a")], S))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], S))
+    os.remove(os.path.join(t._changes_dir(1), "_SUCCESS"))
+    feed = t.change_feed(["id"], 1)
+    assert not _no_joins(feed)  # derivation ran for the crashed version
+    assert _cf_rows(feed) == {(2, "b", "insert", 1)}
+
+
+def test_scd1_cdc_flow_commits_change_partials(spark, tmp_path):
+    """CdcFlow (SCD1) gold tables now carry commit-time CDF: the
+    consumer's pull over a streamed history runs zero joins."""
+    silver = str(tmp_path / "silver")
+    flow = CdcFlow(
+        name="dim_user", gold_base=str(tmp_path / "gold"),
+        keys=["user_id"], sequence_by="updated_at", scd_type=1,
+        tiebreakers=["name"], backend="parquet",
+    )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "user_id bigint, name string, updated_at timestamp"
+        ).parquet(silver)
+        flow.run_stream(spark, stream, str(tmp_path / "chk"))
+
+    _users(spark, [(1, "ana", 1), (2, "bo", 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(silver)
+    drain()
+    _users(spark, [(1, "ana-maria", 5), (3, "cy", 2)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(silver)
+    drain()
+    feed = flow.table(spark).change_feed(["user_id"], 1)
+    assert _no_joins(feed)
+    got = sorted(
+        (r.user_id, r.name, r._change_type) for r in feed.collect()
+    )
+    assert got == sorted([
+        (1, "ana", "update_preimage"),
+        (1, "ana-maria", "update_postimage"),
+        (3, "cy", "insert"),
+    ])
