@@ -54,10 +54,11 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+from dataeng_azure_spotify_spark.statefs import statefs_for
 
 #: Reserved namespace for consolidated-partition tags. Admission
 #: validators refuse run_ids with this prefix so a compact tag can
@@ -107,6 +108,10 @@ class CompactionLog:
     def __init__(self, spark: SparkSession, artifact_path: str) -> None:
         self.spark = spark
         self.path = os.path.join(artifact_path, COMPACTIONS)
+        # control-plane IO goes through StateFS (r11): local paths stay
+        # pure-POSIX; scheme'd paths (abfss://, s3a://, file://) reach
+        # the session JVM's Hadoop FileSystem
+        self.fs = statefs_for(artifact_path, spark)
 
     # -- reads ----------------------------------------------------------
     def committed(self) -> dict[str, list[str]]:
@@ -119,25 +124,31 @@ class CompactionLog:
         replaced cost one Spark job per committed compaction per read:
         at streaming cadence with auto-compaction that grew probe
         latency linearly in fold count (measured r10,
-        docs/BENCH_NOTES.md)."""
+        docs/BENCH_NOTES.md). Marker bytes come through StateFS, so
+        object-store state dirs read the same way (one metadata fetch
+        per marker file, still zero Spark jobs)."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        if not os.path.isdir(self.path):
+        if not self.fs.isdir(self.path):
             return {}
         out: dict[str, list[str]] = {}
-        for tag in sorted(os.listdir(self.path)):
+        for tag in self.fs.listdir(self.path):
             d = os.path.join(self.path, tag)
-            if not os.path.isdir(d) or not os.path.exists(
+            if not self.fs.isdir(d) or not self.fs.exists(
                 os.path.join(d, "_SUCCESS")
             ):
                 continue  # uncommitted (crashed) marker — ignored
             folded: list[str] = []
-            for fn in sorted(os.listdir(d)):
+            for fn in self.fs.listdir(d):
                 if not fn.endswith(".parquet") or fn.startswith("."):
                     continue
-                col = pq.read_table(
-                    os.path.join(d, fn), columns=["folded_run"]
-                ).column("folded_run")
+                buf = pa.BufferReader(
+                    self.fs.read_bytes(os.path.join(d, fn))
+                )
+                col = pq.read_table(buf, columns=["folded_run"]).column(
+                    "folded_run"
+                )
                 folded.extend(str(v) for v in col.to_pylist())
             out[tag] = folded
         return out
@@ -179,9 +190,7 @@ class CompactionLog:
         )
 
     def drop_marker(self, tag: str) -> None:
-        d = os.path.join(self.path, tag)
-        if os.path.exists(d):
-            shutil.rmtree(d)
+        self.fs.rmtree(os.path.join(self.path, tag))
 
 
 def delete_folded_partitions(
@@ -191,14 +200,15 @@ def delete_folded_partitions(
     the run level sits under a first-level partition
     (``bucket=*/run=*`` / ``cid=*/run=*``); otherwise ``run=*`` is
     top-level. Idempotent; returns directories removed."""
-    if not os.path.isdir(table_path) or not folded:
+    fs = statefs_for(table_path)
+    if not fs.isdir(table_path) or not folded:
         return 0
     removed = 0
     parents = (
         [
             os.path.join(table_path, d)
-            for d in os.listdir(table_path)
-            if os.path.isdir(os.path.join(table_path, d)) and "=" in d
+            for d in fs.listdir(table_path)
+            if "=" in d and fs.isdir(os.path.join(table_path, d))
         ]
         if nested
         else [table_path]
@@ -206,8 +216,8 @@ def delete_folded_partitions(
     for parent in parents:
         for r in folded:
             d = os.path.join(parent, f"run={r}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            if fs.isdir(d):
+                fs.rmtree(d)
                 removed += 1
     return removed
 
@@ -215,13 +225,14 @@ def delete_folded_partitions(
 def count_run_partitions(table_path: str, nested: bool) -> int:
     """Observability for the before/after table: number of ``run=``
     directories currently on disk."""
-    if not os.path.isdir(table_path):
+    fs = statefs_for(table_path)
+    if not fs.isdir(table_path):
         return 0
     parents = (
         [
             os.path.join(table_path, d)
-            for d in os.listdir(table_path)
-            if os.path.isdir(os.path.join(table_path, d)) and "=" in d
+            for d in fs.listdir(table_path)
+            if "=" in d and fs.isdir(os.path.join(table_path, d))
         ]
         if nested
         else [table_path]
@@ -229,21 +240,22 @@ def count_run_partitions(table_path: str, nested: bool) -> int:
     return sum(
         1
         for parent in parents
-        for d in os.listdir(parent)
-        if d.startswith("run=") and os.path.isdir(os.path.join(parent, d))
+        for d in fs.listdir(parent)
+        if d.startswith("run=") and fs.isdir(os.path.join(parent, d))
     )
 
 
 def distinct_run_names(table_path: str, nested: bool) -> set[str]:
     """Distinct ``run=<name>`` partition names currently on disk (one
     listing pass; names, not per-bucket dir counts)."""
-    if not os.path.isdir(table_path):
+    fs = statefs_for(table_path)
+    if not fs.isdir(table_path):
         return set()
     parents = (
         [
             os.path.join(table_path, d)
-            for d in os.listdir(table_path)
-            if os.path.isdir(os.path.join(table_path, d)) and "=" in d
+            for d in fs.listdir(table_path)
+            if "=" in d and fs.isdir(os.path.join(table_path, d))
         ]
         if nested
         else [table_path]
@@ -251,8 +263,8 @@ def distinct_run_names(table_path: str, nested: bool) -> set[str]:
     return {
         d[len("run="):]
         for parent in parents
-        for d in os.listdir(parent)
-        if d.startswith("run=") and os.path.isdir(os.path.join(parent, d))
+        for d in fs.listdir(parent)
+        if d.startswith("run=") and fs.isdir(os.path.join(parent, d))
     }
 
 

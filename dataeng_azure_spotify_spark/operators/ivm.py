@@ -118,11 +118,14 @@ class MaterializedAggregate:
     # -- read side ---------------------------------------------------------
 
     def _folded(self, spark: SparkSession) -> DataFrame:
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
+        fs = statefs_for(self.state_dir, spark)
         if not any(
             d.startswith("run=")
             for d in (
-                os.listdir(self.state_dir)
-                if os.path.isdir(self.state_dir)
+                fs.listdir(self.state_dir)
+                if fs.isdir(self.state_dir)
                 else ()
             )
         ):

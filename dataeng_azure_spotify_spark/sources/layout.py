@@ -56,8 +56,10 @@ def compact_partition(
     ``target_files`` parquet files. Returns the number of files before
     compaction. Atomic: writes a sibling dir then swaps via rename, so a
     concurrent reader lists either the old files or the new ones."""
+    from dataeng_azure_spotify_spark.statefs import statefs_for
+
     before = [
-        f for f in os.listdir(path)
+        f for f in statefs_for(path, spark).listdir(path)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ]
     if len(before) <= target_files:
@@ -209,13 +211,18 @@ def atomic_swap_dir(path: str, write_tmp) -> None:
     Readers list either the old tree or the new one, never a mix; NOT
     safe against a concurrent WRITER appending into ``path`` mid-swap.
     Shared by parquet compaction and the streaming state compactors
-    (one copy of the discipline, not three drifting ones)."""
+    (one copy of the discipline, not three drifting ones). Renames go
+    through StateFS, so scheme'd paths swap via the Hadoop FileSystem
+    (with object stores' weaker rename atomicity — see statefs.py)."""
+    from dataeng_azure_spotify_spark.statefs import statefs_for
+
+    fs = statefs_for(path)
     tmp = f"{path}__swap_{uuid.uuid4().hex[:8]}"
     write_tmp(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.rmtree(old)
 
 
 def write_bucketed(

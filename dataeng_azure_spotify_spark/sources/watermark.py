@@ -20,18 +20,23 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
+
+from dataeng_azure_spotify_spark.statefs import statefs_for
 
 SEED_WATERMARK = "1900-01-01"
 
 
 class WatermarkStore:
-    """Directory of ``<table>_cdc/cdc.json`` files under ``base``."""
+    """Directory of ``<table>_cdc/cdc.json`` files under ``base``.
+    Control-plane IO goes through StateFS (r11): local bases stay
+    pure-POSIX; scheme'd bases (``abfss://``, ``s3a://``, ``file://``)
+    reach the session JVM's Hadoop FileSystem."""
 
     def __init__(self, base: str, seed: str = SEED_WATERMARK) -> None:
         self.base = base
         self.seed = seed
-        os.makedirs(base, exist_ok=True)
+        self.fs = statefs_for(base)
+        self.fs.makedirs(base)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.base, f"{table}_cdc", "cdc.json")
@@ -39,20 +44,12 @@ class WatermarkStore:
     def read(self, table: str) -> str:
         """Current watermark; missing state file → the 1900-01-01 seed."""
         path = self._path(table)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return self.seed
-        with open(path) as f:
-            return json.load(f)["cdc"]
+        return json.loads(self.fs.read_bytes(path).decode())["cdc"]
 
     def write(self, table: str, value: str) -> None:
         """Atomic replace (temp file + rename) — crash-safe."""
         path = self._path(table)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump({"cdc": value}, f)
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self.fs.makedirs(os.path.dirname(path))
+        self.fs.write_atomic(path, json.dumps({"cdc": value}).encode())

@@ -25,7 +25,6 @@ where DLT enforces them (reference ``DimUser.py:91-94``).
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from dataclasses import dataclass, field
 from typing import Mapping
@@ -36,6 +35,7 @@ from pyspark.sql import functions as F
 from dataeng_azure_spotify_spark.delta_support import delta_available
 from dataeng_azure_spotify_spark.operators.relational import expectations_drop
 from dataeng_azure_spotify_spark.operators.scd import apply_scd1, apply_scd2
+from dataeng_azure_spotify_spark.statefs import statefs_for
 
 
 class ParquetSnapshotTable:
@@ -66,7 +66,11 @@ class ParquetSnapshotTable:
         self.spark = spark
         self.base = base
         self.cdf_keys = list(cdf_keys) if cdf_keys else None
-        os.makedirs(base, exist_ok=True)
+        # pointer/history control plane goes through StateFS (r11):
+        # local paths stay pure-POSIX; scheme'd bases (abfss://, s3a://,
+        # file://) reach the session JVM's Hadoop FileSystem
+        self.fs = statefs_for(base, spark)
+        self.fs.makedirs(base)
 
     @property
     def _pointer(self) -> str:
@@ -82,18 +86,17 @@ class ParquetSnapshotTable:
         exists — a half-written partial is invisible, and the pull
         falls back to snapshot-diff derivation for that version."""
         d = self._changes_dir(version)
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        if not self.fs.exists(os.path.join(d, "_SUCCESS")):
             return None
         return self.spark.read.parquet(d)
 
     def exists(self) -> bool:
-        return os.path.exists(self._pointer)
+        return self.fs.exists(self._pointer)
 
     def read(self) -> DataFrame | None:
         if not self.exists():
             return None
-        with open(self._pointer) as f:
-            snap = f.read().strip()
+        snap = self.fs.read_bytes(self._pointer).decode().strip()
         return self.spark.read.parquet(os.path.join(self.base, snap))
 
     @staticmethod
@@ -112,8 +115,7 @@ class ParquetSnapshotTable:
     def _live(self) -> str | None:
         if not self.exists():
             return None
-        with open(self._pointer) as f:
-            return f.read().strip()
+        return self.fs.read_bytes(self._pointer).decode().strip()
 
     def history(self) -> list[str]:
         """COMMITTED snapshot names, oldest → newest — the retained
@@ -133,7 +135,7 @@ class ParquetSnapshotTable:
             return []
         snaps = [
             d
-            for d in os.listdir(self.base)
+            for d in self.fs.listdir(self.base)
             if d.startswith("snap-")
             and self._snap_n(d) is not None
             and self._snap_n(d) <= live_n
@@ -234,7 +236,7 @@ class ParquetSnapshotTable:
                 n
                 for n in (
                     self._snap_n(d)
-                    for d in os.listdir(self.base)
+                    for d in self.fs.listdir(self.base)
                     if d.startswith("snap-")
                 )
                 if n is not None
@@ -269,10 +271,7 @@ class ParquetSnapshotTable:
             # schema change: no partial — pulls covering this version
             # fall back to snapshot-diff (which raises on mismatched
             # columns rather than guessing evolution semantics)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(snap)
-        os.replace(tmp, self._pointer)
+        self.fs.write_atomic(self._pointer, snap.encode())
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Delete all but the newest ``keep_last`` COMMITTED snapshots,
@@ -292,7 +291,7 @@ class ParquetSnapshotTable:
         committed = self.history()
         for d in committed[: max(0, len(committed) - keep_last)]:
             if d != live:
-                shutil.rmtree(os.path.join(self.base, d), ignore_errors=True)
+                self.fs.rmtree(os.path.join(self.base, d))
 
     def change_feed(
         self,

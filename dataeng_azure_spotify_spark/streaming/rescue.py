@@ -73,24 +73,29 @@ def _peek_file_schema(path: str) -> StructType:
 
 
 class SchemaTracker:
-    """Persist the declared schema at ``schema_location`` (JSON)."""
+    """Persist the declared schema at ``schema_location`` (JSON).
+    Routed through StateFS (r11) so object-store schema locations work
+    like Auto Loader's ``cloudFiles.schemaLocation`` does."""
 
     def __init__(self, schema_location: str) -> None:
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
         self.schema_location = schema_location
         self._file = os.path.join(schema_location, "schema.json")
+        self.fs = statefs_for(schema_location)
 
     def load(self) -> StructType | None:
-        if not os.path.exists(self._file):
+        if not self.fs.exists(self._file):
             return None
-        with open(self._file) as f:
-            return StructType.fromJson(json.load(f))
+        return StructType.fromJson(
+            json.loads(self.fs.read_bytes(self._file).decode())
+        )
 
     def save(self, schema: StructType) -> None:
-        os.makedirs(self.schema_location, exist_ok=True)
-        tmp = self._file + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(schema.jsonValue(), f)
-        os.replace(tmp, self._file)
+        self.fs.makedirs(self.schema_location)
+        self.fs.write_atomic(
+            self._file, json.dumps(schema.jsonValue()).encode()
+        )
 
 
 def read_bronze_stream(
