@@ -380,7 +380,13 @@ class Engine:
         rewrite: bool = True,
         max_dup_frac: float = 1.0,
         max_live_runs: "int | None" = None,
+        embeddings: "DataFrame | None" = None,
+        semantic_threshold: float = 0.85,
+        semantic_k: int = 64,
+        semantic_iters: int = 2,
+        missing_embedding: str = "error",
         extra_stages: "tuple" = (),
+        funnel: bool = True,
         text_col: str = "text",
         id_col: str = "doc_id",
     ):
@@ -400,14 +406,34 @@ class Engine:
         Gates are included only when configured: ``blocklist`` tuple
         enables the C4 gate; a trained ``NbQualityModel`` enables the
         quality gate (training is an offline batch step — fit one with
-        ``curate.nb_quality_model``); ``exact``/``near_dup``/
-        ``rewrite`` toggle the dedup tiers. Embedding/semantic gates
-        need an embedding column a raw document stream lacks — pass
-        one pre-built via ``extra_stages`` (inserted before the
-        rewrite) after joining embeddings upstream. The batch
-        pipeline's mix/shards stages are corpus-global re-balancing,
-        not per-batch gates — run them as batch post-processing over
-        the admitted corpus.
+        ``curate.nb_quality_model``; its trained id/text columns are
+        validated against this stream's ``id_col``/``text_col`` at
+        construction — a model fit on other columns would otherwise
+        silently gate the wrong column); ``exact``/``near_dup``/
+        ``rewrite`` toggle the dedup tiers. An ``embeddings``
+        DataFrame (keyed on ``id_col``, vector column ``embedding``)
+        enables the SEMANTIC gate in one call (r11): a
+        :class:`...streaming.admission.SemanticGateStage` joins the
+        embeddings per batch (one equi-join on the id — O(epoch), no
+        corpus shuffle), runs an
+        :class:`...operators.similarity.IncrementalSemanticDedup`
+        over ``<workdir>/state/semantic`` at ``semantic_threshold``,
+        and drops the vector column again; ``missing_embedding``
+        picks 'error' (default) or 'admit' for docs without an
+        embedding row. Pre-joined/custom semantic flows keep working
+        through ``extra_stages`` (inserted after the semantic gate,
+        before the rewrite). The batch pipeline's mix/shards stages
+        are corpus-global re-balancing, not per-batch gates — run
+        them as batch post-processing over the admitted corpus.
+
+        ``funnel`` (default on, r11): per-epoch per-gate admitted/
+        rejected counts — recorded on the returned chain
+        (``chain.funnels``) and landed in the
+        :class:`...observability.AdmissionFunnelLog` at
+        ``<workdir>/funnel`` after each epoch's corpus partition
+        commits (idempotent per-run overwrite; a crash-replayed epoch
+        rewrites an identical funnel). Read it back with
+        ``AdmissionFunnelLog(spark, f"{workdir}/funnel").read()``.
 
         Returns the ``ChainedAdmitter`` — call ``curation_stream``
         again after new source files land (same ``workdir``) and the
@@ -428,6 +454,7 @@ class Engine:
         """
         import os as _os
 
+        from .observability import AdmissionFunnelLog
         from .operators.curation import BlocklistAdmitter
         from .operators.dedup import IncrementalDedup, IncrementalLsh
         from .operators.quality_nb import NbQualityAdmitter
@@ -435,9 +462,20 @@ class Engine:
         from .streaming.admission import (
             BoundAdmitter,
             ChainedAdmitter,
+            SemanticGateStage,
             run_admission_stream,
         )
 
+        if nb_model is not None:
+            m = nb_model._meta()
+            if (m.id_col, m.text_col) != (id_col, text_col):
+                raise ValueError(
+                    "curation_stream: nb_model was trained on columns "
+                    f"(id={m.id_col!r}, text={m.text_col!r}) but this "
+                    f"stream curates (id={id_col!r}, text={text_col!r}) "
+                    "— a mismatched model would gate the wrong column; "
+                    "fit the model on the stream's columns"
+                )
         state = _os.path.join(workdir, "state")
         stages: list = []
         if blocklist:
@@ -481,6 +519,26 @@ class Engine:
                     id_col=id_col,
                 ),
             ))
+        if embeddings is not None:
+            from .operators.similarity import IncrementalSemanticDedup
+
+            stages.append((
+                "semantic",
+                SemanticGateStage(
+                    IncrementalSemanticDedup(
+                        self.spark,
+                        _os.path.join(state, "semantic"),
+                        threshold=semantic_threshold,
+                        k=semantic_k,
+                        iters=semantic_iters,
+                        id_col=id_col,
+                        max_live_runs=max_live_runs,
+                    ),
+                    embeddings,
+                    id_col=id_col,
+                    missing_embedding=missing_embedding,
+                ),
+            ))
         stages.extend(extra_stages)
         if rewrite:
             stages.append((
@@ -494,12 +552,19 @@ class Engine:
                     max_live_runs=max_live_runs,
                 ),
             ))
-        chain = ChainedAdmitter(stages)
+        chain = ChainedAdmitter(stages, funnel=funnel)
         run_admission_stream(
             source,
             chain,
             _os.path.join(workdir, "admitted"),
             _os.path.join(workdir, "_checkpoint"),
+            funnel_log=(
+                AdmissionFunnelLog(
+                    self.spark, _os.path.join(workdir, "funnel")
+                )
+                if funnel
+                else None
+            ),
         )
         return chain
 

@@ -90,6 +90,70 @@ class RunLog:
         return self.spark.read.schema(RUN_LOG_SCHEMA).parquet(self.path)
 
 
+FUNNEL_LOG_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType(), False),
+        StructField("stage_idx", LongType(), False),
+        StructField("stage", StringType(), False),
+        StructField("n_in", LongType(), False),
+        StructField("n_admitted", LongType(), False),
+        StructField("n_rejected", LongType(), False),
+    ]
+)
+
+
+class AdmissionFunnelLog:
+    """Per-epoch, per-gate admission funnel table (r11) — the streaming
+    twin of the batch curation pipeline's per-stage audit counts
+    (``plans/llm_corpus.py``): one row per (run_id, gate) with entered/
+    admitted/rejected counts, written as its own ``run=<run_id>``
+    partition via idempotent overwrite — a crash-replayed epoch
+    reproduces an identical funnel (the chain's replay convergence)
+    and rewrites an identical partition, never duplicate rows. Empty
+    until the first funnel-enabled epoch commits."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
+        self.spark = spark
+        self.path = path
+        self.fs = statefs_for(path, spark)
+
+    def record(self, run_id: str, rows: "list[dict]") -> None:
+        """Land one epoch's funnel (chain-ordered gate dicts with
+        ``stage``/``n_in``/``n_admitted``/``n_rejected`` keys, as
+        :class:`...streaming.admission.ChainedAdmitter` produces).
+        The per-run directory deliberately avoids ``run=`` naming:
+        ``run_id`` is already a data column, and partition inference
+        on an identically-named directory key would collide."""
+        data = [
+            (
+                str(run_id),
+                int(i),
+                str(r["stage"]),
+                int(r["n_in"]),
+                int(r["n_admitted"]),
+                int(r["n_rejected"]),
+            )
+            for i, r in enumerate(rows)
+        ]
+        (
+            self.spark.createDataFrame(data, FUNNEL_LOG_SCHEMA)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{self.path}/r-{run_id}")
+        )
+
+    def read(self) -> DataFrame:
+        if not self.fs.exists(self.path):
+            return self.spark.createDataFrame([], FUNNEL_LOG_SCHEMA)
+        return (
+            self.spark.read.schema(FUNNEL_LOG_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.path)
+        )
+
+
 def failed_runs_last(log: RunLog, minutes: int = 5) -> DataFrame:
     """The KQL alert query re-expressed (status == 'Failed', 5-min window,
     reference ``terraform/07_monitoring/main.tf:38-56``)."""

@@ -113,6 +113,99 @@ class BoundAdmitter:
         return self.inner.admit(batch, run_id=run_id, **self.kwargs)
 
 
+class SemanticGateStage:
+    """First-class embedding/semantic gate for a curation chain (r11):
+    per batch, JOIN a keyed embeddings table onto the documents (one
+    broadcast-or-shuffled equi-join on the id — never a corpus
+    shuffle: the batch side is O(epoch)), run the wrapped
+    :class:`...operators.similarity.IncrementalSemanticDedup`, then
+    drop the joined vector column so downstream gates and the sink see
+    the original document schema. Before this, a semantic gate
+    required the caller to hand-join embeddings upstream and pass a
+    pre-built stage through ``extra_stages``.
+
+    ``missing_embedding``: a document without an embedding row cannot
+    be judged —
+
+    - ``"error"`` (default): fail the epoch loudly naming the id
+      (lazily, via ``raise_error`` inside the gate's own
+      materialization — no extra probe action);
+    - ``"admit"``: pass it through ungated (the LSH shingle-less
+      discipline — deterministic, so replay convergence holds).
+
+    Replay convergence: the join is deterministic, the inner gate is
+    replay-convergent, and the pass-through slice is stateless — so
+    the stage satisfies the chain's induction unchanged. State-path
+    refusals see the inner gate's ``state_dir`` through ``inner``."""
+
+    def __init__(
+        self,
+        inner,
+        embeddings: DataFrame,
+        id_col: str = "doc_id",
+        missing_embedding: str = "error",
+    ) -> None:
+        if missing_embedding not in ("error", "admit"):
+            raise ValueError(
+                "missing_embedding must be 'error' or 'admit', got "
+                f"{missing_embedding!r}"
+            )
+        vec = getattr(inner, "vec_col", None)
+        if not vec:
+            raise TypeError(
+                f"SemanticGateStage: {type(inner).__name__} exposes no "
+                "vec_col — wrap an IncrementalSemanticDedup-shaped gate"
+            )
+        if id_col != getattr(inner, "id_col", id_col):
+            raise ValueError(
+                f"SemanticGateStage: id_col {id_col!r} differs from the "
+                f"inner gate's {inner.id_col!r}"
+            )
+        bad = [c for c in (id_col, vec) if c not in embeddings.columns]
+        if bad:
+            raise ValueError(
+                f"SemanticGateStage: embeddings table lacks column(s) {bad}"
+            )
+        self.inner = inner
+        self.id_col = id_col
+        self.vec_col = vec
+        self.missing_embedding = missing_embedding
+        self.embeddings = embeddings.select(id_col, vec)
+
+    def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.vec_col in batch.columns:
+            raise ValueError(
+                f"SemanticGateStage: batch already carries "
+                f"{self.vec_col!r} — pre-joined flows should pass the "
+                "inner gate directly (via extra_stages), not re-join"
+            )
+        joined = batch.join(self.embeddings, self.id_col, "left")
+        missing = F.col(self.vec_col).isNull()
+        if self.missing_embedding == "error":
+            guarded = joined.withColumn(
+                self.vec_col,
+                F.when(
+                    missing,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "SemanticGateStage: no embedding row for "
+                                f"{self.id_col}="
+                            ),
+                            F.col(self.id_col).cast("string"),
+                        )
+                    ).cast(joined.schema[self.vec_col].dataType),
+                ).otherwise(F.col(self.vec_col)),
+            )
+            return self.inner.admit(guarded, run_id=run_id).drop(self.vec_col)
+        gated = self.inner.admit(joined.filter(~missing), run_id=run_id)
+        return gated.drop(self.vec_col).unionByName(
+            joined.filter(missing).drop(self.vec_col)
+        )
+
+
 class ChainedAdmitter:
     """Sequential multi-gate admission under ONE per-epoch ``run_id``
     — the streaming twin of :mod:`...plans.llm_corpus`'s batch gate
@@ -153,6 +246,27 @@ class ChainedAdmitter:
     keep working per artifact via ``Engine.remove_document`` /
     ``compact_artifacts``.
 
+    **Per-gate admission funnel (r11).** With ``funnel=True`` (the
+    default) every ``admit`` records, per gate, how many rows entered,
+    survived and were rejected — the batch pipeline's per-stage audit
+    table (``plans/llm_corpus.py``) brought to the stream, and the
+    first dashboard a production curation user builds. The counts for
+    the latest epoch are in :attr:`last_funnel`; the full per-run map
+    in :attr:`funnels`; :func:`run_admission_stream` lands them in an
+    :class:`...observability.AdmissionFunnelLog` when given one.
+
+    Funnel cost model (what matters at 100 TB): each gate boundary is
+    localCheckpointed (executor-side cache of the O(batch) slice —
+    NOT the corpus) and counted FROM THE CACHE — so the funnel adds
+    zero re-scans of the source files, zero shuffles, and zero extra
+    evaluations of any gate's logic (downstream gates and the sink
+    read the cache instead of re-executing upstream lineage, which
+    they previously did once per internal action). The count jobs
+    scan ExistingRDD blocks only — pinned by plan in
+    ``tests/test_chained_admission.py``. Funnel counts telescope by
+    construction AND by replay convergence: a crash-replayed epoch
+    reproduces the never-crashed funnel exactly (pinned).
+
     ``stages``: iterable of admitters, or ``(name, admitter)`` pairs
     (bare admitters auto-name ``s{i}-{ClassName}``). Gate order is
     chain order; put transform stages (e.g. :class:`...operators.
@@ -160,7 +274,11 @@ class ChainedAdmitter:
     original text.
     """
 
-    def __init__(self, stages) -> None:
+    def __init__(self, stages, funnel: bool = True) -> None:
+        self.funnel = bool(funnel)
+        #: per-run funnel rows: {run_id: [{"stage", "n_in",
+        #: "n_admitted", "n_rejected"}, ...] in chain order}
+        self.funnels: "dict[str | None, list[dict]]" = {}
         self.stages: "list[tuple[str, object]]" = []
         seen_names: set = set()
         seen_instances: dict = {}
@@ -209,11 +327,41 @@ class ChainedAdmitter:
         slice. Each stateful gate materializes its own decision before
         mutating its state (their documented discipline), so the
         returned DataFrame is safe to write even though later actions
-        re-execute the stateless gates' lineage."""
-        cur = batch
-        for _name, adm in self.stages:
-            cur = adm.admit(cur, run_id=run_id)
+        re-execute the stateless gates' lineage.
+
+        With :attr:`funnel` on, gate boundaries are checkpointed and
+        counted from cache (see the class docstring's cost model) and
+        the per-gate rows land in ``self.funnels[run_id]``."""
+        if not self.funnel:
+            cur = batch
+            for _name, adm in self.stages:
+                cur = adm.admit(cur, run_id=run_id)
+            return cur
+        rows: "list[dict]" = []
+        cur = batch.localCheckpoint(eager=True)
+        n_in = cur.count()
+        for name, adm in self.stages:
+            out = adm.admit(cur, run_id=run_id).localCheckpoint(eager=True)
+            n_out = out.count()
+            rows.append(
+                {
+                    "stage": name,
+                    "n_in": n_in,
+                    "n_admitted": n_out,
+                    "n_rejected": n_in - n_out,
+                }
+            )
+            cur, n_in = out, n_out
+        self.funnels[run_id] = rows
         return cur
+
+    @property
+    def last_funnel(self) -> "list[dict] | None":
+        """The most recent epoch's per-gate funnel rows (chain order),
+        or None before the first funnel-enabled admit."""
+        if not self.funnels:
+            return None
+        return next(reversed(self.funnels.values()))
 
 
 def run_admission_stream(
@@ -225,6 +373,7 @@ def run_admission_stream(
     id_col=_UNSET,
     labels_index=None,
     labels_max_live_runs=None,
+    funnel_log=None,
 ):
     """Bounded (``availableNow``) checkpointed admission run.
 
@@ -261,6 +410,15 @@ def run_admission_stream(
     :func:`...operators.compaction.maybe_autocompact`. Stateful
     ADMITTERS take their own ``max_live_runs`` constructor knob
     (IncrementalSubstringDedup, IncrementalSemanticDedup).
+
+    ``funnel_log``: an optional :class:`...observability.
+    AdmissionFunnelLog` — when the admitter exposes per-gate funnel
+    rows for the epoch (a funnel-enabled :class:`ChainedAdmitter`),
+    they land there AFTER the epoch's corpus partition commits, as an
+    idempotent per-run overwrite. Exactly-once composes the same way
+    the labels index does: a crash before the funnel write is healed
+    by the replayed epoch recomputing the identical funnel (replay
+    convergence) and rewriting the identical partition.
     """
     from dataeng_azure_spotify_spark.operators.compaction import (
         maybe_autocompact,
@@ -296,6 +454,16 @@ def run_admission_stream(
             spark = batch.sparkSession
             labels_index.append(spark.read.parquet(epoch_path), run_id=run_id)
             maybe_autocompact(labels_index, run_id, labels_max_live_runs)
+        if funnel_log is not None:
+            rows = getattr(admitter, "funnels", {}).get(run_id)
+            if rows is None:
+                raise TypeError(
+                    f"{type(admitter).__name__} recorded no funnel for "
+                    f"{run_id!r} — funnel_log needs a funnel-enabled "
+                    "ChainedAdmitter (or an admitter with the same "
+                    "funnels contract)"
+                )
+            funnel_log.record(run_id, rows)
 
     q = (
         source.writeStream.foreachBatch(handle)

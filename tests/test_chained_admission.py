@@ -400,3 +400,288 @@ def test_curation_stream_semantic_gate_via_extra_stages(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 2, 11}  # 3 blocklisted, 10 semantically deduped
+
+
+# ---- r11: per-gate admission funnel + one-call semantic gate --------------
+
+
+def test_funnel_counts_telescope_and_stay_cached(spark, tmp_path):
+    """The per-gate funnel over the canonical 4-gate chain: counts
+    match each gate's documented drops, telescope (gate N's admitted =
+    gate N+1's input), and the funnel-enabled chain's output plan
+    reads the boundary CACHE (ExistingRDD), never the source files —
+    the 'no extra corpus action' cost model."""
+    chain = ChainedAdmitter(_mk_stages(spark, str(tmp_path / "s")))
+    out = chain.admit(spark.createDataFrame(_B1, _SCHEMA), run_id="e0")
+    f = chain.last_funnel
+    assert [r["stage"] for r in f] == ["blocklist", "exact", "lsh", "rewrite"]
+    assert [(r["n_in"], r["n_admitted"]) for r in f] == [
+        (5, 4),  # blocklist drops doc 2
+        (4, 3),  # exact dedup drops doc 3
+        (3, 2),  # lsh drops doc 4
+        (2, 2),  # rewrite transforms, never drops
+    ]
+    for a, b in zip(f, f[1:]):
+        assert a["n_admitted"] == b["n_in"]
+    assert all(r["n_rejected"] == r["n_in"] - r["n_admitted"] for r in f)
+    assert f[-1]["n_admitted"] == out.count() == 2
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # a checkpointed boundary logical-plans as LogicalRDD (the cached
+    # blocks); any file re-read would show a parquet relation instead
+    assert "LogicalRDD" in plan and "parquet" not in plan.lower()
+    assert chain.funnels["e0"] == f
+
+
+def test_funnel_disabled_records_nothing(spark, tmp_path):
+    chain = ChainedAdmitter(
+        _mk_stages(spark, str(tmp_path / "s")), funnel=False
+    )
+    got = _rows(chain.admit(spark.createDataFrame(_B1, _SCHEMA), run_id="e0"))
+    assert got == _E1_EXPECT
+    assert chain.last_funnel is None and chain.funnels == {}
+
+
+def test_funnel_log_replay_convergence(spark, tmp_path):
+    """Crash-replay pin for the funnel: a stream whose first epoch dies
+    at a gate boundary replays under the same epoch id, reproduces the
+    never-crashed control's funnel EXACTLY, and the landed funnel-log
+    partition telescopes with the epoch's output partition."""
+    from dataeng_azure_spotify_spark.observability import AdmissionFunnelLog
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(_B1, _SCHEMA).write.mode("append").parquet(inp)
+
+    def src():
+        return spark.readStream.schema(_SCHEMA).parquet(inp)
+
+    # control: never crashes
+    ctl_chain = ChainedAdmitter(_mk_stages(spark, str(tmp_path / "cs")))
+    ctl_log = AdmissionFunnelLog(spark, str(tmp_path / "cf"))
+    run_admission_stream(
+        src(), ctl_chain, str(tmp_path / "cout"), str(tmp_path / "cchk"),
+        funnel_log=ctl_log,
+    )
+    ctl_funnel = ctl_chain.last_funnel
+
+    # crashing arm: LSH gate dies on its first attempt
+    stages = _mk_stages(spark, str(tmp_path / "xs"))
+    stages[2] = ("lsh", _CrashOnce(stages[2][1]))
+    x_chain = ChainedAdmitter(stages)
+    x_log = AdmissionFunnelLog(spark, str(tmp_path / "xf"))
+    with pytest.raises(Exception, match="injected first-attempt crash"):
+        run_admission_stream(
+            src(), x_chain, str(tmp_path / "xout"), str(tmp_path / "xchk"),
+            funnel_log=x_log,
+        )
+    assert x_chain.funnels == {}  # crash preceded the funnel commit
+    run_admission_stream(  # restart: same checkpoint -> same epoch id
+        src(), x_chain, str(tmp_path / "xout"), str(tmp_path / "xchk"),
+        funnel_log=x_log,
+    )
+    strip = lambda rows: [  # noqa: E731
+        (r["stage"], r["n_in"], r["n_admitted"], r["n_rejected"])
+        for r in rows
+    ]
+    assert strip(x_chain.last_funnel) == strip(ctl_funnel)
+    logged = sorted(
+        (r.stage, r.n_in, r.n_admitted, r.n_rejected)
+        for r in x_log.read().collect()
+    )
+    assert logged == sorted(strip(ctl_funnel))
+    # the funnel's terminal count is the landed epoch partition
+    landed = read_admitted(spark, str(tmp_path / "xout"))
+    assert x_chain.last_funnel[-1]["n_admitted"] == landed.count()
+    # run ids line up between log and chain
+    (logged_run,) = {r.run_id for r in x_log.read().collect()}
+    assert logged_run in x_chain.funnels
+
+
+def test_funnel_log_requires_funnel_contract(spark, tmp_path):
+    from dataeng_azure_spotify_spark.observability import AdmissionFunnelLog
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(_B1, _SCHEMA).write.mode("append").parquet(inp)
+    bare = BoundAdmitter(IncrementalDedup(spark, str(tmp_path / "st")))
+    with pytest.raises(Exception, match="funnel"):
+        run_admission_stream(
+            spark.readStream.schema(_SCHEMA).parquet(inp),
+            bare,
+            str(tmp_path / "out"),
+            str(tmp_path / "chk"),
+            funnel_log=AdmissionFunnelLog(spark, str(tmp_path / "f")),
+        )
+
+
+_SEM_SCHEMA = "doc_id long, text string"
+_SEM_WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india"
+
+
+def _sem_embeddings(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (10, [1.0, 1e-4, 0.0, 0.0]),  # semantic twin of 1
+        (11, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, embedding array<float>"
+    )
+
+
+def test_curation_stream_semantic_knob_one_call(spark, tmp_path):
+    """The r11 one-call semantic gate: pass embeddings= and the chain
+    gains a 'semantic' stage between the dedup tiers and the rewrite —
+    no hand-built extra_stages — with the vector column absent from
+    the admitted output and the funnel reporting the semantic drop."""
+    from dataeng_azure_spotify_spark.engine import Engine
+
+    eng = Engine(spark)
+    inp, wd = str(tmp_path / "in"), str(tmp_path / "wd")
+    b1 = [
+        (1, f"one {_SEM_WORDS} x"),
+        (2, f"two {_SEM_WORDS} y"),
+        (3, f"bad bad bad {_SEM_WORDS}"),
+    ]
+    b2 = [(10, f"ten {_SEM_WORDS} z"), (11, f"eleven {_SEM_WORDS} w")]
+
+    def run():
+        src = spark.readStream.schema(_SEM_SCHEMA).parquet(inp)
+        return eng.curation_stream(
+            src, wd, blocklist=("bad",), max_blocked_ppm=100000,
+            near_dup=False, embeddings=_sem_embeddings(spark),
+            semantic_threshold=0.95, semantic_k=2, semantic_iters=1,
+        )
+
+    spark.createDataFrame(b1, _SEM_SCHEMA).write.mode("append").parquet(inp)
+    chain = run()
+    assert [n for n, _ in chain.stages] == [
+        "blocklist", "dedup_exact", "semantic", "rewrite_spans",
+    ]
+    spark.createDataFrame(b2, _SEM_SCHEMA).write.mode("append").parquet(inp)
+    chain = run()
+    admitted = read_admitted(spark, os.path.join(wd, "admitted"))
+    assert "embedding" not in admitted.columns
+    got = {r["doc_id"] for r in admitted.collect()}
+    assert got == {1, 2, 11}  # 3 blocklisted, 10 semantically deduped
+    sem = [r for r in chain.last_funnel if r["stage"] == "semantic"][0]
+    assert (sem["n_in"], sem["n_admitted"]) == (2, 1)  # epoch 2: 10 dropped
+
+
+def test_semantic_gate_stage_crash_replay_converges(spark, tmp_path):
+    """Crash-replay convergence for the joined semantic stage itself:
+    first attempt dies after the semantic gate mutated its index; the
+    replayed epoch admits the identical set (run-tracked keepers)."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        SemanticGateStage,
+    )
+
+    inp = str(tmp_path / "in")
+    rows = [(1, f"one {_SEM_WORDS}"), (10, f"ten {_SEM_WORDS} z"),
+            (11, f"eleven {_SEM_WORDS} w")]
+    spark.createDataFrame(rows, _SEM_SCHEMA).write.mode("append").parquet(inp)
+
+    def mk(root):
+        return ChainedAdmitter([
+            ("semantic", SemanticGateStage(
+                IncrementalSemanticDedup(
+                    spark, os.path.join(root, "sem"),
+                    threshold=0.95, k=2, iters=1, id_col="doc_id",
+                ),
+                _sem_embeddings(spark),
+            )),
+        ])
+
+    ctl = mk(str(tmp_path / "c"))
+    run_admission_stream(
+        spark.readStream.schema(_SEM_SCHEMA).parquet(inp), ctl,
+        str(tmp_path / "cout"), str(tmp_path / "cchk"),
+    )
+    ctl_rows = _rows(read_admitted(spark, str(tmp_path / "cout")))
+
+    stages = mk(str(tmp_path / "x")).stages
+    x = ChainedAdmitter([("semantic", _CrashOnce(stages[0][1]))])
+    with pytest.raises(Exception, match="injected first-attempt crash"):
+        run_admission_stream(
+            spark.readStream.schema(_SEM_SCHEMA).parquet(inp), x,
+            str(tmp_path / "xout"), str(tmp_path / "xchk"),
+        )
+    run_admission_stream(
+        spark.readStream.schema(_SEM_SCHEMA).parquet(inp), x,
+        str(tmp_path / "xout"), str(tmp_path / "xchk"),
+    )
+    assert _rows(read_admitted(spark, str(tmp_path / "xout"))) == ctl_rows
+    assert {r[0] for r in ctl_rows} == {1, 11}  # 10 deduped vs 1
+
+
+def test_semantic_gate_refusals_and_missing_modes(spark, tmp_path):
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        SemanticGateStage,
+    )
+
+    emb = _sem_embeddings(spark)
+
+    def inner(name):
+        return IncrementalSemanticDedup(
+            spark, str(tmp_path / name), threshold=0.95, k=2, iters=1,
+            id_col="doc_id",
+        )
+
+    with pytest.raises(ValueError, match="missing_embedding"):
+        SemanticGateStage(inner("a"), emb, missing_embedding="nope")
+    with pytest.raises(ValueError, match="lacks column"):
+        SemanticGateStage(inner("b"), emb.select("doc_id"))
+    with pytest.raises(ValueError, match="id_col"):
+        SemanticGateStage(inner("c"), emb, id_col="other")
+
+    # 'admit' mode: the embedding-less doc passes through ungated
+    st = SemanticGateStage(inner("d"), emb, missing_embedding="admit")
+    batch = spark.createDataFrame(
+        [(1, "t1"), (99, "no embedding row")], _SEM_SCHEMA
+    )
+    got = {r["doc_id"] for r in st.admit(batch, run_id="e0").collect()}
+    assert got == {1, 99}
+
+    # 'error' mode: fails loudly naming the id
+    st2 = SemanticGateStage(inner("e"), emb, missing_embedding="error")
+    with pytest.raises(Exception, match="doc_id=99"):
+        st2.admit(batch, run_id="e0").count()
+
+    # pre-joined batches must not be re-joined
+    st3 = SemanticGateStage(inner("f"), emb)
+    pre = batch.join(emb, "doc_id")
+    with pytest.raises(ValueError, match="already carries"):
+        st3.admit(pre, run_id="e0")
+
+
+def test_curation_stream_nb_model_column_validation(spark, tmp_path):
+    """A NB model trained on other column names fails at chain
+    CONSTRUCTION, not mid-stream against the wrong column."""
+    from dataeng_azure_spotify_spark.engine import Engine
+    from dataeng_azure_spotify_spark.operators.quality_nb import (
+        NbQualityModel,
+    )
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} alpha bravo charlie") for i in range(8)],
+        "uid long, body string",
+    )
+    model = NbQualityModel.fit(
+        docs, F.col("uid") % 2 == 0, str(tmp_path / "nb"),
+        id_col="uid", text_col="body", buckets=64,
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "x")], _SEM_SCHEMA
+    ).write.mode("append").parquet(inp)
+    src = spark.readStream.schema(_SEM_SCHEMA).parquet(inp)
+    with pytest.raises(ValueError, match="trained on columns"):
+        eng.curation_stream(src, str(tmp_path / "wd"), nb_model=model)
