@@ -5220,6 +5220,195 @@ SELECT doc_id, score, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# r11: Change-Data-Feed + incremental-view-maintenance driver twins — the
+# r10 structural tier (streaming/gold.py change partials, operators/ivm.py)
+# certified at driver scale through deterministic version histories built
+# from the TPC-H tables, so the oracle is plain SQL over the same parquet.
+# ---------------------------------------------------------------------------
+
+
+def _cdf_orders_versions(cat: Catalog) -> "tuple[DataFrame, DataFrame]":
+    """Two deterministic snapshot versions of a keyed orders slice:
+    v0 = keys with o_orderkey % 3 != 0; v1 = keys with % 7 != 0 and
+    price doubled where % 5 == 0 (doubling a double is exact — an
+    exponent bump — so the update predicate is engine-identical).
+    Inserts/deletes/updates all occur: %3==0&&%7!=0 insert,
+    %3!=0&&%7==0 delete, in-both && %5==0 update (pre+post)."""
+    orders = cat["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+    v0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    v1 = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("price") * F.lit(2.0)
+        ).otherwise(F.col("price")),
+    )
+    return v0, v1
+
+
+def _cdf_orders_table(spark: SparkSession, sf_dir: str):
+    """Fit-once cached ParquetSnapshotTable (cdf_keys=o_orderkey) with
+    the two versions committed — the ``.ivf_cache`` idiom (tag keyed by
+    sf_dir + a corpus data fingerprint) so repeated bench runs measure
+    the PULL (persisted-partial scan), not the table build; a partial
+    or stale build is detected by history length and rebuilt."""
+    import hashlib
+    import shutil
+
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    params = (
+        f"{os.path.abspath(sf_dir)}|cdf-v1"
+        f"|data{_corpus_fingerprint(sf_dir, 'orders')}"
+    )
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cdf_cache", tag
+    )
+    t = ParquetSnapshotTable(spark, base, cdf_keys=["o_orderkey"])
+    if len(t.history()) != 2:
+        shutil.rmtree(base, ignore_errors=True)
+        t = ParquetSnapshotTable(spark, base, cdf_keys=["o_orderkey"])
+        v0, v1 = _cdf_orders_versions(_cat(spark, sf_dir))
+        t.overwrite(v0)
+        t.overwrite(v1)
+    return t
+
+
+def q_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-CDF parity end-to-end (streaming/gold.py change_feed, r10;
+    O(changes) persisted partials, r11): a versioned snapshot table
+    over a keyed orders slice is committed twice with deterministic
+    inserts/updates/deletes between versions, then the change feed for
+    version 1 is pulled. The pull reads the COMMIT-TIME persisted
+    partial — zero joins, O(changes) scan (plan-pinned in
+    tests/test_medallion_e2e.py) — and emits Delta CDF's public
+    row-change columns. The oracle re-derives the identical diff in
+    SQL (anti-joins for insert/delete, value-compare join for the
+    update pre/post images)."""
+    return _cdf_orders_table(spark, sf_dir).change_feed(["o_orderkey"], 1)
+
+
+_CHANGE_FEED_ORDERS_ORACLE = """
+WITH v0 AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 3 <> 0
+), v1 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 7 <> 0
+), upd AS (
+    SELECT v0.o_orderkey
+    FROM v0 JOIN v1 USING (o_orderkey)
+    WHERE v0.price <> v1.price OR v0.o_orderstatus <> v1.o_orderstatus
+)
+SELECT o_orderkey, o_orderstatus, price, _change_type,
+       CAST(1 AS BIGINT) AS _commit_version
+FROM (
+    SELECT v1.*, 'insert' AS _change_type FROM v1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM v0 WHERE v0.o_orderkey = v1.o_orderkey
+    )
+    UNION ALL
+    SELECT v0.*, 'delete' AS _change_type FROM v0
+    WHERE NOT EXISTS (
+        SELECT 1 FROM v1 WHERE v1.o_orderkey = v0.o_orderkey
+    )
+    UNION ALL
+    SELECT v0.*, 'update_preimage' AS _change_type
+    FROM v0 JOIN upd USING (o_orderkey)
+    UNION ALL
+    SELECT v1.*, 'update_postimage' AS _change_type
+    FROM v1 JOIN upd USING (o_orderkey)
+)
+"""
+
+
+def _ivm_events_view(spark: SparkSession, sf_dir: str):
+    """Fit-once cached MaterializedAggregate state: three deltas folded
+    — two insert runs splitting events by user parity, then a delete
+    run retracting every user_id % 10 == 0 row — so the maintained
+    view equals a from-scratch aggregate over the surviving rows."""
+    import hashlib
+    import shutil
+
+    from dataeng_azure_spotify_spark.operators.ivm import (
+        MaterializedAggregate,
+    )
+
+    params = (
+        f"{os.path.abspath(sf_dir)}|ivm-v1"
+        f"|data{_corpus_fingerprint(sf_dir, 'events')}"
+    )
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    state = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".ivm_cache", tag
+    )
+    view = MaterializedAggregate(
+        state, keys=["event_type"], sums={"value_sum": "value"}
+    )
+    want = {"run=ins-a", "run=ins-b", "run=del"}
+    have = (
+        {d for d in os.listdir(state) if d.startswith("run=")}
+        if os.path.isdir(state)
+        else set()
+    )
+    if have != want:
+        shutil.rmtree(state, ignore_errors=True)
+        ev = _cat(spark, sf_dir)["events"].select(
+            "user_id", "event_type", "value"
+        )
+        view.apply_delta(
+            ev.filter(F.col("user_id") % 2 == 0), run_id="ins-a"
+        )
+        view.apply_delta(
+            ev.filter(F.col("user_id") % 2 == 1), run_id="ins-b"
+        )
+        view.apply_delta(
+            ev.filter(F.col("user_id") % 10 == 0).withColumn(
+                "__op", F.lit(-1)
+            ),
+            run_id="del",
+            op_col="__op",
+        )
+    return view
+
+
+def q_ivm_events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py, r10) certified
+    cross-engine: a grouped SUM/COUNT view maintained purely from
+    signed deltas — two insert runs plus a retraction run — must equal
+    the oracle's from-scratch GROUP BY over the surviving rows. Exact
+    DECIMAL(18,4) accumulators make the comparison order- and
+    engine-independent; the read side re-aggregates O(groups × runs)
+    partials, never the fact rows (the IVM contract)."""
+    view = _ivm_events_view(spark, sf_dir).current(spark)
+    # exact DECIMAL accumulation, DOUBLE only at the output boundary:
+    # both engines round the same exact decimal to the same nearest
+    # double (the canonicalizer compares doubles, not decimal widths)
+    return view.withColumn(
+        "value_sum", F.col("value_sum").cast("double")
+    )
+
+
+_IVM_EVENTS_VIEW_ORACLE = """
+SELECT event_type,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+            AS DOUBLE) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+WHERE user_id % 10 <> 0
+GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_star_join_agg(spark, SF_SMOKE)
@@ -5227,76 +5416,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # entries in dict order. Round-10 rotation (per the r9 verdict):
-    # positions 1-30 are the STALE tier — every query whose last driver
-    # window was r7 or older (date_dim r4, zorder_code r5, eleven r6
-    # text/relational queries, seventeen r7 events/funnel/asof queries).
-    # Positions 31-38 keep the eight r9-new queries in (one round old:
-    # the two BPE twins, the two unigram-LM twins, the persisted-NB
-    # score path, the NB threshold sweep, the C4 blocklist gate, and
-    # the span rewrite). Positions 39-50 are this round's NEW queries
-    # followed by r8-certified fillers (non-TPC-H first).
-    # The relational/TPC-H/SURVEY-2 remainder (recertified r8) and the
-    # r9-certified LLM dedup/ANN/curation tier sit below 50 —
-    # everything there stays continuously verified by
-    # tests/test_oracle_parity.py at sf0.001 every run and the
-    # slow-marked sf0.01 sweep (the driver's scale).
+    # entries in dict order. Round-11 rotation (per the r10 verdict
+    # Next #1): positions 1-39 are the STALE tier — the 39 queries whose
+    # last driver window was r8 (the relational/window/set-op/TPC-H
+    # suite). Positions 40-41 are this round's NEW queries (the CDF and
+    # IVM driver twins). Positions 42-50 are r9-certified fillers —
+    # ann_cosine_topk first (the r10 verdict's un-A/B'd delta gets a
+    # fresh driver certification) then the LLM dedup/curation tier.
+    # Everything below 50 (the r10-certified tier + remaining r9) stays
+    # continuously verified by tests/test_oracle_parity.py at sf0.001
+    # every run and the slow-marked sf0.01 sweep (the driver's scale).
     return {
-        # --- stale tier: last driver window r4-r7 (30) ---
-        "date_dim": q_date_dim,
-        "zorder_code": q_zorder_code,
-        "text_stats": q_text_stats,
-        "token_counts": q_token_counts,
-        "doc_fingerprints": q_doc_fingerprints,
-        "multimodal_features": q_multimodal_features,
-        "bucketize_case_when": q_bucketize,
-        "email_validation": q_email_validation,
-        "json_extract_agg": q_json_extract_agg,
-        "asof_join": q_asof_join,
-        "pii_redaction": q_pii_redaction,
-        "constant_injection": q_constant_injection,
-        "scalar_max_watermark": q_scalar_max_watermark,
-        "profile_docs": q_profile_docs,
-        "sentence_split": q_sentence_split,
-        "star_join_asof": q_star_join_asof,
-        "approx_distinct": q_approx_distinct,
-        "range_join": q_range_join,
-        "funnel_analysis": q_funnel_analysis,
-        "funnel_one_pass": q_funnel_one_pass,
-        "cohort_retention": q_cohort_retention,
-        "metric_anomalies": q_metric_anomalies,
-        "gap_fill": q_gap_fill,
-        "user_activity_gaps": q_user_activity_gaps,
-        "event_transitions": q_event_transitions,
-        "conversion_latency": q_conversion_latency,
-        "embedding_class_stats": q_embedding_class_stats,
-        "event_attribution": q_event_attribution,
-        "events_sliding_window": q_events_sliding_window,
-        "events_session_window": q_events_session_window,
-        # --- r9-new, kept in (8) ---
-        "bpe_merge_table": q_bpe_merge_table,
-        "bpe_tokenize_stats": q_bpe_tokenize_stats,
-        "unigram_vocab_table": q_unigram_vocab_table,
-        "unigram_tokenize_stats": q_unigram_tokenize_stats,
-        "quality_nb_model_score": q_quality_nb_model_score,
-        "nb_threshold_sweep": q_nb_threshold_sweep,
-        "blocklist_filter": q_blocklist_filter,
-        "remove_dup_spans": q_remove_dup_spans,
-        # --- r10-new + r8 fillers (12) ---
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "dup_span_stats": q_dup_span_stats,
-        "substring_dup_spans": q_substring_dup_spans,
-        "temperature_mix": q_temperature_mix,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "quality_nb_score": q_quality_nb_score,
-        "pricing_summary": q_pricing_summary,
-        "star_join": q_star_join,
-        "star_join_wide": q_star_join_wide,
-        "star_join_agg": q_star_join_agg,
-        "scd1_upsert": q_scd1_upsert,
-        "scd2_history": q_scd2_history,
-        # position 51+ (outside the driver window; oracle-checked by
-        # the pytest parity sweeps at sf0.001 every run + sf0.01 slow):
+        # --- stale tier: last driver window r8 (39) ---
         "scd2_incremental": q_scd2_incremental,
         "scd2_asof_lookup": q_scd2_asof_lookup,
         "dedup_latest_per_key": q_dedup_latest,
@@ -5336,23 +5467,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        # --- r11-new (2) ---
+        "change_feed_orders": q_change_feed_orders,
+        "ivm_events_view": q_ivm_events_view,
+        # --- r9-certified fillers (9) ---
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_neardup": q_simhash_neardup,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
+        "heavy_hitters": q_heavy_hitters,
+        # position 51+ (outside the driver window; oracle-checked by
+        # the pytest parity sweeps at sf0.001 every run + sf0.01 slow):
+        "date_dim": q_date_dim,
+        "zorder_code": q_zorder_code,
+        "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "bucketize_case_when": q_bucketize,
+        "email_validation": q_email_validation,
+        "json_extract_agg": q_json_extract_agg,
+        "asof_join": q_asof_join,
+        "pii_redaction": q_pii_redaction,
+        "constant_injection": q_constant_injection,
+        "scalar_max_watermark": q_scalar_max_watermark,
+        "profile_docs": q_profile_docs,
+        "sentence_split": q_sentence_split,
+        "star_join_asof": q_star_join_asof,
+        "approx_distinct": q_approx_distinct,
+        "range_join": q_range_join,
+        "funnel_analysis": q_funnel_analysis,
+        "funnel_one_pass": q_funnel_one_pass,
+        "cohort_retention": q_cohort_retention,
+        "metric_anomalies": q_metric_anomalies,
+        "gap_fill": q_gap_fill,
+        "user_activity_gaps": q_user_activity_gaps,
+        "event_transitions": q_event_transitions,
+        "conversion_latency": q_conversion_latency,
+        "embedding_class_stats": q_embedding_class_stats,
+        "event_attribution": q_event_attribution,
+        "events_sliding_window": q_events_sliding_window,
+        "events_session_window": q_events_session_window,
+        "bpe_merge_table": q_bpe_merge_table,
+        "bpe_tokenize_stats": q_bpe_tokenize_stats,
+        "unigram_vocab_table": q_unigram_vocab_table,
+        "unigram_tokenize_stats": q_unigram_tokenize_stats,
+        "quality_nb_model_score": q_quality_nb_model_score,
+        "nb_threshold_sweep": q_nb_threshold_sweep,
+        "blocklist_filter": q_blocklist_filter,
+        "remove_dup_spans": q_remove_dup_spans,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "dup_span_stats": q_dup_span_stats,
+        "substring_dup_spans": q_substring_dup_spans,
+        "temperature_mix": q_temperature_mix,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "quality_nb_score": q_quality_nb_score,
+        "pricing_summary": q_pricing_summary,
+        "star_join": q_star_join,
+        "star_join_wide": q_star_join_wide,
+        "star_join_agg": q_star_join_agg,
+        "scd1_upsert": q_scd1_upsert,
+        "scd2_history": q_scd2_history,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "knn_label_accuracy": q_knn_label_accuracy,
         "knn_label_accuracy_full": q_knn_label_accuracy_full,
         "pca_project": q_pca_project,
         "jl_project": q_jl_project,
         "quantize_embeddings": q_quantize_embeddings,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_neardup": q_simhash_neardup,
         "neardup_triangles": q_neardup_triangles,
         "neardup_rate_by_source": q_neardup_rate_by_source,
         "dedup_clusters": q_dedup_clusters,
@@ -5376,13 +5564,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": q_ngram_lm_score,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
-        "heavy_hitters": q_heavy_hitters,
         "gopher_quality": q_gopher_quality,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "change_feed_orders": _CHANGE_FEED_ORDERS_ORACLE,
+        "ivm_events_view": _IVM_EVENTS_VIEW_ORACLE,
         "bpe_merge_table": _bpe_merge_oracle(BPE_NUM_MERGES),
         "bpe_tokenize_stats": _bpe_tokenize_oracle(BPE_NUM_MERGES),
         "unigram_vocab_table": _unigram_vocab_oracle(**UNIGRAM_PARAMS),
