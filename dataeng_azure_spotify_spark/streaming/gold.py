@@ -133,14 +133,23 @@ class ParquetSnapshotTable:
             # live pointer targets a legacy (unversioned) snapshot: it is
             # readable via read() but carries no history position
             return []
-        snaps = [
-            d
-            for d in self.fs.listdir(self.base)
-            if d.startswith("snap-")
-            and self._snap_n(d) is not None
-            and self._snap_n(d) <= live_n
-        ]
-        return sorted(snaps, key=self._snap_n)
+        by_n: dict[int, str] = {}
+        for d in self.fs.listdir(self.base):
+            if not d.startswith("snap-"):
+                continue
+            n = self._snap_n(d)
+            if n is None or n > live_n:
+                continue
+            # one entry per version: a crashed writer's orphan can share
+            # a version number with the committed retry (overwrite()
+            # now deletes such orphans at commit, but legacy layouts
+            # may still carry them) — the LIVE dir is authoritative for
+            # live_n; elsewhere pick deterministically
+            if n == live_n:
+                by_n[n] = live
+            elif n not in by_n or d > by_n[n]:
+                by_n[n] = d
+        return [by_n[n] for n in sorted(by_n)]
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read the version-th retained snapshot (negative
@@ -271,6 +280,17 @@ class ParquetSnapshotTable:
             # schema change: no partial — pulls covering this version
             # fall back to snapshot-diff (which raises on mismatched
             # columns rather than guessing evolution semantics)
+        # single-writer invariant: any OTHER directory carrying this
+        # version number is a crashed predecessor of this very commit —
+        # remove it now so history()/read_version/diff derivation can
+        # never resolve version next_n to a failed attempt's data
+        for d in self.fs.listdir(self.base):
+            if (
+                d.startswith("snap-")
+                and d != snap
+                and self._snap_n(d) == next_n
+            ):
+                self.fs.rmtree(os.path.join(self.base, d))
         self.fs.write_atomic(self._pointer, snap.encode())
 
     def vacuum(self, keep_last: int = 2) -> None:

@@ -401,3 +401,25 @@ def test_scd1_cdc_flow_commits_change_partials(spark, tmp_path):
         (1, "ana-maria", "update_postimage"),
         (3, "cy", "insert"),
     ])
+
+
+def test_overwrite_cleans_same_version_orphans(spark, tmp_path):
+    """A writer that crashed after writing its snapshot but before the
+    repoint leaves an orphan directory at the version the retry then
+    commits. The committing overwrite removes the failed attempt, so
+    history()/read_version/diff derivation can never resolve that
+    version to the crashed attempt's data."""
+    import os
+
+    S = "id long, v string"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    t.overwrite(spark.createDataFrame([(1, "a")], S))
+    # crashed attempt at version 1: snapshot written, never repointed
+    orphan = os.path.join(str(tmp_path / "t"), "snap-00000001-deadbeefcafe")
+    spark.createDataFrame([(99, "junk")], S).write.parquet(orphan)
+    assert len(t.history()) == 1  # orphan invisible (uncommitted)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], S))
+    assert not os.path.exists(orphan)
+    assert len(t.history()) == 2
+    assert {r.id for r in t.read_version(1).collect()} == {1, 2}
+    assert _cf_rows(t.change_feed(["id"], 1)) == {(2, "b", "insert", 1)}
