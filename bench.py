@@ -42,6 +42,7 @@ through the whole plan but never land on the driver.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -112,7 +113,15 @@ def main() -> None:
     # drift post-mortem): give them extra samples too
     fast_runs = int(os.environ.get("SPARK_GRAFT_BENCH_FAST_RUNS", "5"))
     heavy = {"dedup_minhash_lsh", "simhash_neardup", "ann_ivf_topk",
-             "dedup_clusters", "simhash_fingerprints", "dedup_ngram_jaccard"}
+             "dedup_clusters", "simhash_fingerprints", "dedup_ngram_jaccard",
+             # r11: the long-warmup family — iterative/multi-stage
+             # queries whose generated code + checkpoint page cache keep
+             # warming over several samples (measured on an idle host:
+             # pagerank 15.7 -> 9.7s monotonically over 6 samples), so
+             # 3-sample medians carry the warmup tail as fake IQR
+             "pagerank_central_docs", "semantic_dedup",
+             "event_attribution", "nb_threshold_sweep", "dsir_select",
+             "dedup_embedding_cosine", "pca_project"}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
@@ -144,6 +153,16 @@ def main() -> None:
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # session-aging guard (r11): clearCache drops persisted DF
+        # blocks but NOT localCheckpoint RDD blocks, which several
+        # operators create and which are only released when the Python
+        # DataFrame objects are garbage-collected. Over a 133-query
+        # session those blocks accumulate executor memory and the
+        # late-session heavy queries pay GC/spill storms that looked
+        # like host noise (IQR > median on the same late-session
+        # family, rounds 9-11). One gc.collect() per query lets the
+        # ContextCleaner release them between queries.
+        gc.collect()
         # dispersion: interquartile range of the warm samples — a
         # round-over-round delta smaller than the IQR is noise, not signal
         if len(samples) >= 2:
