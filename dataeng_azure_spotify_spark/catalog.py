@@ -60,9 +60,11 @@ class Catalog:
         self.spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def path(self, name: str) -> str:
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
         flat = os.path.join(self.sf_dir, f"{name}.parquet")
         nested = os.path.join(self.sf_dir, name)
-        if os.path.exists(flat):
+        if statefs_for(flat, self.spark).exists(flat):
             return flat
         return nested
 
@@ -111,8 +113,11 @@ class Catalog:
         temp view from a prior registration in place (a silent fallback to
         old data is the worst failure mode an ETL catalog can have).
         """
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
         for name in tables:
-            if not os.path.exists(self.path(name)):
+            p = self.path(name)
+            if not statefs_for(p, self.spark).exists(p):
                 raise FileNotFoundError(
                     f"table {name!r} not found under {self.sf_dir!r}"
                 )

@@ -81,9 +81,9 @@ class RunLog:
         return result
 
     def read(self) -> DataFrame:
-        import os
+        from dataeng_azure_spotify_spark.statefs import statefs_for
 
-        if not os.path.exists(self.path):
+        if not statefs_for(self.path, self.spark).exists(self.path):
             # fresh deployment: the alert query runs BEFORE the first
             # run is recorded — an empty log, not a crashed monitor
             return self.spark.createDataFrame([], RUN_LOG_SCHEMA)

@@ -193,10 +193,13 @@ class BpeTokenizer:
     absent."""
 
     def __init__(self, spark, path: str):
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
         self.spark = spark
         self.path = path
         self._merges_path = os.path.join(path, "merges")
         self._meta_path = os.path.join(path, "meta")
+        self.fs = statefs_for(path, spark)  # StateFS (r11)
 
     @classmethod
     def fit(
@@ -207,8 +210,6 @@ class BpeTokenizer:
         text_col: str = "text",
         min_pair_count: int = 2,
     ) -> "BpeTokenizer":
-        import shutil
-
         spark = df.sparkSession
         merges = bpe_train(
             df,
@@ -217,8 +218,7 @@ class BpeTokenizer:
             min_pair_count=min_pair_count,
         )
         tok = cls(spark, path)
-        if os.path.exists(tok._meta_path):
-            shutil.rmtree(tok._meta_path)  # refit crash discipline
+        tok.fs.rmtree(tok._meta_path)  # refit crash discipline
         merges.coalesce(1).write.mode("overwrite").parquet(tok._merges_path)
         spark.createDataFrame(
             [(int(num_merges), text_col)], "num_merges int, text_col string"
@@ -233,7 +233,7 @@ class BpeTokenizer:
         return tok
 
     def exists(self) -> bool:
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     def merges(self) -> DataFrame:
         return self.spark.read.schema(MERGES_SCHEMA).parquet(

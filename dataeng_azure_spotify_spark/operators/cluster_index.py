@@ -169,6 +169,7 @@ class NearDupLabels:
         self._runs_path = os.path.join(path, self.RUNS)
         self._meta_path = os.path.join(path, self.META)
         self._clog = CompactionLog(spark, path)
+        self.fs = self._clog.fs  # StateFS (r11): shared per-path dispatch
         self._meta: dict | None = None
 
     # -- construction ---------------------------------------------------
@@ -280,7 +281,7 @@ class NearDupLabels:
         return cls(spark, path)
 
     def exists(self) -> bool:
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     def layout_version(self) -> int | None:
         """On-disk artifact format version; ``None`` when the index is
@@ -304,8 +305,6 @@ class NearDupLabels:
         NEWER code — rebuilding is the documented upgrade path for
         OLDER layouts only; for newer ones it would wipe data this
         engine merely failed to read."""
-        import shutil
-
         if self.exists():
             ver = int(self.meta.get("format_version") or 1)
             if ver > FORMAT_VERSION:
@@ -316,8 +315,7 @@ class NearDupLabels:
                 )
         for p in (self._meta_path, self._shingles_path, self._prefix_path,
                   self._labels_path, self._runs_path, self._clog.path):
-            if os.path.exists(p):
-                shutil.rmtree(p)
+            self.fs.rmtree(p)
         self._meta = None
 
     def _check_version(self) -> None:
@@ -353,7 +351,7 @@ class NearDupLabels:
         prefix) additionally drop rows folded by a committed
         :meth:`compact` and rows under an uncommitted compaction tag,
         so reads stay exact through every compaction crash window."""
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(path)
         if path in (self._shingles_path, self._prefix_path):
@@ -429,7 +427,7 @@ class NearDupLabels:
         if run_id in self.runs():  # committed replay → already admitted
             return self.labels().join(new_ids, "doc_id")
 
-        replaying = os.path.exists(
+        replaying = self.fs.exists(
             os.path.join(self._shingles_path, f"run={run_id}")
         )
         if not replaying:
@@ -766,8 +764,6 @@ class NearDupLabels:
 
         # -- phase 2: purge the docs' shingle/prefix rows (their run
         # partitions rewrite in place; fully-emptied partitions removed)
-        import shutil
-
         rm_doc = rm.select(F.col("doc_id").alias("doc"))
         for path, schema in (
             (self._shingles_path, SHINGLES_SCHEMA),
@@ -798,9 +794,7 @@ class NearDupLabels:
                 r["run"] for r in remaining.select("run").distinct().collect()
             }
             for r in set(truns) - kept_runs:
-                d = os.path.join(path, f"run={r}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
+                self.fs.rmtree(os.path.join(path, f"run={r}"))
 
         self._mark_run(run_id)
         return {
@@ -816,7 +810,7 @@ class NearDupLabels:
         """Number of LIVE ``run=`` partition names on disk across the
         shingle/prefix tables (distinct names minus committed-folded)
         — the quantity the :func:`...operators.compaction.
-        maybe_autocompact` policy thresholds. os.listdir only, no
+        maybe_autocompact` policy thresholds. StateFS listings only, no
         Spark job."""
         from dataeng_azure_spotify_spark.operators.compaction import (
             distinct_run_names,
@@ -959,14 +953,9 @@ class NearDupLabels:
 
     def _clean_emptied(self, buckets: set[int]) -> None:
         """Remove label partitions every row of which relabeled away
-        (local-FS delete; a cluster deployment swaps in the Hadoop
-        FileSystem API, same as ``exists``)."""
-        import shutil
-
+        (StateFS: scheme'd paths take the Hadoop FileSystem)."""
         for b in buckets:
-            d = os.path.join(self._labels_path, f"bucket={b}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            self.fs.rmtree(os.path.join(self._labels_path, f"bucket={b}"))
 
     def _write_labels(self, bucketed: DataFrame, mode: str) -> None:
         bucketed.write.mode(mode).partitionBy("bucket").parquet(self._labels_path)

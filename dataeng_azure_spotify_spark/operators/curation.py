@@ -858,10 +858,13 @@ class DsirModel:
     """
 
     def __init__(self, spark, path: str):
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
         self.spark = spark
         self.path = path
         self._weights_path = os.path.join(path, "weights")
         self._meta_path = os.path.join(path, "meta")
+        self.fs = statefs_for(path, spark)  # StateFS (r11)
 
     # -- lifecycle -------------------------------------------------------
     @classmethod
@@ -874,8 +877,6 @@ class DsirModel:
         text_col: str = "text",
         buckets: int = 8192,
     ) -> "DsirModel":
-        import shutil
-
         B = int(buckets)
         spark = raw.sparkSession
         raw_c, tgt_b = _dsir_fit_tables(raw, target, id_col, text_col, B)
@@ -898,8 +899,7 @@ class DsirModel:
         # different bucket count) committed over NEW weights, a corrupt
         # artifact that loads cleanly. Deleting meta up front makes any
         # mid-refit crash read as absent, same as a crashed first fit.
-        if os.path.exists(model._meta_path):
-            shutil.rmtree(model._meta_path)
+        model.fs.rmtree(model._meta_path)
         w.write.mode("overwrite").parquet(model._weights_path)
         spark.createDataFrame(
             [(cq, B, id_col, text_col)],
@@ -916,7 +916,7 @@ class DsirModel:
 
     def exists(self) -> bool:
         # meta is the commit marker (written last by fit)
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     def _snapshot(self):
         """(meta row, weights) loaded TOGETHER and memoized: the

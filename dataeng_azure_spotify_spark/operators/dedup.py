@@ -721,16 +721,15 @@ class IncrementalDedup:
     """
 
     def __init__(self, spark, state_dir: str) -> None:
-        import os
+        from dataeng_azure_spotify_spark.statefs import statefs_for
 
         self.spark = spark
         self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
+        self.fs = statefs_for(state_dir, spark)
+        self.fs.makedirs(state_dir)
 
     def _seen(self) -> DataFrame:
-        import os
-
-        if not any(f.endswith(".parquet") for f in os.listdir(self.state_dir)):
+        if not any(f.endswith(".parquet") for f in self.fs.listdir(self.state_dir)):
             return self.spark.createDataFrame([], "text_hash string, run_id string")
         df = self.spark.read.option("mergeSchema", "true").parquet(self.state_dir)
         if "run_id" not in df.columns:  # state written before run tracking
@@ -845,24 +844,23 @@ class IncrementalLsh:
         n: int = 3,
         threshold: float = 0.5,
     ) -> None:
-        import os
-
         self.spark = spark
         self.state_dir = state_dir
         self.num_hashes = num_hashes
         self.bands = bands
         self.n = n
         self.threshold = threshold
-        os.makedirs(state_dir, exist_ok=True)
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
+        self.fs = statefs_for(state_dir, spark)
+        self.fs.makedirs(state_dir)
 
     def _sig_schema(self) -> str:
         cols = ", ".join(f"mh{i} long" for i in range(self.num_hashes))
         return f"doc long, {cols}, run_id string"
 
     def _state(self) -> DataFrame:
-        import os
-
-        if not any(f.endswith(".parquet") for f in os.listdir(self.state_dir)):
+        if not any(f.endswith(".parquet") for f in self.fs.listdir(self.state_dir)):
             return self.spark.createDataFrame([], self._sig_schema())
         df = self.spark.read.option("mergeSchema", "true").parquet(self.state_dir)
         if "run_id" not in df.columns:  # state written before run tracking

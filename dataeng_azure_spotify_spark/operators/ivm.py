@@ -230,6 +230,53 @@ class MaterializedAggregate:
             )
         return versions
 
+    def sync(
+        self,
+        spark: SparkSession,
+        table,
+        key_cols: "list[str] | None" = None,
+        run_prefix: str = "cdf-v",
+    ) -> "list[int]":
+        """Pull-and-apply ONLY the snapshot-table versions this view has
+        not folded yet — the polling consumer :meth:`apply_change_feed`
+        documents ("poll from max(applied)+1"), packaged: applied
+        versions are read off the view's own ``run={prefix}N`` state
+        partitions (one listing, no Spark job), the table's live
+        version from its committed history, and the missing window is
+        pulled through ``change_feed`` (persisted partials → zero
+        joins on a ``cdf_keys`` table) and folded. Returns the newly
+        applied versions ([] when already current). Idempotent and
+        crash-resumable: a re-run after a crash re-derives the same
+        window and overwrites identical partials.
+
+        ``key_cols`` defaults to the table's ``cdf_keys`` — pass it
+        only for pre-upgrade tables that derive diffs at pull time."""
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
+        keys = list(key_cols) if key_cols else getattr(table, "cdf_keys", None)
+        if not keys:
+            raise ValueError(
+                "sync: key_cols is required when the table carries no "
+                "cdf_keys (one table, one key definition)"
+            )
+        fs = statefs_for(self.state_dir, spark)
+        pref = f"run={run_prefix}"
+        applied = {
+            int(d[len(pref):])
+            for d in (fs.listdir(self.state_dir) if fs.isdir(self.state_dir) else ())
+            if d.startswith(pref) and d[len(pref):].isdigit()
+        }
+        hist = table.history()
+        live = max(
+            n for n in (table._snap_n(d) for d in hist) if n is not None
+        ) if hist else 0
+        frm = max(applied) + 1 if applied else 1
+        if frm > live:
+            return []
+        return self.apply_change_feed(
+            table.change_feed(keys, frm, live), run_prefix=run_prefix
+        )
+
     # -- streaming front-end ----------------------------------------------
 
     def process_stream(self, source: DataFrame, checkpoint: str, op_col=None):

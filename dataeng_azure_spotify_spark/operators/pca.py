@@ -56,21 +56,26 @@ class PcaModel:
         return len(self.mean)
 
     def save(self, path: str) -> None:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
+        fs = statefs_for(path)
+        fs.makedirs(os.path.dirname(path) or ".")
+        fs.write_atomic(
+            path,
+            json.dumps(
                 {
                     "mean": self.mean,
                     "components": self.components,
                     "explained_variance": self.explained_variance,
-                },
-                f,
-            )
+                }
+            ).encode(),
+        )
 
     @classmethod
     def load(cls, path: str) -> "PcaModel":
-        with open(path) as f:
-            d = json.load(f)
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
+        d = json.loads(statefs_for(path).read_bytes(path).decode())
         return cls(d["mean"], d["components"], d["explained_variance"])
 
 

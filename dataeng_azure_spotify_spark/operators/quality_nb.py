@@ -239,10 +239,13 @@ class NbQualityModel:
     mid-refit crash can never pair old meta with new weights."""
 
     def __init__(self, spark, path: str):
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
         self.spark = spark
         self.path = path
         self._weights_path = os.path.join(path, "weights")
         self._meta_path = os.path.join(path, "meta")
+        self.fs = statefs_for(path, spark)  # StateFS (r11)
 
     # -- lifecycle -------------------------------------------------------
     @classmethod
@@ -255,8 +258,6 @@ class NbQualityModel:
         text_col: str = "text",
         buckets: int = 4096,
     ) -> "NbQualityModel":
-        import shutil
-
         B = int(buckets)
         spark = df.sparkSession
         _, w, consts = _nb_fit_tables(
@@ -266,8 +267,7 @@ class NbQualityModel:
         model = cls(spark, path)
         # refit crash discipline (DsirModel): delete the commit marker
         # BEFORE touching weights so any mid-refit crash reads as absent
-        if os.path.exists(model._meta_path):
-            shutil.rmtree(model._meta_path)
+        model.fs.rmtree(model._meta_path)
         w.write.mode("overwrite").parquet(model._weights_path)
         spark.createDataFrame(
             [(int(row["cq"]), int(row["prior_nano"]), B, id_col, text_col)],
@@ -284,7 +284,7 @@ class NbQualityModel:
         return model
 
     def exists(self) -> bool:
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     def _snapshot(self):
         """Meta + weights loaded together and memoized (the DsirModel

@@ -32,6 +32,8 @@ expression; at 64-d it whole-stage-codegens and is compute-bound.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -989,6 +991,7 @@ class SemanticDedupIndex:
         self._meta_path = os.path.join(path, self.META)
         self._runs_docs_path = os.path.join(path, self.RUNS_DOCS)
         self._clog = CompactionLog(spark, path)
+        self.fs = self._clog.fs  # StateFS (r11): shared per-path dispatch
         self._meta: dict | None = None
 
     # -- lifecycle ------------------------------------------------------
@@ -1014,9 +1017,6 @@ class SemanticDedupIndex:
         its run tag. Under the old anonymous tag the replay anti-joined
         its own keepers away and returned EMPTY, so the epoch-0
         overwrite sink lost every admitted document."""
-        import shutil
-        import os
-
         run_tag = _SEM_BUILD_RUN if run_id is None else run_id
         _validate_run_tag(run_tag, "SemanticDedupIndex.build")
         spark = corpus.sparkSession
@@ -1030,8 +1030,7 @@ class SemanticDedupIndex:
             idx._runs_docs_path,
             idx._clog.path,
         ):
-            if os.path.exists(p):
-                shutil.rmtree(p)
+            idx.fs.rmtree(p)
         idx._meta = None
         cent = kmeans_centroids(
             corpus, id_col, vec_col, k=k, iters=iters
@@ -1069,9 +1068,7 @@ class SemanticDedupIndex:
         return cls(spark, path)
 
     def exists(self) -> bool:
-        import os
-
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     @property
     def meta(self) -> dict:
@@ -1101,9 +1098,7 @@ class SemanticDedupIndex:
         by a committed :meth:`compact` and rows under an uncommitted
         compaction tag are excluded, so reads stay exact through every
         crash window of a compaction."""
-        import os
-
-        if not os.path.exists(self._keepers_path):
+        if not self.fs.exists(self._keepers_path):
             return self.spark.createDataFrame([], _SEM_KEEPERS_SCHEMA)
         return (
             self.spark.read.schema(_SEM_KEEPERS_SCHEMA)
@@ -1115,9 +1110,7 @@ class SemanticDedupIndex:
         """(run, vid) — kept ids of every COMPACTED run (written by
         :meth:`compact` step 1; what a folded run's replay returns once
         row-level run attribution is gone)."""
-        import os
-
-        if not os.path.exists(self._runs_docs_path):
+        if not self.fs.exists(self._runs_docs_path):
             return self.spark.createDataFrame([], "run string, vid long")
         return self.spark.read.schema("run string, vid long").parquet(
             self._runs_docs_path
@@ -1279,9 +1272,6 @@ class SemanticDedupIndex:
         keepers (it may be admitted — the freed-slot behavior the
         admit_batch docstring promises). Centroids are untouched: they
         are a frozen partition of the space, not per-doc state."""
-        import os
-        import shutil
-
         self._check_version()
         rm = (
             ids.select(F.col(ids.columns[0]).cast("long").alias("vid"))
@@ -1313,8 +1303,8 @@ class SemanticDedupIndex:
         # replay-convergent
         for c, r in emptied:
             d = os.path.join(self._keepers_path, f"cid={c}", f"run={r}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            if self.fs.isdir(d):
+                self.fs.rmtree(d)
             else:
                 # within one call a touched partition's rows were just
                 # read, so its directory must exist — unless the run
@@ -1353,9 +1343,6 @@ class SemanticDedupIndex:
     def _purge_registry(self, rm: DataFrame) -> None:
         """Retract removed vids from the compaction registry too, so a
         replay of a folded run cannot resurrect a removed document."""
-        import os
-        import shutil
-
         reg = self._registry()
         by_run = {
             str(r["run"]): int(r["n_rm"])
@@ -1376,9 +1363,7 @@ class SemanticDedupIndex:
         emptied = sorted(r for r in by_run if sizes[r] == by_run[r])
         partial_runs = sorted(r for r in by_run if sizes[r] > by_run[r])
         for r in emptied:  # deleted FIRST — the remove() discipline
-            d = os.path.join(self._runs_docs_path, f"run={r}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            self.fs.rmtree(os.path.join(self._runs_docs_path, f"run={r}"))
         if partial_runs:
             remaining = (
                 reg.filter(F.col("run").isin(partial_runs))
@@ -1397,7 +1382,7 @@ class SemanticDedupIndex:
         """Number of LIVE keeper ``run=`` partition names on disk
         (distinct names minus committed-folded) — the quantity the
         :func:`...operators.compaction.maybe_autocompact` policy
-        thresholds. One os.listdir pass, no Spark job."""
+        thresholds. One StateFS listing pass, no Spark job."""
         from dataeng_azure_spotify_spark.operators.compaction import (
             distinct_run_names,
         )
@@ -1607,7 +1592,7 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
-        import os
+        from dataeng_azure_spotify_spark.statefs import statefs_for
 
         self.spark = spark
         self.path = path
@@ -1616,6 +1601,7 @@ class IvfIndex:
         self._centroids_path = os.path.join(path, self.CENTROIDS)
         self._buckets_path = os.path.join(path, self.BUCKETS)
         self._pq_codebook_path = os.path.join(path, self.PQ_CODEBOOK)
+        self.fs = statefs_for(path, spark)  # StateFS (r11)
 
     @classmethod
     def build(
@@ -1654,9 +1640,7 @@ class IvfIndex:
         return cls(spark, path, id_col, vec_col)
 
     def exists(self) -> bool:
-        import os
-
-        return os.path.exists(self._centroids_path)
+        return self.fs.exists(self._centroids_path)
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._centroids_path)
@@ -1671,9 +1655,7 @@ class IvfIndex:
 
     # -- PQ codes leg (IVF-PQ / FAISS IVFADC) --------------------------
     def has_codes(self) -> bool:
-        import os
-
-        return os.path.exists(self._pq_codebook_path)
+        return self.fs.exists(self._pq_codebook_path)
 
     def pq_codebook(self) -> DataFrame:
         return self.spark.read.parquet(self._pq_codebook_path)
@@ -1834,9 +1816,6 @@ class IvfIndex:
         (buckets are partitioned by centroid, not id — the same
         locality trade the label table makes) + a rewrite of touched
         partitions only."""
-        import os
-        import shutil
-
         rm = (
             ids.select(F.col(ids.columns[0]).alias(self.id_col))
             .distinct()
@@ -1866,9 +1845,9 @@ class IvfIndex:
         # partition absent from the written data, and deleting them
         # up front keeps every intermediate state replay-convergent
         for c in emptied:
-            d = os.path.join(self._buckets_path, f"centroid_id={c}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            self.fs.rmtree(
+                os.path.join(self._buckets_path, f"centroid_id={c}")
+            )
         if partial:
             remaining = (
                 self.buckets()

@@ -46,6 +46,8 @@ this module is part of the beyond-reference LLM-pipeline surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -351,8 +353,6 @@ class SubstringDupIndex:
     RUNS_DOCS = "runs_docs"
 
     def __init__(self, spark, path: str) -> None:
-        import os
-
         from dataeng_azure_spotify_spark.operators.compaction import (
             CompactionLog,
         )
@@ -363,6 +363,7 @@ class SubstringDupIndex:
         self._meta_path = os.path.join(path, self.META)
         self._runs_docs_path = os.path.join(path, self.RUNS_DOCS)
         self._clog = CompactionLog(spark, path)
+        self.fs = self._clog.fs  # StateFS (r11): shared per-path dispatch
         self._meta: dict | None = None
 
     # -- lifecycle ------------------------------------------------------
@@ -376,9 +377,6 @@ class SubstringDupIndex:
         k: int = 8,
         num_buckets: int = 64,
     ) -> "SubstringDupIndex":
-        import os
-        import shutil
-
         spark = corpus.sparkSession
         idx = cls(spark, path)
         for p in (
@@ -387,8 +385,7 @@ class SubstringDupIndex:
             idx._runs_docs_path,
             idx._clog.path,
         ):
-            if os.path.exists(p):
-                shutil.rmtree(p)
+            idx.fs.rmtree(p)
         idx._meta = None
         grams = cls._doc_gram_counts(
             corpus, id_col, text_col, k, num_buckets, _SUBSTR_BUILD_RUN
@@ -409,9 +406,7 @@ class SubstringDupIndex:
         return cls(spark, path)
 
     def exists(self) -> bool:
-        import os
-
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     @property
     def meta(self) -> dict:
@@ -468,9 +463,7 @@ class SubstringDupIndex:
         folded by a committed compaction and rows under an uncommitted
         compaction tag are excluded, so reads stay exact through every
         crash window of :meth:`compact`."""
-        import os
-
-        if not os.path.exists(self._grams_path):
+        if not self.fs.exists(self._grams_path):
             return self.spark.createDataFrame([], _SUBSTR_GRAMS_SCHEMA)
         return (
             self.spark.read.schema(_SUBSTR_GRAMS_SCHEMA)
@@ -482,9 +475,7 @@ class SubstringDupIndex:
         """(run, doc) — admitted doc ids of every COMPACTED run (written
         by :meth:`compact` step 1; the information a folded run's replay
         needs once row-level run attribution is gone)."""
-        import os
-
-        if not os.path.exists(self._runs_docs_path):
+        if not self.fs.exists(self._runs_docs_path):
             return self.spark.createDataFrame([], "run string, doc long")
         return self.spark.read.schema("run string, doc long").parquet(
             self._runs_docs_path
@@ -686,9 +677,6 @@ class SubstringDupIndex:
         Future admissions simply see lower totals; a twin of a removed
         document re-evaluates freshly (nothing to re-converge — the
         stored state is pure counts)."""
-        import os
-        import shutil
-
         self._check_version()
         rm = (
             ids.select(F.col(ids.columns[0]).cast("long").alias("doc"))
@@ -716,8 +704,8 @@ class SubstringDupIndex:
         partial = sorted(t for t, (n, n_rm) in touched.items() if n > n_rm)
         for b, r in emptied:
             d = os.path.join(self._grams_path, f"bucket={b}", f"run={r}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            if self.fs.isdir(d):
+                self.fs.rmtree(d)
             else:
                 raise ValueError(
                     "SubstringDupIndex.remove: gram partition "
@@ -749,7 +737,7 @@ class SubstringDupIndex:
         """Number of LIVE ``run=`` partition names on disk (distinct
         names minus committed-folded ones) — the per-probe file-listing
         load the :func:`...operators.compaction.maybe_autocompact`
-        policy thresholds. One os.listdir pass, no Spark job."""
+        policy thresholds. One StateFS listing pass, no Spark job."""
         from dataeng_azure_spotify_spark.operators.compaction import (
             distinct_run_names,
         )
@@ -866,9 +854,6 @@ class SubstringDupIndex:
         replay of a folded run cannot resurrect a removed document
         (mirrors the pre-compaction behavior: a removed doc's rows are
         gone, so a crashed-run replay re-evaluates without them)."""
-        import os
-        import shutil
-
         reg = self._registry()
         hit = reg.join(F.broadcast(rm), "doc", "left_semi")
         by_run = {
@@ -890,8 +875,7 @@ class SubstringDupIndex:
         partial_runs = sorted(r for r in by_run if sizes[r] > by_run[r])
         for r in emptied:  # deleted FIRST — the remove() discipline
             d = os.path.join(self._runs_docs_path, f"run={r}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
+            self.fs.rmtree(d)
         if partial_runs:
             remaining = (
                 reg.filter(F.col("run").isin(partial_runs))

@@ -308,10 +308,13 @@ class UnigramTokenizer:
     absent."""
 
     def __init__(self, spark, path: str):
+        from dataeng_azure_spotify_spark.statefs import statefs_for
+
         self.spark = spark
         self.path = path
         self._pieces_path = os.path.join(path, "pieces")
         self._meta_path = os.path.join(path, "meta")
+        self.fs = statefs_for(path, spark)  # StateFS (r11)
 
     @classmethod
     def fit(
@@ -324,8 +327,6 @@ class UnigramTokenizer:
         max_pieces: int = 200,
         text_col: str = "text",
     ) -> "UnigramTokenizer":
-        import shutil
-
         spark = df.sparkSession
         pieces = unigram_train(
             df,
@@ -336,8 +337,7 @@ class UnigramTokenizer:
             text_col=text_col,
         )
         tok = cls(spark, path)
-        if os.path.exists(tok._meta_path):
-            shutil.rmtree(tok._meta_path)  # refit crash discipline
+        tok.fs.rmtree(tok._meta_path)  # refit crash discipline
         pieces.coalesce(1).write.mode("overwrite").parquet(
             tok._pieces_path
         )
@@ -355,7 +355,7 @@ class UnigramTokenizer:
         return tok
 
     def exists(self) -> bool:
-        return os.path.exists(self._meta_path)
+        return self.fs.exists(self._meta_path)
 
     def pieces(self) -> DataFrame:
         return self.spark.read.schema(PIECES_SCHEMA).parquet(

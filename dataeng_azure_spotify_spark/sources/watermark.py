@@ -10,7 +10,7 @@ SURVEY.md §2.1 S2/S4, §3.1.
 
 Improvement over the reference (noted in SURVEY.md §3.1): the reference's
 read-modify-write of ``cdc.json`` is not transactional. Here the write
-goes to a temp file then ``os.replace`` — atomic on POSIX — so a crashed
+goes to a temp file then an atomic rename (StateFS) so a crashed
 run never leaves a torn watermark. On a real deployment this store is one
 tiny Delta table (key, watermark) written transactionally; the JSON-file
 layout is kept for behavioral parity and zero-dependency local runs.

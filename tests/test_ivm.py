@@ -175,3 +175,50 @@ def test_apply_change_feed_follows_snapshot_table(spark, tmp_path):
     # re-apply is still a no-op
     mat.apply_change_feed(t.change_feed(["id"], 2))
     assert _view(spark, mat) == scratch()
+
+
+def test_sync_pulls_only_unapplied_versions(spark, tmp_path):
+    """sync() packages the polling loop: applied versions come from the
+    view's own run partitions, the window from the table's history, and
+    only the missing commits are pulled (zero joins on a cdf_keys
+    table) — idempotent, crash-resumable, empty when current."""
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    S = "id long, k string, v double"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+
+    def scratch():
+        return {
+            (r["k"]): (r["n"], float(r["s"]))
+            for r in t.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,4)")).alias("s"),
+            )
+            .collect()
+        }
+
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", 2.0), (3, "b", 4.0)], S))
+    mat.apply_delta(t.read_version(0), run_id="cdf-v0")  # seed from v0
+    assert mat.sync(spark, t) == []  # nothing past the initial snapshot
+
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 9.0), (3, "b", 4.0), (4, "b", 1.0)], S))
+    t.overwrite(spark.createDataFrame([(4, "b", 1.0)], S))
+    assert mat.sync(spark, t) == [1, 2]  # both pulled in one call
+    assert _view(spark, mat) == scratch() == {"b": (1, 1.0)}
+    assert mat.sync(spark, t) == []  # already current
+    t.overwrite(spark.createDataFrame([(4, "b", 2.0), (5, "a", 3.0)], S))
+    assert mat.sync(spark, t) == [3]  # only the new commit
+    assert _view(spark, mat) == scratch() == {"a": (1, 3.0), "b": (1, 2.0)}
+    # keyless tables need explicit key_cols
+    bare = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="key_cols"):
+        mat.sync(spark, bare)

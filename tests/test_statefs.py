@@ -121,3 +121,50 @@ def test_compaction_log_over_file_scheme(spark, tmp_path):
     assert log.folded() == {"r1", "r2"}
     log.drop_marker("compact-t1")
     assert log.committed() == {}
+
+
+def test_incremental_dedup_over_file_scheme(spark, tmp_path):
+    """A stateful admitter whose state_dir is a file:// URI: state
+    probes, appends and replay all run through the Hadoop control
+    plane — the artifact tier's object-store path, end to end."""
+    from dataeng_azure_spotify_spark.operators.dedup import IncrementalDedup
+
+    adm = IncrementalDedup(spark, f"file://{tmp_path}/exact")
+    assert isinstance(adm.fs, HadoopStateFS)
+    S = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "c d")], S)
+    got = sorted(
+        r.doc_id for r in adm.admit(b1, run_id="e0").collect()
+    )
+    assert got == [1, 3]
+    # replay returns the identical slice; a fresh twin is rejected
+    assert sorted(
+        r.doc_id for r in adm.admit(b1, run_id="e0").collect()
+    ) == [1, 3]
+    b2 = spark.createDataFrame([(9, "a b"), (10, "e f")], S)
+    assert sorted(
+        r.doc_id for r in adm.admit(b2, run_id="e1").collect()
+    ) == [10]
+
+
+def test_nb_model_artifact_over_file_scheme(spark, tmp_path):
+    """Model artifact fit -> exists -> load -> score with a file://
+    path: commit marker and weights both live behind StateFS."""
+    from pyspark.sql import functions as F
+
+    from dataeng_azure_spotify_spark.operators.quality_nb import (
+        NbQualityModel,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo doc {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = f"file://{tmp_path}/nb"
+    model = NbQualityModel.fit(
+        docs, F.col("doc_id") % 2 == 0, path, buckets=64
+    )
+    assert isinstance(model.fs, HadoopStateFS)
+    assert model.exists()
+    loaded = NbQualityModel.load(spark, path)
+    assert loaded.score(docs).count() == 8
