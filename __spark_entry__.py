@@ -5257,8 +5257,8 @@ def _cdf_orders_table(spark: SparkSession, sf_dir: str):
     the PULL (persisted-partial scan), not the table build; a partial
     or stale build is detected by history length and rebuilt."""
     import hashlib
-    import shutil
 
+    from dataeng_azure_spotify_spark.statefs import statefs_for
     from dataeng_azure_spotify_spark.streaming.gold import (
         ParquetSnapshotTable,
     )
@@ -5273,7 +5273,7 @@ def _cdf_orders_table(spark: SparkSession, sf_dir: str):
     )
     t = ParquetSnapshotTable(spark, base, cdf_keys=["o_orderkey"])
     if len(t.history()) != 2:
-        shutil.rmtree(base, ignore_errors=True)
+        statefs_for(base, spark).rmtree(base)
         t = ParquetSnapshotTable(spark, base, cdf_keys=["o_orderkey"])
         v0, v1 = _cdf_orders_versions(_cat(spark, sf_dir))
         t.overwrite(v0)
@@ -5331,17 +5331,119 @@ FROM (
 """
 
 
+def _cdf_schema_table(spark: SparkSession, sf_dir: str):
+    """Fit-once cached snapshot table with THREE committed versions,
+    the last one SCHEMA-CHANGING (adds ``priority``): v0/v1 are the
+    ``_cdf_orders_versions`` slices, v2 re-lands the v1 rows plus
+    ``o_orderpriority AS priority`` — a column-add overwrite, which
+    persists the r12 full-rewrite change partial
+    (streaming/gold.py _write_schema_change_partial)."""
+    import hashlib
+
+    from dataeng_azure_spotify_spark.statefs import statefs_for
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    params = (
+        f"{os.path.abspath(sf_dir)}|cdfse-v1"
+        f"|data{_corpus_fingerprint(sf_dir, 'orders')}"
+    )
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cdf_cache", tag
+    )
+    t = ParquetSnapshotTable(spark, base, cdf_keys=["o_orderkey"])
+    if len(t.history()) != 3:
+        statefs_for(base, spark).rmtree(base)
+        t = ParquetSnapshotTable(spark, base, cdf_keys=["o_orderkey"])
+        cat = _cat(spark, sf_dir)
+        v0, v1 = _cdf_orders_versions(cat)
+        v2 = v1.join(
+            cat["orders"].select(
+                "o_orderkey", F.col("o_orderpriority").alias("priority")
+            ),
+            "o_orderkey",
+        )
+        t.overwrite(v0)
+        t.overwrite(v1)
+        t.overwrite(v2)
+    return t
+
+
+def q_change_feed_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDF across a SCHEMA CHANGE (r12, closes the r11 verdict's
+    Missing #3): the pull window 1..2 crosses a column-add overwrite.
+    Version 1 serves its ordinary persisted key-diff partial; version
+    2 — the schema change — serves the commit-time FULL-REWRITE
+    partial (delete-all + insert-all, Delta's overwriteSchema CDF
+    semantics), and the whole feed is emitted under the NEWEST schema
+    (v1 rows null-fill ``priority`` — forward-schema, like Delta CDF
+    under column mapping). Zero joins either way; the oracle
+    re-derives both versions' change sets in SQL."""
+    return _cdf_schema_table(spark, sf_dir).change_feed(
+        ["o_orderkey"], 1, 2
+    )
+
+
+_CHANGE_FEED_SCHEMA_EVOLUTION_ORACLE = """
+WITH v0 AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 3 <> 0
+), v1 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 7 <> 0
+), v2 AS (
+    SELECT v1.*, o_orderpriority AS priority
+    FROM v1 JOIN orders USING (o_orderkey)
+), upd AS (
+    SELECT v0.o_orderkey
+    FROM v0 JOIN v1 USING (o_orderkey)
+    WHERE v0.price <> v1.price OR v0.o_orderstatus <> v1.o_orderstatus
+)
+SELECT o_orderkey, o_orderstatus, price, priority, _change_type,
+       CAST(_commit_version AS BIGINT) AS _commit_version
+FROM (
+    SELECT v1.*, CAST(NULL AS VARCHAR) AS priority,
+           'insert' AS _change_type, 1 AS _commit_version
+    FROM v1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM v0 WHERE v0.o_orderkey = v1.o_orderkey
+    )
+    UNION ALL
+    SELECT v0.*, CAST(NULL AS VARCHAR), 'delete', 1 FROM v0
+    WHERE NOT EXISTS (
+        SELECT 1 FROM v1 WHERE v1.o_orderkey = v0.o_orderkey
+    )
+    UNION ALL
+    SELECT v0.*, CAST(NULL AS VARCHAR), 'update_preimage', 1
+    FROM v0 JOIN upd USING (o_orderkey)
+    UNION ALL
+    SELECT v1.*, CAST(NULL AS VARCHAR), 'update_postimage', 1
+    FROM v1 JOIN upd USING (o_orderkey)
+    UNION ALL
+    SELECT v1.*, CAST(NULL AS VARCHAR), 'delete', 2 FROM v1
+    UNION ALL
+    SELECT v2.*, 'insert', 2 FROM v2
+)
+"""
+
+
 def _ivm_events_view(spark: SparkSession, sf_dir: str):
     """Fit-once cached MaterializedAggregate state: three deltas folded
     — two insert runs splitting events by user parity, then a delete
     run retracting every user_id % 10 == 0 row — so the maintained
     view equals a from-scratch aggregate over the surviving rows."""
     import hashlib
-    import shutil
 
     from dataeng_azure_spotify_spark.operators.ivm import (
         MaterializedAggregate,
     )
+    from dataeng_azure_spotify_spark.statefs import statefs_for
 
     params = (
         f"{os.path.abspath(sf_dir)}|ivm-v1"
@@ -5354,14 +5456,15 @@ def _ivm_events_view(spark: SparkSession, sf_dir: str):
     view = MaterializedAggregate(
         state, keys=["event_type"], sums={"value_sum": "value"}
     )
+    fs = statefs_for(state, spark)
     want = {"run=ins-a", "run=ins-b", "run=del"}
     have = (
-        {d for d in os.listdir(state) if d.startswith("run=")}
-        if os.path.isdir(state)
+        {d for d in fs.listdir(state) if d.startswith("run=")}
+        if fs.isdir(state)
         else set()
     )
     if have != want:
-        shutil.rmtree(state, ignore_errors=True)
+        fs.rmtree(state)
         ev = _cat(spark, sf_dir)["events"].select(
             "user_id", "event_type", "value"
         )
@@ -5416,18 +5519,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # entries in dict order. Round-11 rotation (per the r10 verdict
-    # Next #1): positions 1-39 are the STALE tier — the 39 queries whose
-    # last driver window was r8 (the relational/window/set-op/TPC-H
-    # suite). Positions 40-41 are this round's NEW queries (the CDF and
-    # IVM driver twins). Positions 42-50 are r9-certified fillers —
-    # ann_cosine_topk first (the r10 verdict's un-A/B'd delta gets a
-    # fresh driver certification) then the LLM dedup/curation tier.
-    # Everything below 50 (the r10-certified tier + remaining r9) stays
-    # continuously verified by tests/test_oracle_parity.py at sf0.001
-    # every run and the slow-marked sf0.01 sweep (the driver's scale).
+    # entries in dict order. Round-12 rotation (per the r11 verdict
+    # Next #1): positions 1-33 are the STALE tier — the 33 queries whose
+    # last driver window was r9 (the LLM dedup/ANN/curation block,
+    # including knn_label_accuracy and pagerank_central_docs, two of the
+    # three steal-suspect r11 driver lines — they get fresh lines here).
+    # Position 34 is this round's NEW query (the schema-evolution CDF
+    # twin). Positions 35-50 refill from the r10-certified tier,
+    # funnel_one_pass first (the r11 verdict's weak item gets a fresh
+    # driver certification after its A/B). Everything below 50 (the
+    # r11-certified tier + remaining r10) stays continuously verified by
+    # tests/test_oracle_parity.py at sf0.001 every run and the
+    # slow-marked sf0.01 sweep (the driver's scale).
     return {
-        # --- stale tier: last driver window r8 (39) ---
+        # --- stale tier: last driver window r9 (33) ---
+        "ann_ivf_index_topk": q_ann_ivf_index_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "bm25_search": q_bm25_search,
+        "cap_per_source": q_cap_per_source,
+        "chunk_documents": q_chunk_documents,
+        "contamination_check": q_contamination_check,
+        "corpus_curation": q_corpus_curation,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_keep_best": q_dedup_keep_best,
+        "gopher_quality": q_gopher_quality,
+        "jl_project": q_jl_project,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "knn_label_accuracy_full": q_knn_label_accuracy_full,
+        "length_quantile_filter": q_length_quantile_filter,
+        "neardup_rate_by_source": q_neardup_rate_by_source,
+        "neardup_triangles": q_neardup_triangles,
+        "ngram_lm_score": q_ngram_lm_score,
+        "pack_sequences": q_pack_sequences,
+        "pagerank_central_docs": q_pagerank_central_docs,
+        "pca_project": q_pca_project,
+        "quantize_embeddings": q_quantize_embeddings,
+        "repetition_stats": q_repetition_stats,
+        "sample_exact_n": q_sample_exact_n,
+        "sample_weighted": q_sample_weighted,
+        "shard_corpus": q_shard_corpus,
+        "source_mix": q_source_mix,
+        "split_leakage_safe": q_split_leakage_safe,
+        "stratified_sample": q_stratified_sample,
+        "strip_boilerplate": q_strip_boilerplate,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        # --- r12-new (1) ---
+        "change_feed_schema_evolution": q_change_feed_schema_evolution,
+        # --- r10-certified refills (16) ---
+        "funnel_one_pass": q_funnel_one_pass,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "approx_distinct": q_approx_distinct,
+        "asof_join": q_asof_join,
+        "blocklist_filter": q_blocklist_filter,
+        "bpe_merge_table": q_bpe_merge_table,
+        "bpe_tokenize_stats": q_bpe_tokenize_stats,
+        "bucketize_case_when": q_bucketize,
+        "cohort_retention": q_cohort_retention,
+        "constant_injection": q_constant_injection,
+        "conversion_latency": q_conversion_latency,
+        "date_dim": q_date_dim,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dup_span_stats": q_dup_span_stats,
+        "email_validation": q_email_validation,
+        # position 51+ (outside the driver window; oracle-checked by
+        # the pytest parity sweeps at sf0.001 every run + sf0.01 slow):
         "scd2_incremental": q_scd2_incremental,
         "scd2_asof_lookup": q_scd2_asof_lookup,
         "dedup_latest_per_key": q_dedup_latest,
@@ -5467,10 +5626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
-        # --- r11-new (2) ---
         "change_feed_orders": q_change_feed_orders,
         "ivm_events_view": q_ivm_events_view,
-        # --- r9-certified fillers (9) ---
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5480,51 +5637,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "heavy_hitters": q_heavy_hitters,
-        # position 51+ (outside the driver window; oracle-checked by
-        # the pytest parity sweeps at sf0.001 every run + sf0.01 slow):
-        "date_dim": q_date_dim,
         "zorder_code": q_zorder_code,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
-        "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
-        "bucketize_case_when": q_bucketize,
-        "email_validation": q_email_validation,
         "json_extract_agg": q_json_extract_agg,
-        "asof_join": q_asof_join,
         "pii_redaction": q_pii_redaction,
-        "constant_injection": q_constant_injection,
         "scalar_max_watermark": q_scalar_max_watermark,
         "profile_docs": q_profile_docs,
         "sentence_split": q_sentence_split,
         "star_join_asof": q_star_join_asof,
-        "approx_distinct": q_approx_distinct,
         "range_join": q_range_join,
         "funnel_analysis": q_funnel_analysis,
-        "funnel_one_pass": q_funnel_one_pass,
-        "cohort_retention": q_cohort_retention,
         "metric_anomalies": q_metric_anomalies,
         "gap_fill": q_gap_fill,
         "user_activity_gaps": q_user_activity_gaps,
         "event_transitions": q_event_transitions,
-        "conversion_latency": q_conversion_latency,
         "embedding_class_stats": q_embedding_class_stats,
         "event_attribution": q_event_attribution,
         "events_sliding_window": q_events_sliding_window,
         "events_session_window": q_events_session_window,
-        "bpe_merge_table": q_bpe_merge_table,
-        "bpe_tokenize_stats": q_bpe_tokenize_stats,
         "unigram_vocab_table": q_unigram_vocab_table,
         "unigram_tokenize_stats": q_unigram_tokenize_stats,
         "quality_nb_model_score": q_quality_nb_model_score,
         "nb_threshold_sweep": q_nb_threshold_sweep,
-        "blocklist_filter": q_blocklist_filter,
         "remove_dup_spans": q_remove_dup_spans,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "dup_span_stats": q_dup_span_stats,
         "substring_dup_spans": q_substring_dup_spans,
         "temperature_mix": q_temperature_mix,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "quality_nb_score": q_quality_nb_score,
         "pricing_summary": q_pricing_summary,
         "star_join": q_star_join,
@@ -5532,45 +5671,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_agg": q_star_join_agg,
         "scd1_upsert": q_scd1_upsert,
         "scd2_history": q_scd2_history,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_index_topk": q_ann_ivf_index_topk,
-        "knn_label_accuracy": q_knn_label_accuracy,
-        "knn_label_accuracy_full": q_knn_label_accuracy_full,
-        "pca_project": q_pca_project,
-        "jl_project": q_jl_project,
-        "quantize_embeddings": q_quantize_embeddings,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "neardup_triangles": q_neardup_triangles,
-        "neardup_rate_by_source": q_neardup_rate_by_source,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "split_leakage_safe": q_split_leakage_safe,
-        "pagerank_central_docs": q_pagerank_central_docs,
-        "decontaminate": q_decontaminate,
-        "contamination_check": q_contamination_check,
-        "pack_sequences": q_pack_sequences,
-        "repetition_stats": q_repetition_stats,
-        "cap_per_source": q_cap_per_source,
-        "source_mix": q_source_mix,
-        "sample_weighted": q_sample_weighted,
-        "sample_exact_n": q_sample_exact_n,
-        "stratified_sample": q_stratified_sample,
-        "length_quantile_filter": q_length_quantile_filter,
-        "chunk_documents": q_chunk_documents,
-        "shard_corpus": q_shard_corpus,
-        "corpus_curation": q_corpus_curation,
-        "strip_boilerplate": q_strip_boilerplate,
-        "ngram_lm_score": q_ngram_lm_score,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
-        "gopher_quality": q_gopher_quality,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "change_feed_orders": _CHANGE_FEED_ORDERS_ORACLE,
+        "change_feed_schema_evolution": (
+            _CHANGE_FEED_SCHEMA_EVOLUTION_ORACLE
+        ),
         "ivm_events_view": _IVM_EVENTS_VIEW_ORACLE,
         "bpe_merge_table": _bpe_merge_oracle(BPE_NUM_MERGES),
         "bpe_tokenize_stats": _bpe_tokenize_oracle(BPE_NUM_MERGES),

@@ -288,6 +288,25 @@ class Engine:
         """Append-only run log (observability surface)."""
         return RunLog(self.spark, path)
 
+    def funnel(
+        self, workdir: str, run_id: "str | None" = None
+    ) -> DataFrame:
+        """THE funnel reader (r12): per-stage admitted/rejected rows
+        for every run recorded under ``<workdir>/funnel`` — streaming
+        epochs (:meth:`curation_stream` lands one per epoch) and batch
+        pipeline runs (:meth:`...observability.AdmissionFunnelLog.
+        record_pipeline` bridges a :class:`...plans.pipeline.Pipeline`
+        run's audit counts into the same table) share one schema, so a
+        user queries ONE shape instead of two. ``run_id`` narrows to a
+        single run."""
+        from .observability import AdmissionFunnelLog
+
+        import os as _os
+
+        return AdmissionFunnelLog(
+            self.spark, _os.path.join(workdir, "funnel")
+        ).read(run_id)
+
     # -- unified retraction over persisted artifacts --------------------
     def register_artifact(self, artifact, name: str | None = None) -> str:
         """Register a persisted artifact (NearDupLabels, IvfIndex,

@@ -16,8 +16,9 @@ way. The KQL alert queries become plain DataFrame queries over the log
 from __future__ import annotations
 
 import datetime as dt
+import re
 import traceback
-from typing import Any, Callable
+from typing import Any, Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -119,6 +120,20 @@ class AdmissionFunnelLog:
         self.path = path
         self.fs = statefs_for(path, spark)
 
+    @staticmethod
+    def _safe_run_id(run_id: str) -> str:
+        """``run_id`` names an output directory — the same traversal
+        guard :func:`...operators.ivm._safe_run_dir` applies ('/' or
+        '..' would write outside the funnel dir and break the
+        recursive read)."""
+        run_id = str(run_id)
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", run_id):
+            raise ValueError(
+                "run_id must be 1-128 chars of [A-Za-z0-9._-] — it "
+                f"names a funnel directory (got {run_id!r})"
+            )
+        return run_id
+
     def record(self, run_id: str, rows: "list[dict]") -> None:
         """Land one epoch's funnel (chain-ordered gate dicts with
         ``stage``/``n_in``/``n_admitted``/``n_rejected`` keys, as
@@ -126,6 +141,7 @@ class AdmissionFunnelLog:
         The per-run directory deliberately avoids ``run=`` naming:
         ``run_id`` is already a data column, and partition inference
         on an identically-named directory key would collide."""
+        run_id = self._safe_run_id(run_id)
         data = [
             (
                 str(run_id),
@@ -144,14 +160,56 @@ class AdmissionFunnelLog:
             .parquet(f"{self.path}/r-{run_id}")
         )
 
-    def read(self) -> DataFrame:
+    def record_pipeline(
+        self,
+        run_id: str,
+        n_input: int,
+        stage_counts: "Mapping[str, int]",
+    ) -> None:
+        """Land a BATCH pipeline run's per-stage audit counts under
+        the SAME schema the streaming chain uses (r12, one funnel
+        surface for both halves): ``stage_counts`` is the ordered
+        ``{stage: surviving_rows}`` map :meth:`...plans.pipeline.
+        Pipeline.run` returns (stages in execution order — Python
+        dicts preserve it), ``n_input`` the row count fed to the
+        first stage. Each stage's ``n_in`` is the previous stage's
+        survivor count, so the recorded funnel telescopes exactly
+        like the streaming one. Idempotent per-run overwrite, same
+        as :meth:`record`.
+
+        Non-monotone stages (a shard/explode stage can EMIT more rows
+        than it read) record a negative ``n_rejected`` — faithful
+        counts beat a clamped lie; dashboards can floor at 0."""
+        rows = []
+        n_in = int(n_input)
+        for stage, n_out in stage_counts.items():
+            n_out = int(n_out)
+            rows.append(
+                {
+                    "stage": str(stage),
+                    "n_in": n_in,
+                    "n_admitted": n_out,
+                    "n_rejected": n_in - n_out,
+                }
+            )
+            n_in = n_out
+        self.record(run_id, rows)
+
+    def read(self, run_id: "str | None" = None) -> DataFrame:
+        """All recorded funnels — batch and streaming runs share one
+        schema, so one reader serves both. ``run_id`` filters to one
+        run's rows (still ordered by ``stage_idx``)."""
         if not self.fs.exists(self.path):
-            return self.spark.createDataFrame([], FUNNEL_LOG_SCHEMA)
-        return (
-            self.spark.read.schema(FUNNEL_LOG_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(self.path)
-        )
+            out = self.spark.createDataFrame([], FUNNEL_LOG_SCHEMA)
+        else:
+            out = (
+                self.spark.read.schema(FUNNEL_LOG_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(self.path)
+            )
+        if run_id is not None:
+            out = out.filter(F.col("run_id") == self._safe_run_id(run_id))
+        return out
 
 
 def failed_runs_last(log: RunLog, minutes: int = 5) -> DataFrame:

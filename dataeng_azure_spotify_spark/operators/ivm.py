@@ -96,6 +96,19 @@ class MaterializedAggregate:
         byte-identically, so at-least-once delivery yields exactly-once
         state.
         """
+        need = [*self.keys, *self.sums.values()]
+        absent = [c for c in dict.fromkeys(need) if c not in delta.columns]
+        if absent:
+            # loud refusal instead of Spark's resolution error: the
+            # common cause is a change feed crossing a schema change
+            # that DROPPED a summed column — the view cannot be
+            # maintained through that commit; rebuild it from the
+            # post-change snapshot instead
+            raise ValueError(
+                f"apply_delta(run_id={run_id!r}): delta lacks "
+                f"column(s) {absent} required by this view "
+                f"(keys={self.keys}, sums={self.sums})"
+            )
         mult = (
             F.col(op_col).cast("long") if op_col else F.lit(1).cast("long")
         )
@@ -154,19 +167,48 @@ class MaterializedAggregate:
         cols = [*self.keys, *self.sums, F.col(_MULT).alias("n_rows")]
         return folded.filter(F.col(_MULT) > 0).select(*cols)
 
+    #: control-plane marker: highest snapshot-table version this view
+    #: has folded via :meth:`sync` (hidden from Spark's parquet reader
+    #: by the underscore prefix). Without it, :meth:`compact` — which
+    #: folds the ``run=cdf-vN`` partitions away — would erase the
+    #: applied-version record and the next ``sync`` would re-pull and
+    #: DOUBLE-COUNT every commit on top of the baseline.
+    _SYNC_MARKER = "_synced_upto"
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.state_dir, self._SYNC_MARKER)
+
+    def _synced_upto(self, fs) -> int:
+        if not fs.exists(self._marker_path()):
+            return 0
+        return int(fs.read_bytes(self._marker_path()).decode().strip())
+
     def compact(self, spark: SparkSession) -> None:
         """Fold all run partials into a single baseline run. Not safe
         concurrently with a writer (same caveat as
-        ``streaming.anomaly.AnomalyMonitor.compact_state``)."""
+        ``streaming.anomaly.AnomalyMonitor.compact_state``). The
+        ``_synced_upto`` marker is carried into the compacted state so
+        a later :meth:`sync` still knows which table versions the
+        baseline already contains."""
         from dataeng_azure_spotify_spark.sources.layout import atomic_swap_dir
+        from dataeng_azure_spotify_spark.statefs import statefs_for
 
-        folded = self._folded(spark).filter(F.col(_MULT) != 0)
-        atomic_swap_dir(
-            self.state_dir,
-            lambda tmp: folded.write.mode("overwrite").parquet(
-                os.path.join(tmp, "run=baseline")
-            ),
+        fs = statefs_for(self.state_dir, spark)
+        marker = (
+            fs.read_bytes(self._marker_path())
+            if fs.exists(self._marker_path())
+            else None
         )
+        folded = self._folded(spark).filter(F.col(_MULT) != 0)
+
+        def _write(tmp: str) -> None:
+            folded.write.mode("overwrite").parquet(
+                os.path.join(tmp, "run=baseline")
+            )
+            if marker is not None:
+                fs.write_atomic(os.path.join(tmp, self._SYNC_MARKER), marker)
+
+        atomic_swap_dir(self.state_dir, _write)
 
     def apply_change_feed(
         self, feed: DataFrame, run_prefix: str = "cdf-v"
@@ -249,6 +291,15 @@ class MaterializedAggregate:
         crash-resumable: a re-run after a crash re-derives the same
         window and overwrites identical partials.
 
+        A version counts as applied only when its ``run={prefix}N``
+        partial is COMMITTED (Spark's ``_SUCCESS`` marker exists — the
+        same discipline ``ParquetSnapshotTable._change_partial`` uses):
+        a crash mid ``apply_delta`` leaves an uncommitted directory
+        that must be re-derived, not skipped forever. Versions at or
+        below the persisted ``_synced_upto`` high-water mark are
+        applied by definition — that marker is what survives
+        :meth:`compact` folding the run partitions away.
+
         ``key_cols`` defaults to the table's ``cdf_keys`` — pass it
         only for pre-upgrade tables that derive diffs at pull time."""
         from dataeng_azure_spotify_spark.statefs import statefs_for
@@ -261,21 +312,35 @@ class MaterializedAggregate:
             )
         fs = statefs_for(self.state_dir, spark)
         pref = f"run={run_prefix}"
-        applied = {
-            int(d[len(pref):])
-            for d in (fs.listdir(self.state_dir) if fs.isdir(self.state_dir) else ())
-            if d.startswith(pref) and d[len(pref):].isdigit()
-        }
+        marker = self._synced_upto(fs)
+        applied = set()
+        for d in (
+            fs.listdir(self.state_dir) if fs.isdir(self.state_dir) else ()
+        ):
+            if not (d.startswith(pref) and d[len(pref):].isdigit()):
+                continue
+            if fs.exists(
+                os.path.join(self.state_dir, d, "_SUCCESS")
+            ):  # committed partial; crashed ones re-derive below
+                applied.add(int(d[len(pref):]))
         hist = table.history()
         live = max(
             n for n in (table._snap_n(d) for d in hist) if n is not None
         ) if hist else 0
-        frm = max(applied) + 1 if applied else 1
+        # resume from the smallest version not yet committed: versions
+        # inside the window that ARE committed just re-overwrite
+        # identical partials (idempotent), while an uncommitted gap —
+        # crash mid-apply, externally damaged partial — is re-derived
+        frm = marker + 1
+        while frm in applied:
+            frm += 1
         if frm > live:
             return []
-        return self.apply_change_feed(
+        out = self.apply_change_feed(
             table.change_feed(keys, frm, live), run_prefix=run_prefix
         )
+        fs.write_atomic(self._marker_path(), str(live).encode())
+        return out
 
     # -- streaming front-end ----------------------------------------------
 

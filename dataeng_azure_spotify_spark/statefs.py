@@ -76,6 +76,19 @@ class LocalStateFS:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Create ``path`` with ``data`` only if it does not exist —
+        the conditional-put primitive versioned-pointer commits build
+        on (r12): unlike :meth:`write_atomic`'s replace, there is no
+        window where the file is missing, and a second writer loses
+        cleanly (returns False) instead of silently clobbering."""
+        try:
+            with open(path, "xb") as f:
+                f.write(data)
+            return True
+        except FileExistsError:
+            return False
+
     def rmtree(self, path: str) -> None:
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
@@ -146,6 +159,24 @@ class HadoopStateFS:
             self._fs.delete(dst, False)
         if not self._fs.rename(tmp, dst):
             raise OSError(f"write_atomic: rename to {path} failed")
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Hadoop ``create(overwrite=false)`` — atomic create-if-absent
+        on HDFS; on object stores it is the same check-then-put Delta's
+        LogStores use for commit files (single-writer discipline covers
+        the residual race, but unlike delete+rename there is never a
+        moment where the path is MISSING to readers)."""
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception:
+            if self._fs.exists(self._p(path)):
+                return False
+            raise
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
 
     def rmtree(self, path: str) -> None:
         p = self._p(path)

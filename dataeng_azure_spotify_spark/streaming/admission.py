@@ -166,6 +166,28 @@ class SemanticGateStage:
             raise ValueError(
                 f"SemanticGateStage: embeddings table lacks column(s) {bad}"
             )
+        # duplicate embedding rows for one id would MULTIPLY batch rows
+        # through the left join — a document admitted (and written to
+        # the corpus sink) more than once. Validate once, at
+        # construction (one aggregate job over the embeddings table per
+        # stream, not per epoch — the same dup-key discipline
+        # ParquetSnapshotTable applies at commit time).
+        from pyspark.sql import functions as F
+
+        dup = (
+            embeddings.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"SemanticGateStage: embeddings table has duplicate "
+                f"rows for {id_col}={dup[0][0]!r} — one embedding per "
+                "document (dropDuplicates upstream with an explicit "
+                "pick rule if the table is multi-versioned)"
+            )
         self.inner = inner
         self.id_col = id_col
         self.vec_col = vec

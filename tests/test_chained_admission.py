@@ -685,3 +685,104 @@ def test_curation_stream_nb_model_column_validation(spark, tmp_path):
     src = spark.readStream.schema(_SEM_SCHEMA).parquet(inp)
     with pytest.raises(ValueError, match="trained on columns"):
         eng.curation_stream(src, str(tmp_path / "wd"), nb_model=model)
+
+
+def test_semantic_gate_refuses_duplicate_embedding_ids(spark, tmp_path):
+    """ADVICE r11: duplicate embedding rows for one id would multiply
+    batch rows through the left join — a doc admitted (and written)
+    twice. Refused at construction, once per stream."""
+    from dataeng_azure_spotify_spark.operators.similarity import (
+        IncrementalSemanticDedup,
+    )
+    from dataeng_azure_spotify_spark.streaming.admission import (
+        SemanticGateStage,
+    )
+
+    dup = _sem_embeddings(spark).unionByName(
+        spark.createDataFrame(
+            [(1, [0.5, 0.5, 0.0, 0.0])], "doc_id long, embedding array<float>"
+        )
+    )
+    inner = IncrementalSemanticDedup(
+        spark, str(tmp_path / "s"), threshold=0.95, k=2, iters=1,
+        id_col="doc_id",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        SemanticGateStage(inner, dup)
+
+
+def test_funnel_log_run_id_sanitized(spark, tmp_path):
+    """ADVICE r11: run_id names an output directory — traversal
+    characters must refuse (same guard as ivm._safe_run_dir), on both
+    the write and the filtered-read path."""
+    from dataeng_azure_spotify_spark.observability import AdmissionFunnelLog
+
+    log = AdmissionFunnelLog(spark, str(tmp_path / "f"))
+    rows = [{"stage": "g", "n_in": 1, "n_admitted": 1, "n_rejected": 0}]
+    with pytest.raises(ValueError, match="run_id"):
+        log.record("../evil", rows)
+    with pytest.raises(ValueError, match="run_id"):
+        log.record("a/b", rows)
+    log.record("ok-1", rows)
+    with pytest.raises(ValueError, match="run_id"):
+        log.read("../evil")
+    assert log.read("ok-1").count() == 1
+
+
+def test_unified_funnel_one_schema_batch_and_streaming(spark, tmp_path):
+    """r12 (verdict Next #5): batch pipeline audit counts and streaming
+    epoch funnels land in ONE table with ONE schema, read through one
+    API (Engine.funnel) — not two shapes."""
+    from dataeng_azure_spotify_spark.engine import Engine
+    from dataeng_azure_spotify_spark.observability import (
+        FUNNEL_LOG_SCHEMA,
+        AdmissionFunnelLog,
+    )
+
+    workdir = tmp_path / "w"
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma dup dup dup")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(inp)
+    eng = Engine(spark)
+    src = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    eng.curation_stream(
+        src, str(workdir), blocklist=("dup",), exact=True,
+        near_dup=False, rewrite=False,
+    )
+    streaming = eng.funnel(str(workdir))
+    assert streaming.count() > 0
+
+    # batch side: a Pipeline.run()-shaped ordered counts map bridges
+    # into the SAME log via record_pipeline
+    log = AdmissionFunnelLog(spark, f"{workdir}/funnel")
+    log.record_pipeline(
+        "batch-2024.01.01", n_input=3,
+        stage_counts={"gate_blocklist": 2, "dedup_exact": 1},
+    )
+    both = eng.funnel(str(workdir))
+    # parquet reads relax nullability; names + types are the contract
+    assert [(f.name, f.dataType) for f in both.schema.fields] == [
+        (f.name, f.dataType) for f in FUNNEL_LOG_SCHEMA.fields
+    ]
+    batch_rows = [
+        r.asDict()
+        for r in eng.funnel(str(workdir), "batch-2024.01.01")
+        .orderBy("stage_idx")
+        .collect()
+    ]
+    assert [
+        (r["stage"], r["n_in"], r["n_admitted"], r["n_rejected"])
+        for r in batch_rows
+    ] == [("gate_blocklist", 3, 2, 1), ("dedup_exact", 2, 1, 1)]
+    # telescoping invariant holds across the union: every run's gate
+    # N+1 n_in equals gate N n_admitted
+    for rid in {r["run_id"] for r in both.select("run_id").collect()}:
+        seq = [
+            r.asDict()
+            for r in both.filter(both["run_id"] == rid)
+            .orderBy("stage_idx").collect()
+        ]
+        for a, b in zip(seq, seq[1:]):
+            assert b["n_in"] == a["n_admitted"]

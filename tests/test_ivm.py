@@ -222,3 +222,73 @@ def test_sync_pulls_only_unapplied_versions(spark, tmp_path):
     bare = ParquetSnapshotTable(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="key_cols"):
         mat.sync(spark, bare)
+
+
+def test_sync_rederives_crashed_partial(spark, tmp_path):
+    """ADVICE r11: a crash mid apply_delta leaves a run=cdf-vN
+    directory WITHOUT Spark's _SUCCESS marker — sync() must treat it
+    as unapplied and re-derive it, not skip the version forever."""
+    import os
+
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    S = "id long, k string, v double"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], S))
+    mat.apply_delta(t.read_version(0), run_id="cdf-v0")
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], S))
+    assert mat.sync(spark, t) == [1]
+
+    t.overwrite(spark.createDataFrame([(2, "b", 5.0)], S))
+    # simulate a crash mid-apply of v2: uncommitted (no _SUCCESS)
+    # partial directory exists, marker still at 1
+    os.makedirs(os.path.join(str(tmp_path / "state"), "run=cdf-v2"))
+    with open(mat._marker_path(), "w") as f:
+        f.write("1")
+    assert mat.sync(spark, t) == [2]  # re-derived, not skipped
+    assert _view(spark, mat) == {"b": (1, 5.0)}
+    assert mat.sync(spark, t) == []
+
+
+def test_sync_after_compact_does_not_double_count(spark, tmp_path):
+    """compact() folds the run=cdf-vN partitions into one baseline —
+    without the _synced_upto marker surviving it, the next sync()
+    would re-pull every commit ON TOP of the baseline and double-count
+    (latent r11 bug, found while fixing the _SUCCESS gating)."""
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    S = "id long, k string, v double"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], S))
+    mat.apply_delta(t.read_version(0), run_id="cdf-v0")
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], S))
+    t.overwrite(spark.createDataFrame([(1, "a", 4.0), (2, "b", 2.0)], S))
+    assert mat.sync(spark, t) == [1, 2]
+    before = _view(spark, mat)
+    mat.compact(spark)
+    assert _view(spark, mat) == before
+    assert mat.sync(spark, t) == []  # marker survived the fold
+    assert _view(spark, mat) == before
+    t.overwrite(spark.createDataFrame([(2, "b", 9.0)], S))
+    assert mat.sync(spark, t) == [3]  # only the new commit
+    assert _view(spark, mat) == {"b": (1, 9.0)}
+
+
+def test_apply_delta_names_missing_columns(spark, tmp_path):
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    with pytest.raises(ValueError, match="lacks column"):
+        mat.apply_delta(
+            spark.createDataFrame([("a",)], "k string"), run_id="r0"
+        )

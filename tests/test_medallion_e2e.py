@@ -423,3 +423,158 @@ def test_overwrite_cleans_same_version_orphans(spark, tmp_path):
     assert len(t.history()) == 2
     assert {r.id for r in t.read_version(1).collect()} == {1, 2}
     assert _cf_rows(t.change_feed(["id"], 1)) == {(2, "b", "insert", 1)}
+
+
+def test_change_feed_across_schema_change(spark, tmp_path):
+    """r12: a schema-changing overwrite persists a FULL-REWRITE partial
+    (delete-all + insert-all — Delta's overwriteSchema CDF semantics),
+    so change windows crossing the commit stay servable, under the
+    newest schema (earlier rows null-fill added columns), with zero
+    joins — and keep serving after the pre-change snapshots vacuum."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (3, "c")], "id long, v string"))  # v1: plain diff
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10), (3, "c", 30)], "id long, v string, w int"
+    ))  # v2: adds column w -> full-rewrite partial
+
+    feed = t.change_feed(["id"], 1)
+    assert _no_joins(feed)  # both versions served from partials
+    got = {
+        tuple(r) for r in feed.select(
+            "id", "v", "w", "_change_type", "_commit_version"
+        ).collect()
+    }
+    assert got == {
+        # v1 rows under the NEW schema: w null-filled
+        (2, "b", None, "delete", 1),
+        (3, "c", None, "insert", 1),
+        # v2 = every old row deleted (w unknown -> null), every new
+        # row inserted with real values
+        (1, "a", None, "delete", 2),
+        (3, "c", None, "delete", 2),
+        (1, "a", 10, "insert", 2),
+        (3, "c", 30, "insert", 2),
+    }
+    # single-version window crossing nothing keeps the old shape's data
+    assert t.change_feed(["id"], 1, 1).count() == 2
+    t.vacuum(keep_last=1)
+    assert len(t.history()) == 1
+    assert {
+        tuple(r) for r in t.change_feed(["id"], 1).select(
+            "id", "_change_type", "_commit_version"
+        ).collect()
+    } == {(r[0], r[3], r[4]) for r in got}
+
+
+def test_schema_change_drop_column_feed_is_forward_schema(spark, tmp_path):
+    """Dropping a column: the feed across the commit serves the NEW
+    (narrower) schema; the dropped column's history stays readable via
+    read_version, and an IVM view summing the dropped column refuses
+    loudly instead of folding garbage."""
+    from dataeng_azure_spotify_spark.operators.ivm import MaterializedAggregate
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, k string, x double"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, k string"))  # v1 drops x
+    feed = t.change_feed(["id"], 1)
+    assert set(feed.columns) == {"id", "k", "_change_type", "_commit_version"}
+    assert feed.count() == 4  # delete-all + insert-all
+    mat = MaterializedAggregate(
+        str(tmp_path / "view"), keys=["k"], sums={"sx": "x"}
+    )
+    mat.apply_delta(t.read_version(0), run_id="cdf-v0")
+    with pytest.raises(ValueError, match="lacks column"):
+        mat.sync(spark, t)
+
+
+def test_ivm_sync_folds_correctly_across_added_column(spark, tmp_path):
+    """r12 pinned semantics: an IVM view summing a column ADDED by a
+    schema-changing commit folds the crossing feed EXACTLY — the
+    full-rewrite partial's deletes cancel every pre-change row (which
+    never contributed to the new column) and its inserts add the real
+    values, so the view equals a from-scratch aggregate of the live
+    snapshot."""
+    from dataeng_azure_spotify_spark.operators.ivm import MaterializedAggregate
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    t.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, k string"))
+    mat = MaterializedAggregate(
+        str(tmp_path / "view"), keys=["k"], sums={"sw": "w"}
+    )
+    # seed from v0 under the view's schema (w not yet present -> null)
+    mat.apply_delta(
+        t.read_version(0).withColumn("w", F.lit(None).cast("double")),
+        run_id="cdf-v0",
+    )
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 5.0), (3, "b", 7.0)], "id long, k string, w double"))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 6.0), (3, "b", 7.0), (4, "b", 1.0)],
+        "id long, k string, w double"))
+    assert mat.sync(spark, t) == [1, 2]
+    got = {
+        r["k"]: (r["n_rows"], float(r["sw"]))
+        for r in mat.current(spark).collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in t.read().groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("w").cast("decimal(18,4)")).alias("s"),
+        ).collect()
+    }
+    assert got == want == {"a": (1, 6.0), "b": (2, 8.0)}
+
+
+def test_overwrite_without_partial_clears_crashed_stale_partial(
+    spark, tmp_path
+):
+    """A keyless table never writes partials — but a crashed prior
+    attempt (or a pre-downgrade layout) may have left a COMMITTED one
+    at the version being committed. The commit removes it, so
+    change_feed can never serve a failed attempt's stale diff for a
+    committed version."""
+    import os
+
+    S = "id long, v string"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], S))
+    # stale committed partial at version 1 from a crashed attempt
+    stale = t._changes_dir(1)
+    spark.createDataFrame(
+        [(99, "junk", "insert", 1)],
+        "id long, v string, _change_type string, _commit_version long",
+    ).write.parquet(stale)
+    assert os.path.exists(os.path.join(stale, "_SUCCESS"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], S))
+    assert not os.path.exists(stale)  # removed at commit
+    assert _cf_rows(t.change_feed(["id"], 1)) == {(2, "b", "insert", 1)}
+
+
+def test_vacuum_change_partial_retention(spark, tmp_path):
+    """vacuum(keep_changes=N) bounds the _changes control plane
+    Delta-style: the newest N versions' partials survive, older pulls
+    raise the vacuumed-range error; default retains everything."""
+    import os
+
+    S = "id long, v string"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    rows = [(1, "a")]
+    t.overwrite(spark.createDataFrame(rows, S))
+    for i in range(2, 6):  # versions 1..4
+        rows = rows + [(i, chr(96 + i))]
+        t.overwrite(spark.createDataFrame(rows, S))
+    changes_root = os.path.join(str(tmp_path / "t"), "_changes")
+    assert len(os.listdir(changes_root)) == 4
+    t.vacuum(keep_last=1)  # default: partials all retained
+    assert len(os.listdir(changes_root)) == 4
+    t.vacuum(keep_last=1, keep_changes=2)  # keep v3, v4 only
+    assert sorted(os.listdir(changes_root)) == ["v=00000003", "v=00000004"]
+    assert t.change_feed(["id"], 3).count() == 2
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.change_feed(["id"], 1)
