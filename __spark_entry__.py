@@ -2449,6 +2449,41 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(cat["documents"], threshold=0.5)
 
 
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram CONTAINMENT join (r12,
+    operators/dedup.py ngram_containment_pairs): ordered pairs where
+    ≥80% of the source doc's distinct shingles appear in the target —
+    the sub-document-duplication relation symmetric Jaccard misses (a
+    short doc pasted inside a long one). Asymmetric PPJoin prefix
+    filter (src side indexes its rarest ~20%, build side posts all;
+    recall 1.0), exact array_intersect verification; the oracle runs
+    the full quadratic shingle self-join and must agree pair-for-pair."""
+    from dataeng_azure_spotify_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    cat = _cat(spark, sf_dir)
+    return ngram_containment_pairs(cat["documents"], threshold=0.8)
+
+
+def _ngram_containment_oracle(threshold: float) -> str:
+    # _SHINGLES_CTE is defined further down (the jaccard family's
+    # shared tokenization); resolved at call time, not def time
+    return f"""
+WITH {_SHINGLES_CTE},
+cpairs AS (
+    SELECT a.doc AS doc_src, b.doc AS doc_in,
+           count(*) AS inter, any_value(a.n_sh) AS n_src
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc <> b.doc
+    GROUP BY 1, 2
+)
+SELECT doc_src, doc_in,
+       CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+FROM cpairs
+WHERE CAST(inter AS DOUBLE) / CAST(n_src AS DOUBLE) >= {threshold}
+"""
+
+
 def _neardup_label_index(spark: SparkSession, sf_dir: str):
     """Build-or-load the persisted :class:`NearDupLabels` artifact for
     ``sf_dir`` (threshold 0.5, n=3 — the clusters family's shared
@@ -5524,8 +5559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # last driver window was r9 (the LLM dedup/ANN/curation block,
     # including knn_label_accuracy and pagerank_central_docs, two of the
     # three steal-suspect r11 driver lines — they get fresh lines here).
-    # Position 34 is this round's NEW query (the schema-evolution CDF
-    # twin). Positions 35-50 refill from the r10-certified tier,
+    # Positions 34-35 are this round's NEW queries (the
+    # schema-evolution CDF twin and the directed containment join).
+    # Positions 36-50 refill from the r10-certified tier,
     # funnel_one_pass first (the r11 verdict's weak item gets a fresh
     # driver certification after its A/B). Everything below 50 (the
     # r11-certified tier + remaining r10) stays continuously verified by
@@ -5566,9 +5602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "strip_boilerplate": q_strip_boilerplate,
         "tfidf_top_terms": q_tfidf_top_terms,
-        # --- r12-new (1) ---
+        # --- r12-new (2) ---
         "change_feed_schema_evolution": q_change_feed_schema_evolution,
-        # --- r10-certified refills (16) ---
+        "dedup_ngram_containment": q_dedup_ngram_containment,
+        # --- r10-certified refills (15) ---
         "funnel_one_pass": q_funnel_one_pass,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -5584,9 +5621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_dim": q_date_dim,
         "doc_fingerprints": q_doc_fingerprints,
         "dup_span_stats": q_dup_span_stats,
-        "email_validation": q_email_validation,
         # position 51+ (outside the driver window; oracle-checked by
         # the pytest parity sweeps at sf0.001 every run + sf0.01 slow):
+        "email_validation": q_email_validation,
         "scd2_incremental": q_scd2_incremental,
         "scd2_asof_lookup": q_scd2_asof_lookup,
         "dedup_latest_per_key": q_dedup_latest,
@@ -5680,6 +5717,7 @@ def oracle_sql() -> dict[str, str]:
         "change_feed_schema_evolution": (
             _CHANGE_FEED_SCHEMA_EVOLUTION_ORACLE
         ),
+        "dedup_ngram_containment": _ngram_containment_oracle(0.8),
         "ivm_events_view": _IVM_EVENTS_VIEW_ORACLE,
         "bpe_merge_table": _bpe_merge_oracle(BPE_NUM_MERGES),
         "bpe_tokenize_stats": _bpe_tokenize_oracle(BPE_NUM_MERGES),

@@ -270,6 +270,88 @@ def ngram_jaccard_candidates(
     return sh, candidates
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    broadcast_shingles: bool = False,
+) -> DataFrame:
+    """Directed exact n-gram CONTAINMENT join (r12): all ordered pairs
+    ``(doc_src, doc_in)`` with ``|S(src) ∩ S(in)| / |S(src)| ≥ t`` —
+    the asymmetric near-dup relation Jaccard structurally misses: a
+    short document pasted inside a much longer one has tiny Jaccard
+    (the union is dominated by the long side) but containment ≈ 1.0.
+    This is the sub-document duplication gate a pretraining pipeline
+    runs NEXT TO symmetric dedup (quote farms, boilerplate-wrapped
+    reposts, scraped aggregators).
+
+    Scale shape — the asymmetric prefix filter: only the SRC side's
+    containment is bounded, so only the src side prefix-indexes (its
+    ``|A| − ⌈t·|A|⌉ + 1`` globally-rarest shingles — at t = 0.9 that is
+    ~10% of each doc) while the build side posts ALL its shingles.
+    Recall is 1.0 under any common total order: if none of src's
+    prefix shingles lands in ``in``, the intersection is at most
+    ``⌈t·|A|⌉ − 1 < t·|A|``. Ranking rarest-first keeps the candidate
+    count Σ_{s ∈ prefixes} freq(s) — stop-shingles almost never make a
+    10% prefix — and verification is O(candidates) exact
+    ``array_intersect``, same AQE join-strategy notes as
+    :func:`ngram_jaccard_pairs`. Never all-pairs."""
+    sh = _persist(_doc_shingle_hashes(df, text_col, id_col, n))
+    ex = sh.select("doc", "n_sh", F.explode("hshingles").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
+    ranked = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(
+                F.col("s_freq").asc(), F.col("s").asc()
+            )
+        ),
+    )
+    probe = _persist(
+        ranked.filter(F.col("rk") <= _prefix_len(threshold)).select("doc", "s")
+    )
+    build = ex.select("doc", "s")
+    a, b = probe.alias("a"), build.alias("b")
+    candidates = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc"))
+        )
+        .select(
+            F.col("a.doc").alias("doc_src"), F.col("b.doc").alias("doc_in")
+        )
+        .distinct()
+    )
+    docs = sh.select("doc", F.col("hshingles").alias("shingles"), "n_sh")
+    if broadcast_shingles:
+        docs = F.broadcast(docs)
+    verified = (
+        candidates.join(
+            docs.select(
+                F.col("doc").alias("doc_src"),
+                F.col("shingles").alias("sh_s"),
+                F.col("n_sh").alias("n_src"),
+            ),
+            "doc_src",
+        )
+        .join(
+            docs.select(
+                F.col("doc").alias("doc_in"),
+                F.col("shingles").alias("sh_i"),
+            ),
+            "doc_in",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_s", "sh_i")))
+    )
+    cont = F.col("inter").cast("double") / F.col("n_src").cast("double")
+    return (
+        verified.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_src", "doc_in", "containment")
+    )
+
+
 #: Mersenne modulus for the affine MinHash family h_i(x) = (a_i·x + b_i) mod p.
 MINHASH_P = (1 << 61) - 1
 #: Horner multiplier composing a shingle hash from its token hashes.

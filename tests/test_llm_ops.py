@@ -2382,3 +2382,61 @@ def test_substring_index_rewrite_streaming_excision(spark, tmp_path):
         0,
         "",
     )
+
+
+def test_ngram_containment_directed_subdocument(spark):
+    """r12: containment catches the sub-document relation Jaccard
+    misses — a short doc pasted inside a much longer one has
+    containment(short→long) = 1.0 but small Jaccard — and the result
+    is exactly the brute-force quadratic shingle comparison (prefix
+    filter recall 1.0)."""
+    from dataeng_azure_spotify_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "zero one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=short),
+            Row(doc_id=2, text=long),
+            Row(doc_id=3, text="unrelated words entirely different content here"),
+        ]
+    )
+    got = {
+        (r.doc_src, r.doc_in): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}  # directed: short ⊂ long only
+    # the symmetric jaccard of the same pair is far below 0.9
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) not in jac
+
+    # brute-force parity on the shared fixture at a loose threshold
+    from dataeng_azure_spotify_spark.operators.dedup import (
+        _doc_shingle_hashes,
+    )
+
+    d4 = _docs(spark)
+    sh = {
+        r.doc: set(r.hshingles)
+        for r in _doc_shingle_hashes(d4, "text", "doc_id", 3).collect()
+    }
+    brute = {
+        (a, b): len(sh[a] & sh[b]) / len(sh[a])
+        for a in sh
+        for b in sh
+        if a != b and len(sh[a] & sh[b]) / len(sh[a]) >= 0.3
+    }
+    got4 = {
+        (r.doc_src, r.doc_in): r.containment
+        for r in ngram_containment_pairs(d4, threshold=0.3).collect()
+    }
+    assert got4 == brute
