@@ -298,30 +298,8 @@ def ngram_containment_pairs(
     10% prefix — and verification is O(candidates) exact
     ``array_intersect``, same AQE join-strategy notes as
     :func:`ngram_jaccard_pairs`. Never all-pairs."""
-    sh = _persist(_doc_shingle_hashes(df, text_col, id_col, n))
-    ex = sh.select("doc", "n_sh", F.explode("hshingles").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
-    ranked = ex.join(freq, "s").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc").orderBy(
-                F.col("s_freq").asc(), F.col("s").asc()
-            )
-        ),
-    )
-    probe = _persist(
-        ranked.filter(F.col("rk") <= _prefix_len(threshold)).select("doc", "s")
-    )
-    build = ex.select("doc", "s")
-    a, b = probe.alias("a"), build.alias("b")
-    candidates = (
-        a.join(
-            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc"))
-        )
-        .select(
-            F.col("a.doc").alias("doc_src"), F.col("b.doc").alias("doc_in")
-        )
-        .distinct()
+    sh, candidates = ngram_containment_candidates(
+        df, text_col, id_col, n, threshold
     )
     docs = sh.select("doc", F.col("hshingles").alias("shingles"), "n_sh")
     if broadcast_shingles:
@@ -350,6 +328,47 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_src", "doc_in", "containment")
     )
+
+
+def ngram_containment_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> tuple[DataFrame, DataFrame]:
+    """The asymmetric-prefix candidate stage of
+    :func:`ngram_containment_pairs`, exposed for scale diagnostics
+    (the :func:`ngram_jaccard_candidates` pattern): returns
+    ``(shingle table, directed candidate pairs)``. Only the SRC side
+    prefix-indexes (its containment is the bounded one); the build
+    side posts every shingle."""
+    sh = _persist(_doc_shingle_hashes(df, text_col, id_col, n))
+    ex = sh.select("doc", "n_sh", F.explode("hshingles").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
+    ranked = ex.join(freq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(
+                F.col("s_freq").asc(), F.col("s").asc()
+            )
+        ),
+    )
+    probe = _persist(
+        ranked.filter(F.col("rk") <= _prefix_len(threshold)).select("doc", "s")
+    )
+    build = ex.select("doc", "s")
+    a, b = probe.alias("a"), build.alias("b")
+    candidates = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") != F.col("b.doc"))
+        )
+        .select(
+            F.col("a.doc").alias("doc_src"), F.col("b.doc").alias("doc_in")
+        )
+        .distinct()
+    )
+    return sh, candidates
 
 
 #: Mersenne modulus for the affine MinHash family h_i(x) = (a_i·x + b_i) mod p.

@@ -181,6 +181,12 @@ def scale_measure(spark, n: int, max_hamming: int = 6) -> dict:
     _, mh_cand = D.minhash_lsh_candidates(corpus, n=3)
     mh_candidates = mh_cand.count()
 
+    # directed containment (r12): asymmetric prefix filter at t=0.8 —
+    # candidates must track true directed pairs, not corpus²
+    csh, c_cand = D.ngram_containment_candidates(corpus, n=3, threshold=0.8)
+    cont_candidates = c_cand.count()
+    cont_pairs = D.ngram_containment_pairs(corpus, n=3, threshold=0.8).count()
+
     sim_pairs = D.simhash_neardup_pairs(corpus, max_hamming=max_hamming).count()
     bands = D.simhash_bands(D.simhash_fingerprints(corpus), max_hamming)
     a, b = bands.alias("a"), bands.alias("b")
@@ -230,6 +236,8 @@ def scale_measure(spark, n: int, max_hamming: int = 6) -> dict:
         "true_pairs": true_pairs,
         "jac_candidates": jac_candidates,
         "mh_candidates": mh_candidates,
+        "cont_pairs": cont_pairs,
+        "cont_candidates": cont_candidates,
         "sim_pairs": sim_pairs,
         "sim_raw": sim_raw,
         "sim_raw_model": round(simhash_raw_model(n_docs, max_hamming)),

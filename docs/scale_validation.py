@@ -41,6 +41,8 @@ def main() -> None:
         ("true pairs (J≥0.5)", "true_pairs"),
         ("PPJoin candidates", "jac_candidates"),
         ("MinHash-LSH candidates", "mh_candidates"),
+        ("containment pairs (C≥0.8)", "cont_pairs"),
+        ("containment candidates", "cont_candidates"),
         ("SimHash pairs (H≤6)", "sim_pairs"),
         ("SimHash raw compares", "sim_raw"),
         ("raw model Σ C(n,2)/2^bits", "sim_raw_model"),

@@ -80,6 +80,13 @@ def test_candidate_growth_linear_not_quadratic_10x_100x(spark):
         assert lo[k] <= lo["true_pairs"] * 1.02, (k, lo)
         assert hi[k] <= hi["true_pairs"] * 1.02, (k, hi)
 
+    # directed containment (r12): the asymmetric prefix filter must
+    # likewise keep candidates at true directed-pair mass (linear), not
+    # probe-prefix × corpus
+    assert lo["cont_candidates"] <= lo["cont_pairs"] * 1.02, lo
+    assert hi["cont_candidates"] <= hi["cont_pairs"] * 1.02, hi
+    assert hi["cont_pairs"] / lo["cont_pairs"] <= growth * 1.2
+
     # SimHash: the POST-FILTER pair set grows linearly ...
     assert hi["sim_pairs"] / lo["sim_pairs"] <= growth * 1.2
     # ... while the raw in-join comparison volume is quadratic over the
