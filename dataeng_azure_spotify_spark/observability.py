@@ -16,7 +16,6 @@ way. The KQL alert queries become plain DataFrame queries over the log
 from __future__ import annotations
 
 import datetime as dt
-import re
 import traceback
 from typing import Any, Callable, Mapping
 
@@ -122,17 +121,12 @@ class AdmissionFunnelLog:
 
     @staticmethod
     def _safe_run_id(run_id: str) -> str:
-        """``run_id`` names an output directory — the same traversal
-        guard :func:`...operators.ivm._safe_run_dir` applies ('/' or
-        '..' would write outside the funnel dir and break the
-        recursive read)."""
-        run_id = str(run_id)
-        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", run_id):
-            raise ValueError(
-                "run_id must be 1-128 chars of [A-Za-z0-9._-] — it "
-                f"names a funnel directory (got {run_id!r})"
-            )
-        return run_id
+        """``run_id`` names an output directory — the shared
+        artifact-tier traversal guard applies ('/' or '..' would write
+        outside the funnel dir and break the recursive read)."""
+        from dataeng_azure_spotify_spark.statefs import validate_run_id
+
+        return validate_run_id(run_id, what="funnel")
 
     def record(self, run_id: str, rows: "list[dict]") -> None:
         """Land one epoch's funnel (chain-ordered gate dicts with
@@ -169,13 +163,20 @@ class AdmissionFunnelLog:
         """Land a BATCH pipeline run's per-stage audit counts under
         the SAME schema the streaming chain uses (r12, one funnel
         surface for both halves): ``stage_counts`` is the ordered
-        ``{stage: surviving_rows}`` map :meth:`...plans.pipeline.
-        Pipeline.run` returns (stages in execution order — Python
-        dicts preserve it), ``n_input`` the row count fed to the
-        first stage. Each stage's ``n_in`` is the previous stage's
-        survivor count, so the recorded funnel telescopes exactly
-        like the streaming one. Idempotent per-run overwrite, same
-        as :meth:`record`.
+        ``{stage: surviving_rows}`` map a LINEAR
+        :meth:`...plans.pipeline.Pipeline.run` returns (stages in
+        execution order — Python dicts preserve it), ``n_input`` the
+        row count fed to the first stage. Each stage's ``n_in`` is
+        the previous entry's survivor count, so the recorded funnel
+        telescopes exactly like the streaming one. Idempotent
+        per-run overwrite, same as :meth:`record`.
+
+        LINEAR CHAINS ONLY: the telescoping inference assumes each
+        stage consumes the previous entry's output (true of
+        ``plans/llm_corpus.py``, the primary producer). A BRANCHING
+        DAG (two gates both reading one upstream stage) would record
+        the wrong ``n_in`` for the second branch — pass explicit
+        per-stage dicts through :meth:`record` for those instead.
 
         Non-monotone stages (a shard/explode stage can EMIT more rows
         than it read) record a negative ``n_rejected`` — faithful

@@ -242,13 +242,33 @@ def ngram_jaccard_candidates(
     prefix-filter's sub-quadratic growth claim is validated empirically
     (tests/test_scale_stress.py, docs/scale_validation.py).
     """
-    # work on 64-bit shingle hashes, not strings: the inverted-index join,
-    # the prefix window, and the verification intersect all become integer
-    # comparisons. The hash is internal only — the prefix-filter recall
-    # guarantee holds for ANY global total order, and verification counts
-    # exact intersections — so the final pair set matches the string-based
-    # oracle modulo 2^-64 collisions. xxhash64 is computed straight from
-    # the n token strings (native, no gram-string allocation, no md5 hex).
+    sh, idx = _prefix_index(df, text_col, id_col, n, threshold)
+    a, b = idx.alias("a"), idx.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return sh, candidates
+
+
+def _prefix_index(
+    df: DataFrame, text_col: str, id_col: str, n: int, threshold: float
+) -> "tuple[DataFrame, DataFrame]":
+    """THE shared prefix-filter machinery for the jaccard and
+    containment joins (one copy of the discipline): returns the
+    persisted shingle table plus the per-doc prefix inverted index —
+    each doc's ``|A| − ⌈t·|A|⌉ + 1`` globally-rarest shingles under the
+    (frequency asc, shingle asc) total order.
+
+    Works on 64-bit shingle hashes, not strings: the inverted-index
+    join, the prefix window, and the verification intersect all become
+    integer comparisons. The hash is internal only — the prefix-filter
+    recall guarantee holds for ANY global total order, and verification
+    counts exact intersections — so the final pair set matches the
+    string-based oracle modulo 2^-64 collisions. xxhash64 is computed
+    straight from the n token strings (native, no gram-string
+    allocation, no md5 hex)."""
     sh = _persist(_doc_shingle_hashes(df, text_col, id_col, n))
     ex = sh.select("doc", "n_sh", F.explode("hshingles").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
@@ -261,13 +281,7 @@ def ngram_jaccard_candidates(
     idx = _persist(
         ranked.filter(F.col("rk") <= _prefix_len(threshold)).select("doc", "s")
     )
-    a, b = idx.alias("a"), idx.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    return sh, candidates
+    return sh, idx
 
 
 def ngram_containment_pairs(
@@ -301,6 +315,21 @@ def ngram_containment_pairs(
     sh, candidates = ngram_containment_candidates(
         df, text_col, id_col, n, threshold
     )
+    return _verify_containment(
+        candidates, sh, threshold, broadcast_shingles=broadcast_shingles
+    )
+
+
+def _verify_containment(
+    candidates: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    broadcast_shingles: bool = False,
+) -> DataFrame:
+    """Exact containment for candidate ``(doc_src, doc_in)`` pairs only
+    — the directed twin of :func:`_verify_jaccard` (same
+    ``array_intersect`` shape and AQE join-strategy rationale; the
+    denominator is the SRC side's shingle count, not the union)."""
     docs = sh.select("doc", F.col("hshingles").alias("shingles"), "n_sh")
     if broadcast_shingles:
         docs = F.broadcast(docs)
@@ -342,22 +371,10 @@ def ngram_containment_candidates(
     (the :func:`ngram_jaccard_candidates` pattern): returns
     ``(shingle table, directed candidate pairs)``. Only the SRC side
     prefix-indexes (its containment is the bounded one); the build
-    side posts every shingle."""
-    sh = _persist(_doc_shingle_hashes(df, text_col, id_col, n))
-    ex = sh.select("doc", "n_sh", F.explode("hshingles").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
-    ranked = ex.join(freq, "s").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc").orderBy(
-                F.col("s_freq").asc(), F.col("s").asc()
-            )
-        ),
-    )
-    probe = _persist(
-        ranked.filter(F.col("rk") <= _prefix_len(threshold)).select("doc", "s")
-    )
-    build = ex.select("doc", "s")
+    side posts every shingle (re-exploded from the persisted shingle
+    table — cheap lineage, no second corpus scan)."""
+    sh, probe = _prefix_index(df, text_col, id_col, n, threshold)
+    build = sh.select("doc", F.explode("hshingles").alias("s"))
     a, b = probe.alias("a"), build.alias("b")
     candidates = (
         a.join(

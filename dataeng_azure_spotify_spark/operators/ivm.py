@@ -31,7 +31,6 @@ aggregate for those.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -40,12 +39,9 @@ _MULT = "__mult"
 
 
 def _safe_run_dir(run_id: str) -> str:
-    if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", run_id):
-        raise ValueError(
-            "run_id must be 1-128 chars of [A-Za-z0-9._-] — it names a "
-            f"state directory (got {run_id!r})"
-        )
-    return f"run={run_id}"
+    from dataeng_azure_spotify_spark.statefs import validate_run_id
+
+    return f"run={validate_run_id(run_id, what='state')}"
 
 
 class MaterializedAggregate:
@@ -183,30 +179,52 @@ class MaterializedAggregate:
             return 0
         return int(fs.read_bytes(self._marker_path()).decode().strip())
 
-    def compact(self, spark: SparkSession) -> None:
+    def _committed_cdf_versions(self, fs, run_prefix: str) -> "set[int]":
+        """Versions with a COMMITTED ``run={prefix}N`` partial
+        (``_SUCCESS`` present — a crashed apply must not count)."""
+        pref = f"run={run_prefix}"
+        out = set()
+        for d in (
+            fs.listdir(self.state_dir) if fs.isdir(self.state_dir) else ()
+        ):
+            if not (d.startswith(pref) and d[len(pref):].isdigit()):
+                continue
+            if fs.exists(os.path.join(self.state_dir, d, "_SUCCESS")):
+                out.add(int(d[len(pref):]))
+        return out
+
+    def compact(
+        self, spark: SparkSession, run_prefix: str = "cdf-v"
+    ) -> None:
         """Fold all run partials into a single baseline run. Not safe
         concurrently with a writer (same caveat as
         ``streaming.anomaly.AnomalyMonitor.compact_state``). The
-        ``_synced_upto`` marker is carried into the compacted state so
-        a later :meth:`sync` still knows which table versions the
-        baseline already contains."""
+        ``_synced_upto`` marker survives the fold — and, because the
+        fold erases the ``run={run_prefix}N`` partitions that record
+        which table versions were applied, the marker is first
+        advanced to the highest committed change-feed version being
+        folded (covers views maintained via :meth:`apply_change_feed`
+        directly, where no :meth:`sync` ever wrote a marker): without
+        this, the next ``sync`` would re-pull every commit onto the
+        baseline and silently double-count."""
         from dataeng_azure_spotify_spark.sources.layout import atomic_swap_dir
         from dataeng_azure_spotify_spark.statefs import statefs_for
 
         fs = statefs_for(self.state_dir, spark)
-        marker = (
-            fs.read_bytes(self._marker_path())
-            if fs.exists(self._marker_path())
-            else None
-        )
+        marker = self._synced_upto(fs)
+        cdf = self._committed_cdf_versions(fs, run_prefix)
+        marker = max(marker, max(cdf) if cdf else 0)
         folded = self._folded(spark).filter(F.col(_MULT) != 0)
 
         def _write(tmp: str) -> None:
             folded.write.mode("overwrite").parquet(
                 os.path.join(tmp, "run=baseline")
             )
-            if marker is not None:
-                fs.write_atomic(os.path.join(tmp, self._SYNC_MARKER), marker)
+            if marker > 0:
+                fs.write_atomic(
+                    os.path.join(tmp, self._SYNC_MARKER),
+                    str(marker).encode(),
+                )
 
         atomic_swap_dir(self.state_dir, _write)
 
@@ -311,18 +329,8 @@ class MaterializedAggregate:
                 "cdf_keys (one table, one key definition)"
             )
         fs = statefs_for(self.state_dir, spark)
-        pref = f"run={run_prefix}"
         marker = self._synced_upto(fs)
-        applied = set()
-        for d in (
-            fs.listdir(self.state_dir) if fs.isdir(self.state_dir) else ()
-        ):
-            if not (d.startswith(pref) and d[len(pref):].isdigit()):
-                continue
-            if fs.exists(
-                os.path.join(self.state_dir, d, "_SUCCESS")
-            ):  # committed partial; crashed ones re-derive below
-                applied.add(int(d[len(pref):]))
+        applied = self._committed_cdf_versions(fs, run_prefix)
         hist = table.history()
         live = max(
             n for n in (table._snap_n(d) for d in hist) if n is not None
@@ -335,10 +343,24 @@ class MaterializedAggregate:
         while frm in applied:
             frm += 1
         if frm > live:
+            # already current — but STILL advance the marker over the
+            # committed run partitions we just skipped: a crash between
+            # a prior apply and its marker write (or a view maintained
+            # via apply_change_feed directly) would otherwise leave the
+            # marker behind forever, and a later compact() folding
+            # those partitions away would reopen the double-count
+            # window this marker exists to close
+            if frm - 1 > marker:
+                fs.makedirs(self.state_dir)
+                fs.write_atomic(self._marker_path(), str(frm - 1).encode())
             return []
         out = self.apply_change_feed(
             table.change_feed(keys, frm, live), run_prefix=run_prefix
         )
+        # an empty change window writes no run partition (and may not
+        # even have created state_dir) — the marker write must not
+        # depend on it
+        fs.makedirs(self.state_dir)
         fs.write_atomic(self._marker_path(), str(live).encode())
         return out
 

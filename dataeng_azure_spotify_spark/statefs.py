@@ -46,6 +46,19 @@ def has_scheme(path: str) -> bool:
     return bool(_SCHEME_RE.match(str(path)))
 
 
+def validate_run_id(run_id: str, what: str = "state") -> str:
+    """THE run-id traversal guard (one copy — ``operators/ivm`` and
+    ``observability`` both build directory names from caller-supplied
+    run ids; '/' or '..' would write outside the artifact tier)."""
+    run_id = str(run_id)
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", run_id):
+        raise ValueError(
+            "run_id must be 1-128 chars of [A-Za-z0-9._-] — it names "
+            f"a {what} directory (got {run_id!r})"
+        )
+    return run_id
+
+
 class LocalStateFS:
     """Driver-local POSIX implementation — the default, byte-for-byte
     the behavior the control plane always had."""

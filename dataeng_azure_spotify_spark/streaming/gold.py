@@ -173,11 +173,16 @@ class ParquetSnapshotTable:
         """Resolve the live snapshot name: highest versioned pointer
         file wins; retried on a read/list race with post-commit
         cleanup; legacy single-file ``_current`` is the fallback for
-        pre-r12 layouts."""
-        for _ in range(3):
+        PRE-r12 layouts ONLY — once versioned pointers exist the
+        legacy file is advisory (refreshed best-effort after each
+        commit, so a crash inside that window leaves it one version
+        behind) and must never be served in their place."""
+        saw_versioned = False
+        for _ in range(5):
             ptrs = self._ptr_files()
             if not ptrs:
                 break
+            saw_versioned = True
             try:
                 return (
                     self.fs.read_bytes(os.path.join(self.base, ptrs[-1]))
@@ -191,6 +196,15 @@ class ParquetSnapshotTable:
                 if self.fs.exists(os.path.join(self.base, ptrs[-1])):
                     raise
                 continue
+        if saw_versioned:
+            # retries exhausted against live churn; the stale legacy
+            # file would silently serve an OLD snapshot — refuse
+            raise OSError(
+                f"_live: versioned pointers in {self.base} kept "
+                "retiring between list and read after 5 attempts — "
+                "retry the read; refusing the (possibly stale) legacy "
+                "pointer"
+            )
         if self.fs.exists(self._pointer):
             return self.fs.read_bytes(self._pointer).decode().strip()
         return None

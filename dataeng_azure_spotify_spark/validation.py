@@ -185,7 +185,9 @@ def scale_measure(spark, n: int, max_hamming: int = 6) -> dict:
     # candidates must track true directed pairs, not corpus²
     csh, c_cand = D.ngram_containment_candidates(corpus, n=3, threshold=0.8)
     cont_candidates = c_cand.count()
-    cont_pairs = D.ngram_containment_pairs(corpus, n=3, threshold=0.8).count()
+    # verify from the candidates already built — re-calling
+    # ngram_containment_pairs would re-run the whole candidate stage
+    cont_pairs = D._verify_containment(c_cand, csh, 0.8).count()
 
     sim_pairs = D.simhash_neardup_pairs(corpus, max_hamming=max_hamming).count()
     bands = D.simhash_bands(D.simhash_fingerprints(corpus), max_hamming)

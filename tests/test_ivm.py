@@ -292,3 +292,73 @@ def test_apply_delta_names_missing_columns(spark, tmp_path):
         mat.apply_delta(
             spark.createDataFrame([("a",)], "k string"), run_id="r0"
         )
+
+
+def test_sync_marker_advances_on_noop_and_direct_feed_paths(spark, tmp_path):
+    """Review r12: the marker must advance even when sync() has
+    nothing to pull (crash between a prior apply and its marker
+    write), and compact() must derive it from the committed run
+    partitions when the view was maintained via apply_change_feed
+    directly — both otherwise reopen the compact-then-double-count
+    window."""
+    import os
+
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    S = "id long, k string, v double"
+    # path 1: sync, crash before marker write (simulated by deleting
+    # the marker), re-sync -> [] but marker recreated; compact safe
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    mat = MaterializedAggregate(
+        str(tmp_path / "s1"), keys=["k"], sums={"total": "v"}
+    )
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], S))
+    mat.apply_delta(t.read_version(0), run_id="cdf-v0")
+    t.overwrite(spark.createDataFrame([(1, "a", 2.0)], S))
+    assert mat.sync(spark, t) == [1]
+    os.remove(mat._marker_path())  # crash-between-apply-and-marker
+    assert mat.sync(spark, t) == []
+    assert os.path.exists(mat._marker_path())  # marker recovered
+    before = _view(spark, mat)
+    mat.compact(spark)
+    assert mat.sync(spark, t) == []
+    assert _view(spark, mat) == before
+
+    # path 2: apply_change_feed directly (no sync, no marker), then
+    # compact -> marker derived from the folded run partitions
+    mat2 = MaterializedAggregate(
+        str(tmp_path / "s2"), keys=["k"], sums={"total": "v"}
+    )
+    mat2.apply_delta(t.read_version(0), run_id="cdf-v0")
+    mat2.apply_change_feed(t.change_feed(["id"], 1))
+    mat2.compact(spark)
+    assert mat2.sync(spark, t) == []  # folded v1 not re-pulled
+    assert _view(spark, mat2) == before
+
+
+def test_sync_empty_change_window_writes_marker_without_state_crash(
+    spark, tmp_path
+):
+    """Review r12: a no-op commit yields an EMPTY change window —
+    apply_change_feed writes no run partition, so the marker write
+    must create the state dir itself instead of crashing."""
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    S = "id long, k string, v double"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    rows = [(1, "a", 1.0)]
+    t.overwrite(spark.createDataFrame(rows, S))
+    t.overwrite(spark.createDataFrame(rows, S))  # v1: no-op commit
+    mat = MaterializedAggregate(
+        str(tmp_path / "view"), keys=["k"], sums={"total": "v"}
+    )
+    assert mat.sync(spark, t) == []  # empty window, no crash
+    # marker recorded the scanned-through version; a later sync after
+    # a REAL commit pulls only that commit
+    t.overwrite(spark.createDataFrame([(1, "a", 5.0)], S))
+    mat.apply_delta(t.read_version(0), run_id="seed")
+    assert mat.sync(spark, t) == [2]
