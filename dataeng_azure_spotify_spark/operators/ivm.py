@@ -202,18 +202,53 @@ class MaterializedAggregate:
         ``_synced_upto`` marker survives the fold — and, because the
         fold erases the ``run={run_prefix}N`` partitions that record
         which table versions were applied, the marker is first
-        advanced to the highest committed change-feed version being
-        folded (covers views maintained via :meth:`apply_change_feed`
-        directly, where no :meth:`sync` ever wrote a marker): without
-        this, the next ``sync`` would re-pull every commit onto the
-        baseline and silently double-count."""
+        advanced across the contiguous prefix of committed change-feed
+        versions being folded (covers views maintained via
+        :meth:`apply_change_feed` directly, where no :meth:`sync` ever
+        wrote a marker): without this, the next ``sync`` would re-pull
+        every commit onto the baseline and silently double-count.
+        Uncommitted (crashed, ``_SUCCESS``-less) version partials are
+        removed before folding — they are re-derived by the next
+        ``sync`` — and committed versions stranded ABOVE such a gap
+        refuse the compact loudly (folding them would double-count
+        once sync re-pulls the gap)."""
         from dataeng_azure_spotify_spark.sources.layout import atomic_swap_dir
         from dataeng_azure_spotify_spark.statefs import statefs_for
 
         fs = statefs_for(self.state_dir, spark)
         marker = self._synced_upto(fs)
         cdf = self._committed_cdf_versions(fs, run_prefix)
-        marker = max(marker, max(cdf) if cdf else 0)
+        # A crashed apply leaves an uncommitted (_SUCCESS-less)
+        # run={prefix}N directory whose task-committed fragments
+        # _folded would sweep into the baseline — and sync, seeing the
+        # version as not applied, would re-derive it on top: a silent
+        # double count. Remove uncommitted version dirs before folding.
+        pref = f"run={run_prefix}"
+        for d in fs.listdir(self.state_dir) if fs.isdir(self.state_dir) else ():
+            if (
+                d.startswith(pref)
+                and d[len(pref):].isdigit()
+                and int(d[len(pref):]) not in cdf
+            ):
+                fs.rmtree(os.path.join(self.state_dir, d))
+        # The marker may only advance across a CONTIGUOUS committed
+        # prefix: with committed {1,3} and a crashed v2, max(cdf)=3
+        # would skip v2 forever (sync resumes from marker+1). Committed
+        # versions above a gap cannot be folded either — they would be
+        # baked into the baseline and re-derived when sync re-pulls the
+        # gap — so non-contiguity is a loud error, not a fold.
+        upto = marker
+        while upto + 1 in cdf:
+            upto += 1
+        above_gap = sorted(v for v in cdf if v > upto + 1)
+        if above_gap:
+            raise ValueError(
+                f"MaterializedAggregate.compact at {self.state_dir!r}: "
+                f"committed change-feed versions {above_gap} sit above "
+                f"the uncommitted gap at version {upto + 1} — run "
+                "sync() to re-derive the gap before compacting"
+            )
+        marker = upto
         folded = self._folded(spark).filter(F.col(_MULT) != 0)
 
         def _write(tmp: str) -> None:

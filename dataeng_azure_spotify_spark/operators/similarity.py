@@ -98,22 +98,174 @@ def cosine_topk(
     e.g. IVF probe routing, where a query whose id happens to equal a
     centroid id must still probe that centroid's bucket.
     Ties break by neighbor_id ascending (total order → deterministic).
-    The query side broadcasts; scoring is a broadcast nested-loop join
-    with the dot product inlined as one codegen'd expression — the only
-    shuffle in the plan is the per-query rank window.
+
+    Physical shape (r13): the corpus pass is ONE Arrow-batched
+    ``mapInPandas`` GEMM over ``(id, vec)`` only — each batch emits the
+    per-query candidates whose float64 cosine is within ``1e-6`` of the
+    batch's k-th best (a provable superset of the exact top-k: float64
+    GEMM error is ≤ ~1e-13 for 64-d unit-scale vectors and the decimal
+    ranking's own rounding granularity is 1e-12, both orders of
+    magnitude inside the margin). Only the surviving candidates —
+    O(queries × k × batches) rows, corpus-size-independent per batch —
+    pay the exact DECIMAL fold and the rank window, so the result is
+    bit-identical to the previous full decimal nested-loop at a small
+    fraction of its cost (the decimal fold is an interpreted
+    higher-order expression; the GEMM is BLAS). Rows the float pass
+    cannot certify (null/odd-width/non-finite vectors, zero norms, and
+    whole batches when numpy is unavailable) are passed through as
+    unconditional candidates — the decimal phase, which is the old
+    scoring expression verbatim, remains the single source of truth.
+
+    The query side is collected to the driver (same bound as the
+    ``F.broadcast`` the previous shape used — the interactive-search
+    contract |queries| << |corpus| unchanged).
 
     ``exact=False`` swaps the decimal fold for double arithmetic —
     used by internal approximate stages (IVF probes) where cross-engine
-    bit-reproducibility isn't part of the contract.
+    bit-reproducibility isn't part of the contract; that path keeps the
+    one-pass broadcast nested-loop (its corpus side — e.g. a centroid
+    table — is small).
     """
-    dot = _dot if exact else _dot_double
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if not exact or (
+        dict(corpus.dtypes)[id_col] not in integral
+        or dict(queries.dtypes)[id_col] not in integral
+    ):
+        # exact=False (small corpus side, e.g. centroid routing) and
+        # non-integral-id corpora keep the one-pass broadcast
+        # nested-loop; the GEMM prefilter needs numpy-representable ids
+        dot = _dot if exact else _dot_double
+        qf = _with_norm(queries, id_col, vec_col, "q")
+        cf = _with_norm(corpus, id_col, vec_col, "c")
+        scored = F.broadcast(qf).crossJoin(cf)
+        if exclude_self:
+            scored = scored.filter(F.col("q_id") != F.col("c_id"))
+        scored = scored.withColumn("dot", dot(F.col("q_vec"), F.col("c_vec")))
+        return _rank_topk(scored, k)
+    cand = _topk_candidates_gemm(queries, corpus, id_col, vec_col, k)
     qf = _with_norm(queries, id_col, vec_col, "q")
-    cf = _with_norm(corpus, id_col, vec_col, "c")
-    scored = F.broadcast(qf).crossJoin(cf)
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "c_id",
+        )
+        .join(F.broadcast(qf), "q_id")
+        .withColumn("c_norm", _norm(F.col("c_vec")))
+    )
     if exclude_self:
         scored = scored.filter(F.col("q_id") != F.col("c_id"))
-    scored = scored.withColumn("dot", dot(F.col("q_vec"), F.col("c_vec")))
+    scored = scored.withColumn("dot", _dot(F.col("q_vec"), F.col("c_vec")))
     return _rank_topk(scored, k)
+
+
+#: candidate margin for the float64 prefilter — see cosine_topk: true
+#: error sources are ≤ ~1e-12 (GEMM float error + the decimal ranking's
+#: 12-dp rounding granularity); 1e-6 leaves six orders of headroom and
+#: still admits only near-ties.
+_GEMM_MARGIN = 1e-6
+
+
+def _topk_candidates_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """(q_id, c_id) candidate pairs — a provable superset of the exact
+    cosine top-k (see :func:`cosine_topk`). One Arrow pass over the
+    corpus' ``(id, vec)`` columns; per batch, per query, keeps rows
+    within ``_GEMM_MARGIN`` of the batch's (k+1)-th best float64 cosine
+    (+1 pads for a possible self-match) plus every row float64 cannot
+    certify (non-finite cosine, null/odd-width vectors)."""
+    import numpy as np
+    import pandas as pd
+
+    # the same driver bound as the F.broadcast(qf) the one-pass shape
+    # used — broadcast also collects to the driver:
+    qrows = queries.select(id_col, vec_col).collect()  # O(queries)
+    good_q, weird_q = [], []
+    dim = None
+    for r in qrows:
+        v = r[1]
+        if v is not None and dim is None:
+            dim = len(v)
+        if v is None or (dim is not None and len(v) != dim):
+            weird_q.append(r[0])
+        else:
+            good_q.append((r[0], v))
+    # dimension consensus: queries disagreeing with the first seen width
+    # are weird; corpus rows are checked against the same width
+    qm = (
+        np.array([v for _, v in good_q], dtype=np.float64)
+        if good_q
+        else np.zeros((0, dim or 1))
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qn = np.sqrt((qm * qm).sum(axis=1))
+    q_ids = np.array([i for i, _ in good_q], dtype=np.int64)
+    eff_k = k + 1  # self-match pad; extra candidates are harmless
+    margin = _GEMM_MARGIN
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            n = len(ids)
+            ok = np.ones(n, dtype=bool)
+            for i in range(n):
+                v = vecs[i]
+                if v is None or len(v) != (dim or 0):
+                    ok[i] = False
+            out_q, out_c = [], []
+            if weird_q:
+                # a query float64 can't score probes everything
+                for wq in weird_q:
+                    out_q.append(np.full(n, wq, dtype=np.int64))
+                    out_c.append(ids)
+            if n and len(q_ids):
+                good_ids = ids[ok]
+                if len(good_ids):
+                    M = np.array(list(vecs[ok]), dtype=np.float64)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        mn = np.sqrt((M * M).sum(axis=1))
+                        cos = (qm @ M.T) / (qn[:, None] * mn[None, :])
+                    finite = np.isfinite(cos)
+                    for qi in range(len(q_ids)):
+                        row = cos[qi]
+                        frow = finite[qi]
+                        fin_vals = row[frow]
+                        if len(fin_vals) > eff_k:
+                            thr = np.partition(fin_vals, -eff_k)[-eff_k]
+                            keep = (~frow) | (row >= thr - margin)
+                        else:
+                            keep = np.ones(len(row), dtype=bool)
+                        kept = good_ids[keep]
+                        out_q.append(np.full(len(kept), q_ids[qi]))
+                        out_c.append(kept)
+                bad_ids = ids[~ok]
+                if len(bad_ids):
+                    # rows float64 can't score: candidates for every query
+                    for qid in q_ids:
+                        out_q.append(np.full(len(bad_ids), qid))
+                        out_c.append(bad_ids)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "c_id": np.concatenate(out_c),
+                    }
+                )
+
+    q_id_type = dict(queries.dtypes)[id_col]
+    c_id_type = dict(corpus.dtypes)[id_col]
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(gen, f"q_id {q_id_type}, c_id {c_id_type}")
+        .distinct()  # duplicate corpus ids must not multiply the join
+    )
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

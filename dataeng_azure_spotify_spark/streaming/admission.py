@@ -168,31 +168,24 @@ class SemanticGateStage:
             )
         # duplicate embedding rows for one id would MULTIPLY batch rows
         # through the left join — a document admitted (and written to
-        # the corpus sink) more than once. Validate once, at
-        # construction (one aggregate job over the embeddings table per
-        # stream, not per epoch — the same dup-key discipline
-        # ParquetSnapshotTable applies at commit time).
+        # the corpus sink) more than once. The r12 construction-time
+        # scan was point-in-time over a lazily-read source (duplicates
+        # appearing AFTER construction still multiplied rows) and paid
+        # a full-table job even when the stream never started (ADVICE
+        # r12). The guard is now LIVE: the join side pre-aggregates to
+        # one row per id carrying its duplicate count, and admit()
+        # raises in-join the moment a batch touches a duplicated id —
+        # every epoch checks exactly the rows it reads, no extra job.
         from pyspark.sql import functions as F
 
-        dup = (
-            embeddings.groupBy(id_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"SemanticGateStage: embeddings table has duplicate "
-                f"rows for {id_col}={dup[0][0]!r} — one embedding per "
-                "document (dropDuplicates upstream with an explicit "
-                "pick rule if the table is multi-versioned)"
-            )
         self.inner = inner
         self.id_col = id_col
         self.vec_col = vec
         self.missing_embedding = missing_embedding
-        self.embeddings = embeddings.select(id_col, vec)
+        self.embeddings = embeddings.select(id_col, vec).groupBy(id_col).agg(
+            F.first(vec).alias(vec),
+            F.count(F.lit(1)).alias("__n_emb"),
+        )
 
     def admit(self, batch: DataFrame, run_id: str | None = None) -> DataFrame:
         from pyspark.sql import functions as F
@@ -203,7 +196,33 @@ class SemanticGateStage:
                 f"{self.vec_col!r} — pre-joined flows should pass the "
                 "inner gate directly (via extra_stages), not re-join"
             )
-        joined = batch.join(self.embeddings, self.id_col, "left")
+        joined = (
+            batch.join(self.embeddings, self.id_col, "left")
+            .withColumn(
+                self.vec_col,
+                # live duplicate-id guard (see __init__): NULL __n_emb
+                # (no embedding row) falls through to the missing logic
+                F.when(
+                    F.col("__n_emb") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "SemanticGateStage: embeddings table has "
+                                f"duplicate rows for {self.id_col}="
+                            ),
+                            F.col(self.id_col).cast("string"),
+                            F.lit(
+                                " — one embedding per document "
+                                "(dropDuplicates upstream with an "
+                                "explicit pick rule if the table is "
+                                "multi-versioned)"
+                            ),
+                        )
+                    ).cast(self.embeddings.schema[self.vec_col].dataType),
+                ).otherwise(F.col(self.vec_col)),
+            )
+            .drop("__n_emb")
+        )
         missing = F.col(self.vec_col).isNull()
         if self.missing_embedding == "error":
             guarded = joined.withColumn(

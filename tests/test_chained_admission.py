@@ -688,9 +688,12 @@ def test_curation_stream_nb_model_column_validation(spark, tmp_path):
 
 
 def test_semantic_gate_refuses_duplicate_embedding_ids(spark, tmp_path):
-    """ADVICE r11: duplicate embedding rows for one id would multiply
-    batch rows through the left join — a doc admitted (and written)
-    twice. Refused at construction, once per stream."""
+    """ADVICE r11 + r12: duplicate embedding rows for one id would
+    multiply batch rows through the left join — a doc admitted (and
+    written) twice. The guard is LIVE (r12 ADVICE): construction pays
+    no job, and the refusal fires in-join the moment a batch touches a
+    duplicated id — so duplicates appearing after construction are
+    caught too (the r12 constructor scan was point-in-time)."""
     from dataeng_azure_spotify_spark.operators.similarity import (
         IncrementalSemanticDedup,
     )
@@ -707,8 +710,13 @@ def test_semantic_gate_refuses_duplicate_embedding_ids(spark, tmp_path):
         spark, str(tmp_path / "s"), threshold=0.95, k=2, iters=1,
         id_col="doc_id",
     )
-    with pytest.raises(ValueError, match="duplicate"):
-        SemanticGateStage(inner, dup)
+    st = SemanticGateStage(inner, dup)  # no eager job, no refusal yet
+    batch = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="duplicate"):
+        st.admit(batch, run_id="r1").count()
+    # a batch that never touches the duplicated id admits normally
+    clean = spark.createDataFrame([(2, "y")], "doc_id long, text string")
+    assert [r["doc_id"] for r in st.admit(clean, run_id="r2").collect()] == [2]
 
 
 def test_funnel_log_run_id_sanitized(spark, tmp_path):

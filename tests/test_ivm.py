@@ -284,6 +284,57 @@ def test_sync_after_compact_does_not_double_count(spark, tmp_path):
     assert _view(spark, mat) == {"b": (1, 9.0)}
 
 
+def test_compact_drops_crashed_partial_and_keeps_gap_rederivable(
+    spark, tmp_path
+):
+    """ADVICE r12: compact() must not (a) fold a crashed
+    (_SUCCESS-less) run partial's task-committed fragments into the
+    baseline, nor (b) advance the marker past the crashed version —
+    either way sync() would re-derive the gap on top of data already
+    baked in, silently double-counting."""
+    import os
+    import shutil
+
+    from dataeng_azure_spotify_spark.streaming.gold import (
+        ParquetSnapshotTable,
+    )
+
+    S = "id long, k string, v double"
+    t = ParquetSnapshotTable(spark, str(tmp_path / "t"), cdf_keys=["id"])
+    mat = MaterializedAggregate(
+        str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
+    )
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], S))
+    mat.apply_delta(t.read_version(0), run_id="cdf-v0")
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], S))
+    t.overwrite(spark.createDataFrame([(2, "b", 5.0)], S))
+    assert mat.sync(spark, t) == [1, 2]
+    # simulate a crash mid-apply of v2: the partial's data files were
+    # task-committed but the job never wrote _SUCCESS
+    os.remove(os.path.join(str(tmp_path / "state"), "run=cdf-v2", "_SUCCESS"))
+    with open(mat._marker_path(), "w") as f:
+        f.write("1")  # marker never reached v2 either
+    mat.compact(spark)
+    # the crashed fragments were dropped, the marker stayed at the
+    # contiguous committed prefix (1), and sync re-derives v2 exactly
+    # once — the view equals from-scratch
+    assert mat.sync(spark, t) == [2]
+    assert _view(spark, mat) == {"b": (1, 5.0)}
+
+    # committed versions stranded ABOVE an uncommitted gap refuse the
+    # compact loudly: folding them would double-count once sync
+    # re-pulls the gap
+    t.overwrite(spark.createDataFrame([(2, "b", 7.0)], S))
+    assert mat.sync(spark, t) == [3]
+    shutil.rmtree(os.path.join(str(tmp_path / "state"), "run=cdf-v2"),
+                  ignore_errors=True)  # damaged/uncommitted gap at v2...
+    os.makedirs(os.path.join(str(tmp_path / "state"), "run=cdf-v2"))
+    with open(mat._marker_path(), "w") as f:
+        f.write("1")  # ...with committed v3 above it
+    with pytest.raises(ValueError, match="above the uncommitted gap"):
+        mat.compact(spark)
+
+
 def test_apply_delta_names_missing_columns(spark, tmp_path):
     mat = MaterializedAggregate(
         str(tmp_path / "state"), keys=["k"], sums={"total": "v"}
