@@ -68,6 +68,14 @@ import threading as _threading
 
 _PR_SETUP_LOCK = _threading.Lock()
 
+#: pagerank iteration layout: edge rows per partition. ~16 B/row of
+#: (long, long, double) columnar → ~2M rows ≈ tens of MB per task, the
+#: guide's 100 MB-1 GB shuffle-partition band once join/agg state is
+#: counted. The width is derived from the EXACT edge count at call time
+#: (scale-adaptive: 1 partition for a toy graph, thousands at 100 TB) —
+#: never from the session conf or an inherited upstream partitioning.
+_PR_EDGE_ROWS_PER_PARTITION = 2_000_000
+
 
 def _cross_session(df: DataFrame, target) -> DataFrame | None:
     """Re-bind ``df``'s logical plan to ``target`` (a sibling
@@ -392,17 +400,19 @@ def pagerank(
     feed the undirected pair list both ways (u→v and v→u) and the rank
     orders documents by how centrally duplicated they are.
 
-    Session note: the three cheap setup materializations need
-    ``spark.sql.adaptive.enabled`` off at checkpoint time (the
-    partitioning capture — see the inline comment). They run on a
-    PRIVATE child session (``spark.newSession()`` shares the
-    SparkContext but owns its SQLConf), so the caller's session conf is
-    never touched and queries planned concurrently on other threads
-    keep AQE; the checkpointed results transfer back via their logical
-    plans, partitioning capture intact. If the cross-session transfer
-    entry point is unavailable, the legacy conf-flip fallback runs
-    under a module lock (save/restore serialized — concurrent pagerank
-    calls can no longer persist each other's saved value).
+    Session note: the setup materializations AND the per-round jobs
+    need ``spark.sql.adaptive.enabled`` off at checkpoint time (the
+    partitioning capture — see the inline comment) and run with
+    ``spark.sql.shuffle.partitions`` pinned to the size-derived
+    iteration width. Both live on a PRIVATE child session
+    (``spark.newSession()`` shares the SparkContext but owns its
+    SQLConf), so the caller's session conf is never touched and queries
+    planned concurrently on other threads keep AQE; the final rank
+    table transfers back to the caller's session via its logical plan,
+    partitioning capture intact. If the cross-session transfer entry
+    point is unavailable, the legacy conf-flip fallback runs under a
+    module lock (save/restore serialized — concurrent pagerank calls
+    can no longer persist each other's saved value).
     """
     # one materialization of the (possibly expensive) edge lineage —
     # nodes/degrees/rounds all derive from this checkpoint, so upstream
@@ -418,17 +428,24 @@ def pagerank(
     # only the (much smaller, on real graphs) rank table moves each
     # round. The capture only works with AQE OFF at checkpoint time
     # (AdaptiveSparkPlan hides its final partitioning from the capture),
-    # so these three cheap materializations run non-adaptively; the
-    # expensive upstream lineage above and the rounds below keep AQE.
+    # so the setup materializations AND the rounds run non-adaptively on
+    # the child session; the expensive upstream lineage above keeps AQE.
     # Pinned edge-exchange-free by tests/test_graph.py.
-    # layout width follows the DATA, not the session conf: e0 was just
-    # materialized under AQE, so its partition count already reflects
-    # the actual edge volume (coalesced to target-size partitions) —
-    # a 100 TB graph gets thousands of partitions, a toy graph a
-    # handful, and the 8 rounds don't pay 8 × shuffle.partitions of
-    # near-empty-task overhead on small inputs
-    n_part = max(1, e0.rdd.getNumPartitions())
+    # Layout width follows the DATA VOLUME, not an inherited partition
+    # count (r13): e0's own partitioning reflects whatever upstream
+    # produced it — a lazy-checkpointed pair list hands down its full
+    # map-side width even when the edge list is tiny, and every one of
+    # the ~3·iters per-stage task waves then pays that width in pure
+    # scheduling overhead (measured at bench scale: a 167k-edge graph
+    # inherited 64 partitions and spent ~5s of its 12.6s in near-empty
+    # tasks). Deriving n_part from the exact edge count (the count is
+    # one cheap job over the just-materialized checkpoint) gives a toy
+    # graph 1 partition and a 100 TB graph thousands — the same rows/
+    # partition target either way.
+    n_edges = e0.count()
+    n_part = max(1, -(-n_edges // _PR_EDGE_ROWS_PER_PARTITION))
     aqe_key = "spark.sql.adaptive.enabled"
+    sp_key = "spark.sql.shuffle.partitions"
 
     def _setup(e_in):
         e = e_in.repartition(n_part, "s").localCheckpoint(eager=True)
@@ -455,55 +472,111 @@ def pagerank(
         return nodes, ed
 
     # preferred path: AQE-off lives on a PRIVATE child session — the
-    # shared conf is never mutated, concurrent planning keeps AQE
+    # shared conf is never mutated, concurrent planning keeps AQE. The
+    # child also pins shuffle.partitions to the derived n_part so every
+    # setup shuffle (distinct/groupBy) lands directly on the iteration
+    # layout, and the ROUNDS run on the child too (r13): under AQE each
+    # round's one exchange paid 2-3 adaptive stage re-plannings of
+    # trivially-sized stages, and the per-round checkpoint lost its
+    # partitioning capture (AdaptiveSparkPlan hides it), re-exchanging
+    # the rank side every round. Non-adaptive rounds at n_part width
+    # are exchange-free on BOTH join inputs.
     nodes = ed = None
     child = spark.newSession()
     child.conf.set(aqe_key, "false")
+    child.conf.set(sp_key, str(n_part))
     e0_child = _cross_session(e0, child)
     if e0_child is not None:
-        nodes_c, ed_c = _setup(e0_child)
-        nodes = _cross_session(nodes_c, spark)
-        ed = _cross_session(ed_c, spark)
+        nodes, ed = _setup(e0_child)
     if nodes is None or ed is None:
         # fallback (transfer entry point unavailable): legacy conf flip,
         # serialized so concurrent calls can't restore a stale value
         with _PR_SETUP_LOCK:
             old_aqe = spark.conf.get(aqe_key, "true")
+            old_sp = spark.conf.get(sp_key, "200")
             spark.conf.set(aqe_key, "false")
+            spark.conf.set(sp_key, str(n_part))
             try:
                 nodes, ed = _setup(e0)
             finally:
                 spark.conf.set(aqe_key, old_aqe)
-    n = nodes.count()
+                spark.conf.set(sp_key, old_sp)
+    # one scalar job for BOTH counts (the two separate count() jobs were
+    # pure per-job overhead at bench scale)
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dang"), 1).otherwise(0)).alias("nd"),
+    ).first()
+    n = int(stats["n"])
     if n == 0:
-        return nodes.select("node").withColumn("rank", F.lit(0.0))
-    n_dang = nodes.filter("dang").count()
-    # Join-strategy decision from the EXACT node count we already hold:
-    # LogicalRDD sources carry no size stats and the exchange-free
-    # per-round joins give AQE no stage boundary to measure at, so
-    # neither Catalyst nor AQE can discover that the rank table is
-    # broadcastable — the driver decides instead. A small rank table
-    # (~64 B/row against the session broadcast threshold) is broadcast
-    # every round: the edge side is read in place, unshuffled AND
-    # unsorted. Past the threshold, rounds fall back to the sort-merge
-    # join whose edge side is still exchange-free by layout — either
-    # way the 100 TB-sized side never moves.
-    try:
-        bcast_bytes = int(
-            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        )
-    except ValueError:  # e.g. "10MB" spelling
-        bcast_bytes = 10 * 1024 * 1024
-    small_ranks = bcast_bytes > 0 and n * 64 <= bcast_bytes
+        out = nodes.select("node").withColumn("rank", F.lit(0.0))
+        return _cross_session(out, spark) or out
+    n_dang = int(stats["nd"] or 0)
+    # Join strategy (r13): SHUFFLED-HASH with the rank side as build, at
+    # every scale. LogicalRDD sources carry no size stats and the
+    # exchange-free per-round joins give AQE no stage boundary to
+    # measure at, so the driver decides — and the r13 A/B retired the
+    # old broadcast path: each broadcast round paid two driver
+    # collect+broadcast builds of fixed latency (~1s/round at bench
+    # scale, 2.3× slower per round than the co-partitioned join), while
+    # the hash-hinted join re-exchanges ONLY the O(nodes) rank table
+    # into the edge layout — the checkpointed 100 TB edge side is read
+    # in place, unshuffled AND unsorted (SHJ needs no sort, unlike the
+    # old past-threshold sort-merge fallback), and the per-partition
+    # build table is O(nodes / n_part). Pinned by
+    # tests/test_graph.py::test_pagerank_round_join_is_edge_side_exchange_free.
+    sess = nodes.sparkSession  # child when the transfer worked
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     # dangling mass carried as a PYTHON float between rounds: round k's
     # checkpoint job observes Σ_{dang} rank_k, which round k+1 folds in
-    # as a literal — no per-round crossJoin/collect, no extra job
+    # — no per-round collect, no extra job. It enters the plan as DATA
+    # (a broadcast 1-row local relation), not as a literal (r13): a
+    # changing literal makes every round's generated code unique, so
+    # each of the ``iters`` rounds paid a fresh whole-stage-codegen
+    # compile; with the scalar as data the round plan's code text is
+    # identical every round and across calls, and the broadcast of a
+    # LocalTableScan builds driver-side without launching a job.
     dm = n_dang * (1.0 / n)
     global _LAST_PR_ROUND_PLAN
+    if n_dang == 0:
+        # DANGLING-FREE FAST PATH (r13): n_dang is exact (from the
+        # setup stats job), and with no dangling nodes the dangling
+        # mass is identically 0.0 in every round — so nothing forces a
+        # per-round materialization, and all ``iters`` rounds chain
+        # into ONE lazy plan executed as a SINGLE job (the closing
+        # checkpoint). An undirected/both-ways graph — the near-dup
+        # curation shape — always lands here. Adding the scalar 0.0
+        # keeps the float arithmetic bit-identical to the general
+        # path's ``contrib + dm/n``.
+        for it in range(iters):
+            rk = ranks.hint("shuffle_hash")
+            contribs = (
+                ed.join(rk, ed["s"] == rk["node"])
+                .select("d", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("d")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            if it == 0:
+                _LAST_PR_ROUND_PLAN = (
+                    contribs._jdf.queryExecution().executedPlan().toString()
+                )
+            cb = contribs.hint("shuffle_hash")
+            ranks = nodes.join(cb, nodes["node"] == cb["d"], "left").select(
+                "node",
+                "dang",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(0.0))
+                ).alias("rank"),
+            )
+        # materialize ONCE: callers (e.g. the self-certifying entry
+        # query) re-read the result several times
+        out = ranks.select("node", "rank").localCheckpoint(eager=True)
+        return _cross_session(out, spark) or out
     for it in range(iters):
-        rk = F.broadcast(ranks) if small_ranks else ranks
+        rk = ranks.hint("shuffle_hash")
         contribs = (
             ed.join(rk, ed["s"] == rk["node"])
             .select("d", (F.col("rank") / F.col("deg")).alias("c"))
@@ -514,15 +587,22 @@ def pagerank(
             _LAST_PR_ROUND_PLAN = (
                 contribs._jdf.queryExecution().executedPlan().toString()
             )
-        cb = F.broadcast(contribs) if small_ranks else contribs
-        nxt = nodes.join(cb, nodes["node"] == cb["d"], "left").select(
-            "node",
-            "dang",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dm / float(n)))
-            ).alias("rank"),
+        cb = contribs.hint("shuffle_hash")
+        dmn = sess.createDataFrame(
+            [(dm / float(n),)], "dmn double"
+        )
+        nxt = (
+            nodes.join(cb, nodes["node"] == cb["d"], "left")
+            .crossJoin(F.broadcast(dmn))
+            .select(
+                "node",
+                "dang",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dmn"))
+                ).alias("rank"),
+            )
         )
         obs = Observation()
         nxt = nxt.observe(
@@ -535,4 +615,7 @@ def pagerank(
         # observation above, so next round's dangling scalar is free
         ranks = nxt.localCheckpoint(eager=True)
         dm = float(obs.get["dm"] or 0.0)
-    return ranks.select("node", "rank")
+    out = ranks.select("node", "rank")
+    # hand the result back on the CALLER's session (the rounds may have
+    # run on the private child)
+    return _cross_session(out, spark) or out

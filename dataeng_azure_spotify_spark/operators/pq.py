@@ -84,12 +84,26 @@ def _lloyd_codebook(mat, m: int, nbits: int, iters: int, name: str):
         if len(cent) < k:  # tiny corpus: pad by repeating (legal, degenerate)
             cent = np.vstack([cent] * ((k // max(len(cent), 1)) + 1))[:k]
         for _ in range(int(iters)):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # GEMM distance form (the _encode_mat identity): argmin of
+            # ||x-c||² needs only -2x·c + ||c||² — O(n·k·ds) BLAS
+            # instead of materializing the (n, k, ds) difference tensor
+            # (r13: the tensor form was ~6× slower at k=256 and
+            # allocation-bound; argmin ties still break on the first
+            # index)
+            d2 = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)
             assign = d2.argmin(axis=1)  # first-index tie-break
-            for ci in range(k):
-                sel = x[assign == ci]
-                if len(sel):  # empty cluster keeps its previous centroid
-                    cent[ci] = sel.mean(axis=0)
+            # vectorized per-cluster means: one indexed scatter-add +
+            # bincount instead of k boolean-mask selections per
+            # iteration (the mask loop was ~k·iters·m Python-level
+            # array scans — the dominant trainer cost at nbits=8)
+            sums = np.zeros((k, ds))
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            # empty clusters keep their previous centroid
+            cent[nonempty] = (
+                sums[nonempty] / counts[nonempty, None]
+            )
         rows.extend(
             (sub, ci, cent[ci].astype(np.float32).tolist()) for ci in range(k)
         )

@@ -188,10 +188,14 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
 def test_pagerank_round_join_is_edge_side_exchange_free(spark):
     """The per-round ``ed ⋈ ranks`` join must read the checkpointed,
-    pre-partitioned edge list IN PLACE: no Exchange (and no Sort — the
-    rank side is broadcast on small graphs) may appear above the edge
-    scan. Regression armor for the r6 pre-partitioning: without the
-    captured hash layout every round re-shuffles the 100 TB side."""
+    pre-partitioned edge list IN PLACE: no Exchange and no Sort may
+    appear above the edge scan. Regression armor for the r6
+    pre-partitioning (without the captured hash layout every round
+    re-shuffles the 100 TB side) and for the r13 join strategy: the
+    rank side is the SHUFFLED-HASH build — the r13 A/B measured the
+    old per-round broadcast (two driver collect+build jobs per round)
+    2.3× slower than the co-partitioned hash join, and a sort-merge
+    round would re-sort the edge side every iteration."""
     from pyspark.sql import Row
 
     from dataeng_azure_spotify_spark.operators import graph as graph_mod
@@ -204,10 +208,13 @@ def test_pagerank_round_join_is_edge_side_exchange_free(spark):
     plan = graph_mod._LAST_PR_ROUND_PLAN
     assert plan, "first-round plan was not captured"
     # edge attribute is s#<id>: any exchange hashing on it means the
-    # edge side moved; the only allowed Exchange is the groupBy-d one
+    # edge side moved; the rank side may move (O(nodes)) — the groupBy-d
+    # exchange plus that rank-side re-exchange are the only two allowed
     assert "hashpartitioning(s#" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan  # tiny rank table -> BHJ
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "ShuffledHashJoin" in plan, plan  # rank side is the build
+    assert "SortMergeJoin" not in plan, plan
+    assert "Sort " not in plan, plan  # SHJ: edge side unsorted too
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_pagerank_hub_outranks_leaves(spark):
