@@ -2715,10 +2715,24 @@ def _ann_recall_certificate(
     exactly k), ``found_any_true_neighbor`` (≥1 of the true top-k
     found), and the global ``mean_recall_ge_bound``. DuckDB expects
     (query_id, k, true, true); any recall collapse flips a boolean and
-    the driver row goes red."""
+    the driver row goes red.
+
+    The two neighbor lists are projected and lazily checkpointed
+    before the certificate algebra (r13): ``approx`` feeds both the
+    hit join and the per-query count and ``exact`` is re-read too, so
+    without the checkpoint the ENTIRE approximate pipeline (k-means,
+    assignment, probe scan, rank window) and the brute-force twin each
+    executed twice per certificate — the result lists are O(queries·k)
+    rows, so one materialization is the obvious lineage cut (guide
+    §3.3/§5)."""
+    approx = approx.select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
+    exact = exact.select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
     hits = (
-        approx.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        approx.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )

@@ -777,12 +777,19 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     num_blocks: int | None = None,
+    emit_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine; ties by
     smallest centroid id).
 
-    Returns (vec_id, centroid_id). This is the build step of an IVF
-    index; persisted partitioned-by-centroid it gives pruned ANN scans.
+    Returns (vec_id, centroid_id) — or, with ``emit_vec=True``,
+    (vec_id, centroid_id, ``vec_col``) with the vector passed through
+    the same cogroup task (r13): the cogroup already holds every
+    vector, so callers that need the bucketed vectors (``ivf_topk``,
+    ``semantic_dedup``) previously re-joined the corpus on the id —
+    one removable corpus-sized shuffle join (guide §2.4). This is the
+    build step of an IVF index; persisted partitioned-by-centroid it
+    gives pruned ANN scans.
 
     Physical shape: the corpus hashes into ``num_blocks`` blocks; the
     O(k) centroid set replicates to every block (k·B tiny rows) and each
@@ -807,9 +814,13 @@ def ivf_assign(
 
     def assign(key, cpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
         if len(cpdf) == 0 or len(kpdf) == 0:
-            return pd.DataFrame(
-                {"vid": pd.Series(dtype="int64"), "cid": pd.Series(dtype="int64")}
-            )
+            out = {
+                "vid": pd.Series(dtype="int64"),
+                "cid": pd.Series(dtype="int64"),
+            }
+            if emit_vec:
+                out["vec"] = pd.Series(dtype="object")
+            return pd.DataFrame(out)
         kpdf = kpdf.sort_values("cid")  # argmax keeps first max → smallest cid ties
         mat = np.array(list(cpdf["vec"]), dtype=np.float64)
         kmat = np.array(list(kpdf["cvec"]), dtype=np.float64)
@@ -826,14 +837,24 @@ def ivf_assign(
         # for a vector with no defined cosine.
         cos = np.where(np.isfinite(cos), cos, -np.inf)
         best = kpdf["cid"].to_numpy()[cos.argmax(axis=1)]
-        return pd.DataFrame({"vid": cpdf["vid"].to_numpy(), "cid": best})
+        out = {"vid": cpdf["vid"].to_numpy(), "cid": best}
+        if emit_vec:
+            # .to_numpy(): a raw Series here would realign on cpdf's
+            # original index against the positional vid/cid arrays
+            out["vec"] = cpdf["vec"].to_numpy()
+        return pd.DataFrame(out)
 
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    schema = "vid long, cid long" + (f", vec {vec_t}" if emit_vec else "")
     out = (
         c.groupBy("blk")
         .cogroup(kb.groupBy("blk"))
-        .applyInPandas(assign, schema="vid long, cid long")
+        .applyInPandas(assign, schema=schema)
     )
-    return out.select(F.col("vid").alias(id_col), F.col("cid").alias(centroid_id))
+    cols = [F.col("vid").alias(id_col), F.col("cid").alias(centroid_id)]
+    if emit_vec:
+        cols.append(F.col("vec").alias(vec_col))
+    return out.select(*cols)
 
 
 def kmeans_centroids(
@@ -971,8 +992,12 @@ def ivf_topk(
     centroids = kmeans_centroids(
         corpus, id_col, vec_col, k=num_centroids, iters=kmeans_iters
     )
-    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
-    bucketed = corpus.join(assignment, on=id_col)
+    # the assignment cogroup passes the vectors through (r13) — the
+    # previous corpus.join(assignment) re-shuffled the whole corpus on
+    # the id just to re-attach vectors the cogroup already held
+    bucketed = ivf_assign(
+        corpus, centroids, id_col, vec_col, emit_vec=True
+    )
     return _probe_and_score(
         queries, centroids, bucketed, id_col, vec_col, k, nprobe,
         exclude_self=exclude_self,
@@ -1084,14 +1109,16 @@ def semantic_dedup(
         if centroids is not None
         else kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
     )
-    assigned = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-    vecs = corpus.select(
-        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
-    )
-    members = assigned.select(
+    # the assignment cogroup passes the vectors through (r13) — the
+    # previous corpus-side re-join on the id was a removable
+    # corpus-sized shuffle (guide §2.4)
+    members = ivf_assign(
+        corpus, cent, id_col=id_col, vec_col=vec_col, emit_vec=True
+    ).select(
         F.col(id_col).cast("long").alias("vid"),
         F.col("centroid_id").alias("cid"),
-    ).join(vecs, "vid")
+        F.col(vec_col).alias("vec"),
+    )
 
     thr = float(threshold)
 

@@ -210,14 +210,38 @@ def test_tpch_q20_nested_in_chain_plans_as_semi_joins(plans):
     assert p.count("LeftSemi") >= 2
 
 
-def test_ann_ivf_index_probe_triggers_partition_pruning(plans):
+def test_ann_ivf_index_probe_triggers_partition_pruning(spark):
     """The persisted-index probe must carry dynamic partition pruning
     into the centroid-partitioned bucket scan — that's the index story:
     a probe touches ~nprobe/num_centroids of the files, never the whole
-    corpus. (The BroadcastNestedLoop pairs in this plan are the
-    single-row scalar / broadcast-probe replications of cosine_topk,
-    not corpus-sized cartesians.)"""
-    assert "dynamicpruning" in plans["ann_ivf_index_topk"].lower()
+    corpus. Since r13 the certificate query lazily checkpoints its
+    neighbor lists (so the declared query's explain shows an
+    ExistingRDD where the probe subtree was); the pin therefore
+    inspects the probe path itself, built from the same persisted
+    index the declared query caches (the operator-level DPP pin in
+    tests/test_llm_ops.py covers a fresh index)."""
+    import hashlib
+    import os as _os
+
+    from dataeng_azure_spotify_spark.operators.similarity import IvfIndex
+    from pyspark.sql import functions as F
+
+    cat = entry._cat(spark, SF)
+    emb = cat["embeddings"]
+    params = (
+        f"{_os.path.abspath(SF)}|nc16|it1"
+        f"|data{entry._corpus_fingerprint(SF, 'embeddings')}"
+    )
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(entry.__file__)), ".ivf_cache", tag
+    )
+    idx = IvfIndex.load(spark, path)
+    if not idx.exists():
+        idx = IvfIndex.build(emb, path, num_centroids=16, kmeans_iters=1)
+    probes = emb.filter(F.col("vec_id") < 10)
+    plan = _plan(idx.query(probes, k=5, nprobe=4))
+    assert "dynamicpruning" in plan.lower()
 
 
 def test_tfidf_per_doc_topk_uses_window_group_limit(plans):
