@@ -640,8 +640,11 @@ def ivfpq_topk(
     centroids = kmeans_centroids(
         corpus, id_col, vec_col, k=num_centroids, iters=kmeans_iters
     )
-    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
-    bucketed = corpus.join(assignment, on=id_col)
+    # emit_vec passes the vector through ivf_assign's cogroup task, so
+    # no corpus-sized re-join on the id is needed to re-attach it
+    bucketed = ivf_assign(
+        corpus, centroids, id_col, vec_col, emit_vec=True
+    )
     cb = residual_codebook(
         bucketed, centroids, id_col, vec_col,
         m=m, nbits=nbits, iters=pq_iters, train_n=train_n,

@@ -121,11 +121,25 @@ def bm25_topk(
     (standard BM25), not just query matches.
     """
     tf = _doc_terms(df, text_col, id_col)
-    # doc length = sum of term frequencies — derived from tf instead of a
-    # second tokenize pass over the corpus. Zero-token docs are absent
-    # here, which is fine: they can't match a query term, and they add 0
-    # to sum_dl; n_docs counts the full corpus below.
-    dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
+    # doc length = token count per doc, straight from size(tokens) — the
+    # previous sum-of-tf derivation re-ran the full corpus explode and
+    # shuffled every distinct (doc, term) pair TWICE more (once for dl,
+    # once for sum_dl) just to add up counts the array length already
+    # holds (guide §2.3/§2.4). sum(size) ≡ sum(tf) per doc exactly:
+    # size counts token instances, tf sums them by term. Null-text docs
+    # (size null) aggregate to 0 and zero-token docs now appear with
+    # dl=0 — neither can match a query term, so the inner join and
+    # sum_dl are unchanged row-for-row.
+    dl = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.coalesce(F.size(tokens_col(text_col)), F.lit(0))
+            .cast("long")
+            .alias("__n"),
+        )
+        .groupBy("doc")
+        .agg(F.sum("__n").cast("long").alias("dl"))
+    )
     # corpus stats ride as a 1-row broadcast; avgdl divides exact ints
     stats = dl.agg(F.sum("dl").cast("long").alias("sum_dl")).crossJoin(
         df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

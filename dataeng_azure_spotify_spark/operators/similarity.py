@@ -316,7 +316,7 @@ def _lsh_sign_matrix(spark, salt: str, num_planes: int, dim: int):
             F.pmod(
                 F.xxhash64(F.lit(salt), F.col("j"), F.col("i")), F.lit(2)
             ).alias("p"),
-        ).collect()
+        ).collect()  # O(num_planes * dim) grid rows — corpus-independent
         m = np.empty((dim, num_planes), dtype=np.float64)
         for row in rows:
             m[row["i"], row["j"]] = 1.0 if row["p"] == 0 else -1.0
