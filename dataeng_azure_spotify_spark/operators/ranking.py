@@ -73,7 +73,15 @@ def tfidf_top_terms(
     Ties break lexicographically on the term, so ranks are total and
     engine-independent. Returns (doc_id, term, tf, score, rank).
     """
-    tf = _doc_terms(df, text_col, id_col)
+    # lazy-checkpoint the (doc, term, tf) table: the score join and the
+    # df_t aggregation both consume it, and exchange reuse does not fire
+    # across the two subtrees (verified on the final AQE plan), so
+    # without the checkpoint the corpus explode + (doc, term) shuffle
+    # ran TWICE (guide §3.3 "materialising an intermediate", §2.4).
+    # Post-aggregation (doc, term, tf) is far narrower than the corpus
+    # text, and materializing it costs about what its shuffle write
+    # already paid — recomputing cost a second scan + explode + shuffle.
+    tf = _doc_terms(df, text_col, id_col).localCheckpoint(eager=False)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     score = (F.col("tf") * (F.col("n_docs") + F.lit(1))).cast("double") / (
@@ -145,7 +153,14 @@ def bm25_topk(
         df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    matches = tf.filter(F.col("term").isin(list(query_terms)))
+    # lazy-checkpoint the filtered matches: the isin filter pushes below
+    # the (doc, term) aggregation in BOTH consuming subtrees (score join
+    # and df_t), but exchange reuse does not fire across them, so the
+    # filtered corpus explode ran twice. Matches are query-vocabulary
+    # rows only — tiny relative to the corpus at any scale.
+    matches = tf.filter(
+        F.col("term").isin(list(query_terms))
+    ).localCheckpoint(eager=False)
     dft = matches.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
     )
