@@ -262,11 +262,17 @@ def _gopher_metrics(text_col: str) -> dict:
     c = F.col(text_col)
     toks = tokens_col(text_col)
     n_words = F.size(toks)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # total token chars == trimmed text minus ALL whitespace: tokens are
+    # exactly the non-whitespace runs (length-0 edge tokens add 0), so
+    # this equals the old aggregate(transform(toks, length)) fold value
+    # for every input incl. NULL/empty — but with no lambda HOFs. Two
+    # nested lambda expressions here (duplicated again by the
+    # mean-word-len double comparison in gopher_pass_col) dominated
+    # Catalyst analysis/optimization of every consumer plan: the NB
+    # label's localCheckpoint wrap alone measured 1.4-3.6 s of pure
+    # driver planning at r13 (guide §7.3 driver thread dumps showed
+    # UnresolvedNamedLambdaVariable/TreeNode.containsChild hot).
+    sum_len = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("long")
     mean_word_len = F.when(n_words > 0, sum_len.cast("double") / n_words).otherwise(
         F.lit(0.0)
     )

@@ -618,8 +618,14 @@ def ngram_lm_score(
     IvfIndex (here the one-shot self-scoring form keeps the exact
     SQL-oracle twin).
     """
+    from dataeng_azure_spotify_spark.operators.dedup import _spread
+
     toks = F.col("__toks")
-    base = df.select(F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks"))
+    # _spread: the tokenize + per-bigram md5 below is the query's CPU
+    # floor; a single-split input would run it on one core (guide §2.5)
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"), tokens_col(text_col).alias("__toks")
+    )
     idx = F.sequence(F.lit(0), F.size(toks) - 2)
     bigram_structs = F.transform(
         idx,
@@ -638,6 +644,15 @@ def ngram_lm_score(
         )
         .groupBy("doc", "h1", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # lazy-checkpoint: occ feeds THREE subtrees (cb, cu, and the
+        # scoring join) and exchange reuse does not fire across them,
+        # so the corpus explode + md5 + (doc,h1,g) shuffle ran three
+        # times per query (measured r13: three overlapping ~1.3-2.3 s
+        # single-task jobs). Post-aggregation (doc,h1,g,o) is far
+        # narrower than the exploded grams; one materialization costs
+        # about what its shuffle write already paid (guide §3.3, the
+        # tfidf/bm25 r13 fix).
+        .localCheckpoint(eager=False)
     )
     cb = occ.groupBy("g").agg(F.sum("o").cast("long").alias("cb"))
     cu = occ.groupBy("h1").agg(F.sum("o").cast("long").alias("cu"))
@@ -752,10 +767,21 @@ def _dsir_bucket_counts(
     dependent on doc, so the groups are unchanged) — how the NB
     quality fit (``operators/quality_nb.py``) keeps its label on the
     gram table WITHOUT a second corpus-sized shuffle to join it back.
+
+    The input fans out to cluster parallelism first (``_spread`` —
+    the dedup/substring/ranking pattern, guide §2.5 input skew): the
+    tokenize + per-gram md5 here is the CPU floor of the whole
+    DSIR/NB family, and a single-split parquet input would otherwise
+    run it on one core (measured r13: the featurization stage of
+    every NB/DSIR query was one 1.2-2.3 s single-task stage at bench
+    scale). A multi-file 100 TB table already has enough splits and
+    skips the shuffle entirely.
     """
+    from dataeng_azure_spotify_spark.operators.dedup import _spread
+
     t = F.col("__t")
     extras = [F.col(c) for c in carry]
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("doc"), *extras, tokens_col(text_col).alias("__t")
     ).filter(F.size("__t") >= 1)
     idx = F.sequence(F.lit(0), F.size(t) - 2)
