@@ -2731,19 +2731,23 @@ def _ann_recall_certificate(
     exact = exact.select("query_id", "neighbor_id").localCheckpoint(
         eager=False
     )
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
+    # ONE aggregation instead of inner-join + two groupBys + re-join
+    # (r13): (query_id, neighbor_id) is unique in both lists (rank
+    # windows emit each pair once), so a LEFT join tags each approx
+    # row with a match flag without duplication and a single groupBy
+    # yields both n_returned (all rows) and hits (matched rows) —
+    # same values, three fewer shuffle/join stages in an
+    # already-stage-latency-bound tail (guide §2.4).
     per_q = (
-        approx.groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_returned"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_returned",
-            F.coalesce("hits", F.lit(0)).alias("hits"),
+        approx.join(
+            exact.withColumn("__m", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("hits"),
         )
     )
     # one-row global: mean recall over queries (exact rational compare)
