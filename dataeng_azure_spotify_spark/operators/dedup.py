@@ -23,6 +23,8 @@ normalize) so the DuckDB oracles mirror them symbol-for-symbol.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -84,19 +86,59 @@ def exact_dedup_groups(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow input out to the cluster's parallelism before a
-    CPU-heavy per-row pass. Small corpora arrive as one parquet split —
-    without this the tokenize/shingle stage runs on one core. Probed via
-    ``inputFiles()`` (driver-side file listing — no ``.rdd`` plan
-    conversion): a multi-file 100 TB table already yields ≥ parallelism
-    splits and skips the shuffle entirely."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+#: Compressed input bytes one fan-out task should own (env-overridable:
+#: SPARK_GRAFT_SPREAD_TASK_BYTES). 64 KiB ≈ 150-250 ms of tokenize+md5
+#: work per task (measured r14: the featurization CPU density of the
+#: dedup/curation family is ~2-4 ms per compressed KB), comfortably
+#: above per-task scheduling latency; production clusters with larger
+#: parallelism keep the same density because the width derives from
+#: DATA, not cores.
+_SPREAD_TASK_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", 64 * 1024)
+)
+
+
+def _spread(df: DataFrame, bytes_per_task: int = 0) -> DataFrame:
+    """Fan a narrow input out before a CPU-heavy per-row pass, sized by
+    DATA VOLUME (guide §2.2/§2.5 — the pagerank edge-count layout
+    pattern), not core count. Small corpora arrive as one parquet split —
+    without this the tokenize/shingle stage runs on one core; but r13's
+    unconditional ``repartition(defaultParallelism)`` shredded a 584 KB
+    input into 32 near-empty round-robin partitions ahead of
+    stage-latency-bound queries (the dsir_select 2.9 → 6.4 s driver
+    regression).
+
+    Width = clamp(ceil(size_estimate / bytes_per_task), 1,
+    defaultParallelism), where the size estimate is the optimized plan's
+    ``sizeInBytes`` (for parquet scans: the compressed file size — the
+    same statistic AQE plans from). Probed via ``inputFiles()``
+    (driver-side file listing — no ``.rdd`` plan conversion): a
+    multi-file 100 TB table already yields ≥ parallelism splits and
+    skips the shuffle entirely; a derived width of 1 also skips it (a
+    one-task fan-out cannot pay for its own shuffle)."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
     try:
-        enough = len(df.inputFiles()) >= target
+        n_files = len(df.inputFiles())
     except Exception:  # non-file-backed plans (e.g. createDataFrame)
-        enough = False
-    return df if enough else df.repartition(target)
+        n_files = 0
+    if n_files >= par:
+        return df
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        size = -1
+    if size < 0:
+        # unknown size: previous behavior (full fan-out) — better too
+        # wide than a single-core CPU stage
+        return df.repartition(par)
+    bpt = int(bytes_per_task) or _SPREAD_TASK_BYTES
+    target = max(1, min(par, -(-size // bpt)))
+    if target <= 1:
+        return df
+    return df.repartition(target)
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
