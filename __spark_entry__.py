@@ -2201,6 +2201,12 @@ def q_pagerank_central_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("next_rank"),
             ((F.lit(1.0) - F.lit(d)) / F.col("n")).alias("floor"),
         )
+        # r14: stepped feeds both the glob aggregate and the final
+        # select — without the lineage cut the verification power step
+        # (edges-join-ranks + groupBy) executed twice per query (the
+        # _ann_recall_certificate double-execution pattern, guide
+        # §3.3). O(nodes) narrow rows.
+        .localCheckpoint(eager=False)
     )
     glob = stepped.agg(
         (F.abs(F.sum("rank") - 1.0) <= 1e-6).alias("mass_ok"),
@@ -2717,30 +2723,45 @@ def _ann_recall_certificate(
     (query_id, k, true, true); any recall collapse flips a boolean and
     the driver row goes red.
 
-    The two neighbor lists are projected and lazily checkpointed
-    before the certificate algebra (r13): ``approx`` feeds both the
-    hit join and the per-query count and ``exact`` is re-read too, so
-    without the checkpoint the ENTIRE approximate pipeline (k-means,
-    assignment, probe scan, rank window) and the brute-force twin each
-    executed twice per certificate — the result lists are O(queries·k)
-    rows, so one materialization is the obvious lineage cut (guide
-    §3.3/§5)."""
-    approx = approx.select("query_id", "neighbor_id").localCheckpoint(
-        eager=False
-    )
-    exact = exact.select("query_id", "neighbor_id").localCheckpoint(
-        eager=False
-    )
-    # ONE aggregation instead of inner-join + two groupBys + re-join
-    # (r13): (query_id, neighbor_id) is unique in both lists (rank
-    # windows emit each pair once), so a LEFT join tags each approx
-    # row with a match flag without duplication and a single groupBy
-    # yields both n_returned (all rows) and hits (matched rows) —
-    # same values, three fewer shuffle/join stages in an
-    # already-stage-latency-bound tail (guide §2.4).
+    The two neighbor lists are projected and checkpointed before the
+    certificate algebra (r13): ``approx`` feeds both the hit join and
+    the per-query count and ``exact`` is re-read too, so without the
+    checkpoint the ENTIRE approximate pipeline (k-means, assignment,
+    probe scan, rank window) and the brute-force twin each executed
+    twice per certificate — the result lists are O(queries·k) rows, so
+    one materialization is the obvious lineage cut (guide §3.3/§5).
+    r14: the two materializations run CONCURRENTLY from a 2-thread
+    pool (guide §2.6 — the pipelines are independent until the
+    certificate join, yet previously executed as one serial chain of
+    ~15 AQE micro-stages), and the certificate algebra is one pass:
+    the exact list is broadcast into the hit join (O(queries·k) rows —
+    always broadcastable by the same |queries| ≪ |corpus| contract
+    that already collects the query side), and the global mean-recall
+    bound is an unpartitioned window sum over the per-query rows
+    (O(queries) rows by construction) instead of a crossJoin against a
+    re-aggregated copy of the whole per-query subtree — the before
+    plan ran the left join + groupBy TWICE (plans/r14/*_before.txt:
+    nodes 1-12 and 13-27 are the same subtree) with 6 Exchanges and 2
+    SortMergeJoins; the after plan has the subtree once, 2 Exchanges,
+    no sort, no BroadcastNestedLoopJoin."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        approx, exact = pool.map(
+            lambda d: d.select("query_id", "neighbor_id").localCheckpoint(
+                eager=True
+            ),
+            [approx, exact],
+        )
+    # ONE aggregation (r13): (query_id, neighbor_id) is unique in both
+    # lists (rank windows emit each pair once — pinned in
+    # tests/test_llm_ops.py::test_rank_topk_emits_unique_pairs), so a
+    # LEFT join tags each approx row with a match flag without
+    # duplication and a single groupBy yields both n_returned (all
+    # rows) and hits (matched rows).
     per_q = (
         approx.join(
-            exact.withColumn("__m", F.lit(1)),
+            F.broadcast(exact.withColumn("__m", F.lit(1))),
             ["query_id", "neighbor_id"],
             "left",
         )
@@ -2750,17 +2771,20 @@ def _ann_recall_certificate(
             F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("hits"),
         )
     )
-    # one-row global: mean recall over queries (exact rational compare)
-    glob = per_q.agg(
-        (F.sum("hits") >= F.lit(mean_bound) * F.sum(F.lit(k))).alias(
-            "mean_recall_ge_bound"
-        )
-    )
-    return per_q.crossJoin(F.broadcast(glob)).select(
+    # global mean recall as an unpartitioned window over the per-query
+    # rows (exact rational compare, BIGINT sums — value-identical to
+    # the previous agg+crossJoin form): safe at any corpus size because
+    # the row count is O(queries), bounded by the query-side driver
+    # collect the ANN contract already requires
+    wall = Window.partitionBy()
+    return per_q.select(
         "query_id",
         "n_returned",
         (F.col("hits") >= 1).alias("found_any_true_neighbor"),
-        "mean_recall_ge_bound",
+        (
+            F.sum("hits").over(wall)
+            >= F.lit(mean_bound) * F.sum(F.lit(k)).over(wall)
+        ).alias("mean_recall_ge_bound"),
     )
 
 
@@ -2988,7 +3012,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("kept"), cos < t + eps)
         .otherwise(cos >= t - eps)
     )
-    per_doc = joined.select("doc_id", cert_ok.alias("cert_ok"), "kept")
+    # lazily checkpoint the narrow per-doc certificate table: it feeds
+    # both the global found_any_duplicate aggregate and the final
+    # select, and without the lineage cut the WHOLE pipeline above —
+    # k-means, assignment cogroup, the Python leader-prune pass, and
+    # both vector joins — executed twice per query (the r13
+    # _ann_recall_certificate double-execution pattern; guide §3.3/§5).
+    # Unlike the ANN certificates this table is O(corpus), so it is
+    # materialized (3 narrow columns) rather than window-reshaped.
+    per_doc = joined.select(
+        "doc_id", cert_ok.alias("cert_ok"), "kept"
+    ).localCheckpoint(eager=False)
     glob = per_doc.agg(
         (F.sum((~F.col("kept")).cast("int")) >= 1).alias("found_any_duplicate")
     )
