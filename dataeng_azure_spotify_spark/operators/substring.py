@@ -91,12 +91,19 @@ def _dup_positions(
 ) -> DataFrame:
     """(doc, pos) of every k-gram whose corpus-wide occurrence count
     (by multiplicity — within-doc repeats count) is ≥ ``min_count``.
-    One gram-table shuffle: the groupBy partial-aggregates map-side,
-    and the join back is on the same key, so the gram side's exchange
-    is reused; AQE skew-splits a hot boilerplate gram's join partition
-    (a Window count over ``partition by g`` would buffer the whole hot
-    partition on one task instead)."""
-    grams = kgram_position_table(df, text_col, id_col, k)
+    One gram-table materialization: the gram table feeds BOTH the
+    count aggregation and the join probe side, and exchange reuse does
+    not fire across the two subtrees (r14 plan audit,
+    plans/r14/substring_dup_spans_before.txt: the scan → explode →
+    per-gram md5 chain appears twice, nodes 1-7 and 8-17), so the
+    corpus tokenize + hash ran twice per query — one lazy checkpoint
+    cuts it to once (guide §3.3, the r13 tfidf/bm25/ngram-LM fix).
+    AQE skew-splits a hot boilerplate gram's join partition (a Window
+    count over ``partition by g`` would buffer the whole hot partition
+    on one task instead)."""
+    grams = kgram_position_table(df, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
     dup_g = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"))
