@@ -806,6 +806,14 @@ def ivf_assign(
     c = corpus.select(
         F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(blocks)).cast("int"))
+    # pin the cogroup width to the block count (r14): the cogroup's
+    # ENSURE_REQUIREMENTS exchange is AQE-coalescible, and at bench
+    # scale AQE folded all `blocks` Python tasks into ONE worker that
+    # processed the groups serially (measured: the assignment stage ran
+    # 1 task); a user-specified hash repartition on the same key is the
+    # distribution the cogroup needs anyway, is not coalesced, and
+    # keeps one Arrow task per block at any scale (guide §2.5)
+    c = c.repartition(blocks, "blk")
     kb = centroids.select(
         F.col(centroid_id).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
     ).crossJoin(
@@ -898,10 +906,15 @@ def kmeans_centroids(
     if iters <= 0:
         return cent
 
-    # blocked corpus is iteration-invariant — compute once, reuse per iter
+    # blocked corpus is iteration-invariant — compute once, reuse per
+    # iter; pinned to one partition per block (the ivf_assign r14
+    # cogroup-width rationale) so every iteration's assignment pass
+    # keeps one Arrow task per block instead of AQE folding them into
+    # a single serial worker
     c = (
         corpus.select(F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec"))
         .withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(blocks)).cast("int"))
+        .repartition(blocks, "blk")
         .persist()
     )
 
