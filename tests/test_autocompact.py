@@ -18,6 +18,9 @@ from dataeng_azure_spotify_spark.operators.substring import (
     IncrementalSubstringDedup,
 )
 
+# slow tier (r14): multi-round compaction e2e — exceeds the driver verify window; run with -m slow
+pytestmark = pytest.mark.slow
+
 _SCHEMA = "doc_id long, text string"
 
 

@@ -26,6 +26,9 @@ from dataeng_azure_spotify_spark.streaming.admission import (
     run_admission_stream,
 )
 
+# slow tier (r14): streaming admission-chain e2e — exceeds the driver verify window; run with -m slow
+pytestmark = pytest.mark.slow
+
 _SCHEMA = "doc_id long, text string"
 
 # 12 unique tokens + a 10-token boilerplate block shared across docs:

@@ -20,6 +20,9 @@ from dataeng_azure_spotify_spark.operators.cluster_index import NearDupLabels
 from dataeng_azure_spotify_spark.operators.dedup import ngram_jaccard_pairs
 from dataeng_azure_spotify_spark.operators.graph import connected_components
 
+# slow tier (r14): incremental near-dup index e2e — exceeds the driver verify window; run with -m slow
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from dataeng_azure_spotify_spark.operators import compaction as C
 
+# slow tier (r14): multi-round parquet write/rewrite e2e — exceeds the driver verify window; run with -m slow
+pytestmark = pytest.mark.slow
+
 
 def _run_dirs(table_path: str, nested: bool = True) -> int:
     return C.count_run_partitions(table_path, nested=nested)

@@ -559,6 +559,7 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert d.admit(b2).count() == 0
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_incremental_lsh_rejects_near_dups_across_batches(spark, tmp_path):
     """Cross-run NEAR-dup admission: batch 2's near-copy of a batch-1 doc
     (one word changed) is rejected against the signature state; novel
@@ -743,6 +744,7 @@ def test_cosine_1nn_gemm_agrees_with_exact_decimal_topk(spark):
         assert abs(got[q][1] - exact[q][1]) < 1e-11, (q, got[q], exact[q])
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_ivf_drift_detection_and_rebalance(spark, tmp_path):
     """Appends never re-cluster, so a skewed ingest silently
     concentrates in one bucket. drift_stats/drift_summary must expose
@@ -1324,6 +1326,7 @@ def test_semantic_dedup_negative_ids_roundtrip(spark):
     assert not rows[7].kept and rows[7].witness == -3
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_portable_ln_cross_engine_exact(spark):
     """portable_ln (Spark expression tree) is BIT-identical to its
     DuckDB twin duck_portable_ln_sql — unlike libm ln, which the two
@@ -1363,6 +1366,7 @@ def test_portable_ln_cross_engine_exact(spark):
     assert s[0] == 0.0  # ln(1) exact
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_portable_pow_cross_engine_exact(spark):
     """portable_pow (exp(alpha·portable_ln) over fixed IEEE trees) is
     BIT-identical to its DuckDB twin duck_portable_pow_sql for the
@@ -1533,6 +1537,7 @@ def test_dsir_select_semantics(spark):
     assert 999 not in ids and len(ids) == 40
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_dsir_model_artifact_and_streaming_admission(spark, tmp_path):
     """The persisted DsirModel: (a) select() on the training corpus is
     row-identical to the one-shot dsir_select; (b) scoring a NEW corpus
@@ -1615,6 +1620,7 @@ def test_dsir_model_artifact_and_streaming_admission(spark, tmp_path):
     assert streamed == batch == set(range(10))
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_dsir_model_target_only_vocab_and_refit(spark, tmp_path):
     """(a) Vocabulary seen ONLY in the target corpus must carry its
     true positive weight ln(t_b+1) in the persisted table — dropping
@@ -1665,6 +1671,7 @@ def test_dsir_model_target_only_vocab_and_refit(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "bad" / "meta"))
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_temperature_mix_apportionment_properties(spark):
     """Largest-remainder temperature mixing: exactly total_n selected
     (when no source is capped), quotas monotone in sqrt(source size),
@@ -1833,6 +1840,7 @@ def test_remove_duplicate_spans_rewrite(spark):
     assert all(got[d]["removed_tokens"] == cov[d] for d in cov)
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_incremental_semantic_equals_batch_on_union(spark, tmp_path):
     """The pinned equivalence contract: with ascending-id batches
     (arrival order == id order) the incremental semantic admission over
@@ -2041,6 +2049,7 @@ def test_nb_quality_semantics(spark):
         nb_quality_train_score(bad, F.col("doc_id") == 1, buckets=64).collect()
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_nb_quality_model_artifact_and_admission(spark, tmp_path):
     """The persisted NbQualityModel (DsirModel discipline): (a) frozen
     scores on the training corpus equal the one-shot
@@ -2210,6 +2219,7 @@ def test_nb_quality_null_label_refused(spark):
         NbQualityModel.fit(df, half_null, "/tmp/nbq_never_written", buckets=64)
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_substring_index_incremental_admission(spark, tmp_path):
     """SubstringDupIndex (incremental leg of the substring tier):
     (a) an empty-store first batch self-dedups by multiplicity (the
@@ -2289,6 +2299,7 @@ def test_substring_index_incremental_admission(spark, tmp_path):
         adm.index.admit_batch(b3, "bad run", max_dup_frac=0.5)
 
 
+@pytest.mark.slow  # r14 fast-tier split: >=10s solo (artifact/e2e/property sweep)
 def test_substring_index_rewrite_streaming_excision(spark, tmp_path):
     """SubstringDupIndex.rewrite (the streaming remove_duplicate_spans):
     (a) rewriting a batch against the store equals the batch operator

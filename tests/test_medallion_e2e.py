@@ -20,6 +20,9 @@ from dataeng_azure_spotify_spark.streaming.gold import CdcFlow, ParquetSnapshotT
 from dataeng_azure_spotify_spark.streaming.rescue import RESCUE_COL, read_bronze_stream
 from dataeng_azure_spotify_spark.streaming.silver import dedup_stream, write_silver_stream
 
+# slow tier (r14): full medallion pipeline e2e — exceeds the driver verify window; run with -m slow
+pytestmark = pytest.mark.slow
+
 
 def _users(spark, rows):
     return spark.createDataFrame(

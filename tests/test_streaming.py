@@ -13,6 +13,10 @@ from dataeng_azure_spotify_spark.streaming.silver import (
     dedup_stream,
     write_silver_stream,
 )
+import pytest
+
+# slow tier (r14): structured-streaming epochs (wall-clock-bound) — exceeds the driver verify window; run with -m slow
+pytestmark = pytest.mark.slow
 
 
 def _write_batch(spark, path, rows):

@@ -21,6 +21,9 @@ from dataeng_azure_spotify_spark.operators.unigram import (
     unigram_train,
 )
 
+# slow tier (r14): EM trainer sweeps — exceeds the driver verify window; run with -m slow
+pytestmark = pytest.mark.slow
+
 
 def _pln(x: int) -> float:
     """Independent Python replay of the portable_ln fixed IEEE tree
